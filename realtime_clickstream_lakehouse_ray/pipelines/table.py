@@ -1,0 +1,603 @@
+"""The maintenance Table: Ray-Data-native ACID Parquet table with
+compaction, Z-order clustering, MERGE INTO, snapshot expire and time travel.
+
+This is the engine's restatement of the reference's lakehouse half — Delta
+table semantics the reference gets from its Delta 1.2 JAR
+(/root/reference/etl/glue_stream.py:339-349, README.md:83,176,194) — built
+from scratch on the snapshot log (``state/log.py``), checkpoint manifests
+(``state/checkpoint.py``) and Ray Data pipelines:
+
+- ``append``  : Dataset -> conform -> partitioned file writes (actor pool)
+                -> atomic snapshot commit (reference K2, glue_stream.py:304-354)
+- ``scan``    : snapshot-pinned ``read_parquet`` over exactly the files of a
+                version, with partition/stats file pruning + column pruning
+- ``compact`` : driver-side bin packing over file *stats* (no data moved) ->
+                per-bin copy-on-write rewrite in an actor pool -> commit.
+                Zero shuffle: bins never cross partitions.
+- ``zorder``  : zkey map_batches -> ``sort("zkey")`` (the one global range
+                shuffle) -> size-targeted file writes -> commit
+- ``merge``   : broadcast regime (source keys via ``ray.put``; stats-pruned
+                copy-on-write deletes + partitioned append of the source) or
+                hash-shuffle regime (groupby on the key, full rewrite)
+- ``expire_snapshots`` / ``vacuum`` / ``rewrite_manifests`` / ``history``
+
+Every maintenance job writes per-unit lineage records to
+``_checkpoints/<job_id>/`` from inside the workers and commits with a
+deterministic job id, so an interrupted job re-run resumes: finished units
+are skipped, the commit is exactly-once, and a job whose commit already
+landed is a no-op.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Any, Iterable, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from realtime_clickstream_lakehouse_ray.schema import TOKENS_SCHEMA, conform_table
+from realtime_clickstream_lakehouse_ray.stages.rewrite import BinRewriter, make_spec_items
+from realtime_clickstream_lakehouse_ray.stages.writer import (
+    FileWriter,
+    file_stats,
+    write_file_atomic,
+    write_partitioned,
+)
+from realtime_clickstream_lakehouse_ray.stages.zkey import add_zkey
+from realtime_clickstream_lakehouse_ray.state.checkpoint import JobCheckpoint
+from realtime_clickstream_lakehouse_ray.state.log import (
+    CommitConflict,
+    FileEntry,
+    SnapshotLog,
+)
+
+DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def _dedup_keep_latest(tbl: pa.Table, key_col: str) -> pa.Table:
+    """Keep the LAST occurrence of each key (MERGE keep-latest semantics)."""
+    keys = np.asarray(tbl.column(key_col))
+    # np.unique keeps the first occurrence -> reverse so last wins
+    _, idx = np.unique(keys[::-1], return_index=True)
+    take = (len(keys) - 1) - idx
+    return tbl.take(pa.array(np.sort(take)))
+
+
+class Table:
+    def __init__(
+        self,
+        root: str,
+        schema: pa.Schema = TOKENS_SCHEMA,
+        partition_col: str = "source",
+        key_col: str = "doc_id",
+    ):
+        self.root = Path(root)
+        self.schema = schema
+        self.partition_col = partition_col
+        self.key_col = key_col
+        self.log = SnapshotLog(self.root)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def create(cls, root: str, **kwargs) -> "Table":
+        t = cls(root, **kwargs)
+        t.log.log_dir.mkdir(parents=True, exist_ok=True)
+        meta = {
+            "schema": t.schema.serialize().to_pybytes().hex(),
+            "partition_col": t.partition_col,
+            "key_col": t.key_col,
+        }
+        meta_path = t.root / "_table.json"
+        if not meta_path.exists():
+            meta_path.write_text(json.dumps(meta))
+        return t
+
+    @classmethod
+    def load(cls, root: str) -> "Table":
+        meta = json.loads((Path(root) / "_table.json").read_text())
+        schema = pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(meta["schema"])))
+        return cls(
+            root,
+            schema=schema,
+            partition_col=meta["partition_col"],
+            key_col=meta["key_col"],
+        )
+
+    # ---- read side ----------------------------------------------------
+    def version(self) -> int:
+        return self.log.latest_version()
+
+    def files(self, version: int | None = None) -> list[FileEntry]:
+        return self.log.files(version)
+
+    def history(self) -> list[dict[str, Any]]:
+        return [
+            {
+                k: self.log.read_version(v).get(k)
+                for k in ("version", "parent", "operation", "job_id", "base")
+            }
+            for v in self.log.versions()
+        ]
+
+    def stats(self, version: int | None = None) -> dict[str, Any]:
+        files = self.files(version)
+        per_part: dict[str, dict[str, int]] = {}
+        for f in files:
+            d = per_part.setdefault(
+                f.partition, {"files": 0, "rows": 0, "bytes": 0, "sum_tok": 0}
+            )
+            d["files"] += 1
+            d["rows"] += f.rows
+            d["bytes"] += f.bytes
+            d["sum_tok"] += f.sum_tok or 0
+        return {
+            "version": version if version is not None else self.version(),
+            "files": len(files),
+            "rows": sum(f.rows for f in files),
+            "bytes": sum(f.bytes for f in files),
+            "sum_tok": sum(f.sum_tok or 0 for f in files),
+            "partitions": per_part,
+        }
+
+    def scan(
+        self,
+        version: int | None = None,
+        columns: Sequence[str] | None = None,
+        partitions: Sequence[str] | None = None,
+        min_n_tok: int | None = None,
+        max_n_tok: int | None = None,
+        **read_kwargs: Any,
+    ) -> ray.data.Dataset:
+        """Snapshot-pinned scan: plan ``read_parquet`` over exactly the files
+        of ``version``; prune files by partition value and n_tok stats
+        before any data is read (the engine's answer to the reference's
+        ``parquet.filterPushdown`` at glue_stream.py:295-301)."""
+        files = self.files(version)
+        if partitions is not None:
+            parts = set(partitions)
+            files = [f for f in files if f.partition in parts]
+        if min_n_tok is not None:
+            files = [f for f in files if f.max_n_tok is None or f.max_n_tok >= min_n_tok]
+        if max_n_tok is not None:
+            files = [f for f in files if f.min_n_tok is None or f.min_n_tok <= max_n_tok]
+        if not files:
+            empty = self.schema.empty_table()
+            if columns:
+                empty = empty.select(list(columns))
+            return ray.data.from_arrow(empty)
+        paths = [str(self.root / f.path) for f in files]
+        return ray.data.read_parquet(paths, columns=list(columns) if columns else None, **read_kwargs)
+
+    # ---- write side ----------------------------------------------------
+    def _collect_stats(self, stats_ds: ray.data.Dataset) -> list[FileEntry]:
+        rows = stats_ds.take_all()  # tiny: one row per written file
+        return [FileEntry(**{k: r[k] for k in (
+            "path", "partition", "rows", "bytes",
+            "min_n_tok", "max_n_tok", "min_key", "max_key", "sum_tok",
+        )}) for r in rows]
+
+    def _commit_with_rebase(
+        self,
+        adds: list[dict],
+        removes: list[str],
+        operation: str,
+        parent: int,
+        job_id: str | None,
+        extra: dict | None = None,
+    ) -> int:
+        """Optimistic commit; on conflict, rebase if the files we remove are
+        all still live in the new latest version (append-only interleaving),
+        else fail — the Ray-native form of Delta's conflict detection."""
+        actions = list(adds) + [{"op": "remove", "path": p} for p in removes]
+        try:
+            return self.log.commit(actions, operation, parent=parent, job_id=job_id, extra=extra)
+        except CommitConflict:
+            latest = self.log.latest_version()
+            live = {f.path for f in self.files(latest)}
+            if all(p in live for p in removes):
+                return self.log.commit(actions, operation, parent=latest, job_id=job_id, extra=extra)
+            raise
+
+    def append(
+        self,
+        data: pa.Table | ray.data.Dataset,
+        rows_per_file: int | None = None,
+        concurrency: int | tuple[int, int] | None = None,
+    ) -> int:
+        """Append rows as new files + a new snapshot (reference K2 semantics:
+        append-only, schema conformed, partitioned by the partition column)."""
+        if isinstance(data, pa.Table):
+            data = ray.data.from_arrow(conform_table(data, self.schema))
+        stats_ds = data.map_batches(
+            FileWriter,
+            fn_constructor_kwargs=dict(
+                root=str(self.root), schema=self.schema, partition_col=self.partition_col
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=rows_per_file,
+            concurrency=concurrency or (1, 8),
+        )
+        entries = self._collect_stats(stats_ds)
+        return self.log.commit(
+            [e.to_action() for e in entries], "append", job_id=None
+        )
+
+    # ---- compaction -----------------------------------------------------
+    def plan_compaction_bins(
+        self,
+        files: list[FileEntry],
+        target_file_bytes: int,
+        job_tag: str,
+    ) -> list[dict]:
+        """Greedy per-partition bin packing over file *stats* only.
+
+        Files already at/above ~90% of target size are left alone; the rest
+        are packed in path order into bins of ≤ target bytes.  Bins with a
+        single file are dropped (rewriting one small file buys nothing).
+        Skew safety: a bin is bounded by ``target_file_bytes`` regardless of
+        how hot the partition is, so no unit of work exceeds the target —
+        hot partitions just produce more bins (more parallel units)."""
+        by_part: dict[str, list[FileEntry]] = {}
+        for f in files:
+            if f.bytes < target_file_bytes * 0.9:
+                by_part.setdefault(f.partition, []).append(f)
+        bins: list[dict] = []
+        for part in sorted(by_part):
+            group = sorted(by_part[part], key=lambda f: f.path)
+            cur: list[FileEntry] = []
+            cur_bytes = 0
+            for f in group:
+                if cur and cur_bytes + f.bytes > target_file_bytes:
+                    if len(cur) > 1:
+                        bins.append(self._bin_spec(len(bins), part, cur, job_tag))
+                    cur, cur_bytes = [], 0
+                cur.append(f)
+                cur_bytes += f.bytes
+            if len(cur) > 1:
+                bins.append(self._bin_spec(len(bins), part, cur, job_tag))
+        return bins
+
+    def _bin_spec(self, unit: int, part: str, files: list[FileEntry], tag: str) -> dict:
+        return {
+            "unit": unit,
+            "partition": part,
+            "files": [f.path for f in files],
+            "out": f"{self.partition_col}={part}/{tag}-bin{unit:06d}.parquet",
+        }
+
+    def _run_rewrite_units(
+        self,
+        bins: list[dict],
+        job_id: str,
+        mode: str = "compact",
+        keys_ref=None,
+        concurrency: int | tuple[int, int] = (1, 16),
+    ) -> dict[str, dict]:
+        """Execute bin rewrites as an actor-pool Ray Data pipeline and return
+        the authoritative per-unit lineage records from the checkpoint."""
+        ckpt = JobCheckpoint(self.root, job_id)
+        ds = ray.data.from_items(make_spec_items(bins))
+        ds.map_batches(
+            BinRewriter,
+            fn_constructor_kwargs=dict(
+                root=str(self.root),
+                schema=self.schema,
+                job_id=job_id,
+                mode=mode,
+                keys_ref=keys_ref,
+                key_col=self.key_col,
+            ),
+            batch_format="pyarrow",
+            batch_size=1,
+            concurrency=concurrency,
+        ).count()  # consume; stats flow into the checkpoint manifest
+        records = ckpt.list_units()
+        missing = {str(b["unit"]) for b in bins} - set(records)
+        if missing:
+            raise RuntimeError(f"units did not complete: {sorted(missing)[:10]}")
+        return records
+
+    def compact(
+        self,
+        target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+        job_id: str | None = None,
+        concurrency: int | tuple[int, int] = (1, 16),
+    ) -> int | None:
+        """Bin-packing small-file compaction (Delta OPTIMIZE equivalent).
+
+        Deterministic job id per parent version -> idempotent + resumable:
+        rerunning after a crash skips finished bins (checkpoint manifest)
+        and re-commits exactly once.  Returns the new version, or None when
+        there is nothing to compact."""
+        parent = self.version()
+        job_id = job_id or f"compact-v{parent}"
+        done = self.log.find_commit_by_job(job_id)
+        if done is not None:
+            return done
+        bins = self.plan_compaction_bins(self.files(parent), target_file_bytes, job_id)
+        if not bins:
+            return None
+        records = self._run_rewrite_units(bins, job_id, mode="compact", concurrency=concurrency)
+        adds = [a for r in records.values() for a in r["adds"]]
+        removes = [p for r in records.values() for p in r["removes"]]
+        version = self._commit_with_rebase(
+            adds, removes, "compact", parent, job_id,
+            extra={"lineage": self._lineage_summary(records)},
+        )
+        JobCheckpoint(self.root, job_id).mark_committed(version)
+        return version
+
+    def _lineage_summary(self, records: dict[str, dict]) -> dict[str, Any]:
+        per_part: dict[str, dict[str, int]] = {}
+        for r in records.values():
+            d = per_part.setdefault(
+                r["partition"],
+                {"units": 0, "input_files": 0, "output_files": 0, "rows": 0},
+            )
+            d["units"] += 1
+            d["input_files"] += len(r.get("inputs", []))
+            d["output_files"] += len(r.get("adds", []))
+            d["rows"] += r.get("rows", 0)
+        return per_part
+
+    # ---- z-order --------------------------------------------------------
+    def zorder(
+        self,
+        dims: tuple[str, str, str] = ("source", "n_tok", "doc_id"),
+        target_rows_per_file: int = 100_000,
+        job_id: str | None = None,
+        write_concurrency: int | tuple[int, int] = (1, 16),
+    ) -> int:
+        """Z-order clustering: zkey map_batches -> global range-partitioned
+        sort -> size-targeted rewrite -> snapshot swap (remove all, add all).
+
+        The sort is the engine's one intentional all-to-all shuffle; the
+        partition column's hash occupies interleaved high bits so rows of
+        one ``source`` land near each other and the writer's per-partition
+        split stays cheap.  Atomic at the commit: an interrupted job leaves
+        only orphan files (vacuumable) and resumes from the last committed
+        snapshot; per-partition lineage is recorded in the checkpoint
+        manifest at completion."""
+        parent = self.version()
+        job_id = job_id or f"zorder-v{parent}"
+        done = self.log.find_commit_by_job(job_id)
+        if done is not None:
+            return done
+        ds = self.scan(version=parent)
+        ds = ds.map_batches(
+            add_zkey,
+            fn_kwargs=dict(dims=dims),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).sort("zkey")
+        stats_ds = ds.map_batches(
+            FileWriter,
+            fn_constructor_kwargs=dict(
+                root=str(self.root), schema=self.schema, partition_col=self.partition_col
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=target_rows_per_file,
+            concurrency=write_concurrency,
+        )
+        entries = self._collect_stats(stats_ds)
+        removes = [f.path for f in self.files(parent)]
+        version = self._commit_with_rebase(
+            [e.to_action() for e in entries], removes, "zorder", parent, job_id
+        )
+        # per-partition lineage for the completed job
+        ckpt = JobCheckpoint(self.root, job_id)
+        per_part: dict[str, dict] = {}
+        for e in entries:
+            d = per_part.setdefault(
+                e.partition, {"output_files": [], "rows": 0, "sum_tok": 0}
+            )
+            d["output_files"].append(e.path)
+            d["rows"] += e.rows
+            d["sum_tok"] += e.sum_tok or 0
+        for i, (part, d) in enumerate(sorted(per_part.items())):
+            ckpt.write_unit(f"part-{part}", {"unit": i, "partition": part, **d, "adds": [], "removes": []})
+        ckpt.mark_committed(version)
+        return version
+
+    # ---- MERGE INTO -----------------------------------------------------
+    def merge(
+        self,
+        source: pa.Table | ray.data.Dataset,
+        strategy: str = "auto",
+        broadcast_max_rows: int = 2_000_000,
+        job_id: str | None = None,
+        concurrency: int | tuple[int, int] = (1, 16),
+    ) -> int:
+        """MERGE INTO (upsert) on ``key_col``: WHEN MATCHED UPDATE SET * /
+        WHEN NOT MATCHED INSERT *; duplicate keys in the source resolve
+        keep-latest (last row wins).
+
+        Broadcast regime (small source): source keys are ``ray.put`` once;
+        target files are pruned by their min/max key stats and only files
+        that can contain a matched key are rewritten copy-on-write (drop
+        matched rows) by the actor pool; the deduped source is then appended
+        partitioned.  Shuffle regime (large source): both sides tagged and
+        hash-grouped on the key (``groupby.map_groups``), full table rewrite.
+        """
+        parent = self.version()
+        if isinstance(source, ray.data.Dataset):
+            n_src = source.count()
+            use_broadcast = strategy == "broadcast" or (
+                strategy == "auto" and n_src <= broadcast_max_rows
+            )
+            if use_broadcast:
+                source = pa.concat_tables(
+                    ray.get(source.to_arrow_refs()), promote_options="default"
+                )
+        else:
+            use_broadcast = strategy != "shuffle"
+        if use_broadcast:
+            return self._merge_broadcast(source, parent, job_id, concurrency)
+        return self._merge_shuffle(source, parent, job_id, concurrency)
+
+    def _merge_broadcast(
+        self,
+        source: pa.Table,
+        parent: int,
+        job_id: str | None,
+        concurrency: int | tuple[int, int],
+    ) -> int:
+        job_id = job_id or f"merge-v{parent}"
+        done = self.log.find_commit_by_job(job_id)
+        if done is not None:
+            return done
+        source = conform_table(source, self.schema)
+        source = _dedup_keep_latest(source, self.key_col)
+        keys = np.sort(np.asarray(source.column(self.key_col)))
+        # stats-based file pruning: a file can contain a match only if some
+        # source key falls inside its [min_key, max_key] range
+        affected: list[FileEntry] = []
+        for f in self.files(parent):
+            if f.min_key is None or f.max_key is None:
+                affected.append(f)
+                continue
+            lo = np.searchsorted(keys, f.min_key, side="left")
+            if lo < len(keys) and keys[lo] <= f.max_key:
+                affected.append(f)
+        bins = [
+            {
+                "unit": i,
+                "partition": f.partition,
+                "files": [f.path],
+                "out": f"{self.partition_col}={f.partition}/{job_id}-u{i:06d}.parquet",
+            }
+            for i, f in enumerate(affected)
+        ]
+        ckpt = JobCheckpoint(self.root, job_id)
+        records: dict[str, dict] = {}
+        if bins:
+            keys_ref = ray.put(np.asarray(source.column(self.key_col)))
+            records = self._run_rewrite_units(
+                bins, job_id, mode="delete_keys", keys_ref=keys_ref,
+                concurrency=concurrency,
+            )
+        # append the (deduped) source rows — the update + insert branches.
+        # Driver-side write is fine here: broadcast regime == small source.
+        src_unit = ckpt.read_unit("src-append")
+        if src_unit is None or not all(
+            (self.root / a["path"]).is_file() for a in src_unit["adds"]
+        ):
+            seq = iter(range(10**6))
+            entries = write_partitioned(
+                source,
+                self.root,
+                self.partition_col,
+                name_fn=lambda part: f"{job_id}-src{next(seq):04d}.parquet",
+            )
+            src_unit = {
+                "unit": "src-append",
+                "partition": "*",
+                "inputs": [],
+                "adds": [e.to_action() for e in entries],
+                "removes": [],
+                "rows": source.num_rows,
+            }
+            ckpt.write_unit("src-append", src_unit)
+        adds = [a for r in records.values() for a in r["adds"]] + src_unit["adds"]
+        removes = [p for r in records.values() for p in r["removes"]]
+        version = self._commit_with_rebase(
+            adds, removes, "merge", parent, job_id,
+            extra={"lineage": self._lineage_summary({**records, "src": src_unit})},
+        )
+        ckpt.mark_committed(version)
+        return version
+
+    def _merge_shuffle(
+        self,
+        source: ray.data.Dataset | pa.Table,
+        parent: int,
+        job_id: str | None,
+        concurrency: int | tuple[int, int],
+    ) -> int:
+        """Hash-shuffle MERGE for large sources: tag priority, union, group
+        by key, keep the highest-priority row per key, rewrite the table."""
+        job_id = job_id or f"merge-v{parent}"
+        done = self.log.find_commit_by_job(job_id)
+        if done is not None:
+            return done
+        if isinstance(source, pa.Table):
+            source = ray.data.from_arrow(conform_table(source, self.schema))
+
+        def _tag(prio: int):
+            def fn(t: pa.Table) -> pa.Table:
+                t = conform_table(t, self.schema)
+                return t.append_column("__prio", pa.array(np.full(t.num_rows, prio, dtype=np.int8)))
+            return fn
+
+        target = self.scan(version=parent).map_batches(
+            _tag(0), batch_format="pyarrow", zero_copy_batch=True
+        )
+        src = source.map_batches(_tag(1), batch_format="pyarrow", zero_copy_batch=True)
+
+        def keep_winner(group: pa.Table) -> pa.Table:
+            # one key per group; source (prio=1) beats target, last source
+            # row wins among duplicates
+            prio = group.column("__prio")
+            mx = pc.max(prio).as_py()
+            winners = group.filter(pc.equal(prio, mx))
+            return winners.slice(winners.num_rows - 1, 1).drop_columns(["__prio"])
+
+        merged = target.union(src).groupby(self.key_col).map_groups(
+            keep_winner, batch_format="pyarrow"
+        )
+        stats_ds = merged.map_batches(
+            FileWriter,
+            fn_constructor_kwargs=dict(
+                root=str(self.root), schema=self.schema, partition_col=self.partition_col
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=100_000,
+            concurrency=concurrency,
+        )
+        entries = self._collect_stats(stats_ds)
+        removes = [f.path for f in self.files(parent)]
+        version = self._commit_with_rebase(
+            [e.to_action() for e in entries], removes, "merge", parent, job_id
+        )
+        JobCheckpoint(self.root, job_id).mark_committed(version)
+        return version
+
+    # ---- retention ------------------------------------------------------
+    def rewrite_manifests(self, version: int | None = None) -> None:
+        """Consolidate a version's manifest into base form (no replay)."""
+        self.log.materialize_version(version if version is not None else self.version())
+
+    def expire_snapshots(self, keep_last: int) -> list[int]:
+        return self.log.expire(keep_last)
+
+    def vacuum(self, dry_run: bool = False, min_age_seconds: float = 0.0) -> list[str]:
+        """Delete data files referenced by NO retained snapshot (post-expire
+        garbage + crashed-job orphans).  ``min_age_seconds`` guards files an
+        in-flight job may be about to commit."""
+        referenced: set[str] = set()
+        for v in self.log.versions():
+            try:
+                referenced.update(f.path for f in self.files(v))
+            except FileNotFoundError:
+                continue
+        removed: list[str] = []
+        now = time.time()
+        for p in self.root.glob(f"{self.partition_col}=*/*.parquet"):
+            rel = str(p.relative_to(self.root))
+            if rel in referenced:
+                continue
+            if now - p.stat().st_mtime < min_age_seconds:
+                continue
+            removed.append(rel)
+            if not dry_run:
+                p.unlink()
+        return sorted(removed)

@@ -1,0 +1,1 @@
+"""map_batches stages (stateless fns + stateful actor-pool callables)."""

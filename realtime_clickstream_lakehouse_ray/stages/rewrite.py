@@ -1,0 +1,142 @@
+"""Stateful actor-pool stages that rewrite data files copy-on-write.
+
+These are the engine's equivalent of the rewrite work Delta's OPTIMIZE /
+MERGE do inside Spark tasks (capabilities the reference delegates to its
+Delta 1.2 JAR — SURVEY.md §2.12).  Each unit of work is a *bin*: a set of
+co-located input files in one partition that is read, transformed and
+written back as exactly one deterministic output file.  Units run as an
+actor pool over a tiny dataset of JSON bin descriptors
+(``ray.data.from_items(...).map_batches(BinRewriter, ...)``) — the data
+plane (reading the Parquet, filtering, writing) happens inside the actor,
+bounded by the bin's target byte size, so no shuffle is needed and the
+driver only ever sees stats rows.
+
+Resumability: before doing any work a unit consults the job's checkpoint
+manifest (``state/checkpoint.py``); a unit whose lineage record exists and
+whose output file is present is skipped and its recorded stats re-emitted.
+Output files are written temp + rename to a per-unit deterministic path, so
+a crashed half-write is invisible and a retried unit simply overwrites.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from realtime_clickstream_lakehouse_ray.schema import conform_table
+from realtime_clickstream_lakehouse_ray.stages.writer import (
+    entries_to_table,
+    file_stats,
+    write_file_atomic,
+)
+from realtime_clickstream_lakehouse_ray.state.checkpoint import JobCheckpoint
+from realtime_clickstream_lakehouse_ray.state.log import FileEntry
+
+SPEC_SCHEMA = pa.schema([("spec", pa.string())])
+
+
+def make_spec_items(bins: list[dict]) -> list[dict]:
+    """Bin descriptors -> rows for ray.data.from_items (JSON-encoded so the
+    block schema stays a single string column)."""
+    return [{"spec": json.dumps(b)} for b in bins]
+
+
+class BinRewriter:
+    """Actor: read a bin's input files, apply a transform, write one output
+    file, persist the unit's lineage record, emit stats rows.
+
+    ``mode``:
+      - ``"compact"``  — concatenate inputs (bin-packing compaction)
+      - ``"delete_keys"`` — drop rows whose key is in the broadcast key set
+        (the copy-on-write half of MERGE INTO); a bin whose inputs contain
+        no matching key re-emits the original file untouched (no rewrite,
+        ``unchanged=True`` in the lineage record).
+    """
+
+    def __init__(
+        self,
+        root: str,
+        schema: pa.Schema,
+        job_id: str,
+        mode: str = "compact",
+        keys_ref=None,  # ray.ObjectRef of a sorted numpy array of keys
+        key_col: str = "doc_id",
+    ):
+        self.root = Path(root)
+        self.schema = schema
+        self.ckpt = JobCheckpoint(root, job_id)
+        self.mode = mode
+        self.key_col = key_col
+        self.keys = None
+        if keys_ref is not None:
+            import ray
+
+            # fetched + converted ONCE per actor (broadcast small side)
+            self.keys = pa.array(ray.get(keys_ref))
+
+    # -- helpers ----------------------------------------------------------
+
+    def _read_bin(self, files: list[str]) -> pa.Table:
+        tables = [pq.read_table(self.root / f) for f in files]
+        tbl = pa.concat_tables(tables, promote_options="default")
+        return conform_table(tbl, self.schema)
+
+    def _emit(self, record: dict) -> list[FileEntry]:
+        return [FileEntry.from_action(a) for a in record["adds"]]
+
+    def _process_unit(self, spec: dict) -> dict:
+        unit = spec["unit"]
+        existing = self.ckpt.read_unit(unit)
+        if existing is not None and all(
+            (self.root / a["path"]).is_file() for a in existing["adds"]
+        ):
+            return existing  # resume: unit already done, reuse its outputs
+
+        tbl = self._read_bin(spec["files"])
+        removes = list(spec["files"])
+        if self.mode == "delete_keys":
+            mask = pc.is_in(tbl[self.key_col], value_set=self.keys)
+            n_match = pc.sum(mask).as_py() or 0
+            if n_match == 0:
+                # stats-range false positive: keep the file(s) as-is
+                record = {
+                    "unit": unit,
+                    "partition": spec["partition"],
+                    "inputs": spec["files"],
+                    "unchanged": True,
+                    "adds": [],
+                    "removes": [],
+                    "rows": tbl.num_rows,
+                }
+                self.ckpt.write_unit(unit, record)
+                return record
+            tbl = tbl.filter(pc.invert(mask))
+
+        out_rel = spec["out"]
+        if tbl.num_rows == 0:
+            adds = []
+        else:
+            nbytes = write_file_atomic(tbl, self.root / out_rel)
+            adds = [file_stats(tbl, out_rel, spec["partition"], nbytes).to_action()]
+        record = {
+            "unit": unit,
+            "partition": spec["partition"],
+            "inputs": spec["files"],
+            "unchanged": False,
+            "adds": adds,
+            "removes": removes,
+            "rows": tbl.num_rows,
+        }
+        self.ckpt.write_unit(unit, record)
+        return record
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        entries: list[FileEntry] = []
+        for spec_json in batch.column("spec").to_pylist():
+            record = self._process_unit(json.loads(spec_json))
+            entries.extend(self._emit(record))
+        return entries_to_table(entries)

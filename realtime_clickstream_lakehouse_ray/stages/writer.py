@@ -1,0 +1,143 @@
+"""Partitioned Parquet file writer stage with per-file stats.
+
+The engine's write path is the Ray-native restatement of the reference's
+Delta append sink (``_write_stream_to_s3``,
+/root/reference/etl/glue_stream.py:304-354): conform the batch to the table
+schema, write snappy Parquet into Hive-style ``source=<v>/`` partition
+directories, and *return the per-file stats* that become ``add`` actions in
+the snapshot commit (Delta gets these from its own transaction protocol;
+we compute them inline so commits and lineage records carry
+partition / rows / bytes / min-max ``n_tok`` / min-max ``doc_id`` /
+token-sum without a second pass over the data).
+
+Used as ``ds.map_batches(FileWriter(...), batch_format="pyarrow",
+zero_copy_batch=True, batch_size=<rows per output file>)`` — an actor pool
+when writing many files (writer state amortized), plain tasks otherwise.
+The stage's output dataset is the tiny stats table, which the driver
+collects to build the commit; the data itself never flows to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from pathlib import Path
+from typing import Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from realtime_clickstream_lakehouse_ray.schema import conform_table
+from realtime_clickstream_lakehouse_ray.state.log import FileEntry
+
+STATS_SCHEMA = pa.schema(
+    [
+        ("path", pa.string()),
+        ("partition", pa.string()),
+        ("rows", pa.int64()),
+        ("bytes", pa.int64()),
+        ("min_n_tok", pa.int64()),
+        ("max_n_tok", pa.int64()),
+        ("min_key", pa.string()),
+        ("max_key", pa.string()),
+        ("sum_tok", pa.int64()),
+    ]
+)
+
+
+def file_stats(tbl: pa.Table, path: str, partition: str, nbytes: int) -> FileEntry:
+    """Compute a FileEntry from an in-memory table slice (vectorized)."""
+    mm_tok = pc.min_max(tbl["n_tok"]) if "n_tok" in tbl.column_names else None
+    mm_key = pc.min_max(tbl["doc_id"]) if "doc_id" in tbl.column_names else None
+    sum_tok = pc.sum(tbl["n_tok"]).as_py() if "n_tok" in tbl.column_names else None
+    return FileEntry(
+        path=path,
+        partition=partition,
+        rows=tbl.num_rows,
+        bytes=nbytes,
+        min_n_tok=(mm_tok["min"].as_py() if mm_tok else None),
+        max_n_tok=(mm_tok["max"].as_py() if mm_tok else None),
+        min_key=(mm_key["min"].as_py() if mm_key else None),
+        max_key=(mm_key["max"].as_py() if mm_key else None),
+        sum_tok=sum_tok,
+    )
+
+
+def write_file_atomic(tbl: pa.Table, abs_path: Path, compression: str = "snappy") -> int:
+    """Write Parquet via temp + rename so crashes never leave half files
+    visible; returns the file's byte size."""
+    abs_path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = abs_path.parent / f".tmp-{uuid.uuid4().hex}.parquet"
+    pq.write_table(tbl, tmp, compression=compression)
+    nbytes = tmp.stat().st_size
+    os.replace(tmp, abs_path)
+    return nbytes
+
+
+def split_by_partition(tbl: pa.Table, partition_col: str) -> dict[str, pa.Table]:
+    """Split a batch into per-partition-value sub-tables (vectorized filter)."""
+    col = tbl.column(partition_col)
+    values = pc.unique(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+    if len(values) == 1:
+        return {values[0].as_py(): tbl}
+    return {
+        v.as_py(): tbl.filter(pc.equal(col, v))
+        for v in values
+    }
+
+
+def write_partitioned(
+    tbl: pa.Table,
+    root: str | os.PathLike,
+    partition_col: str = "source",
+    name_fn: Callable[[str], str] | None = None,
+    compression: str = "snappy",
+) -> list[FileEntry]:
+    """Write one file per partition value present in ``tbl``; return stats."""
+    root = Path(root)
+    entries = []
+    for part, sub in split_by_partition(tbl, partition_col).items():
+        name = name_fn(part) if name_fn else f"part-{uuid.uuid4().hex}.parquet"
+        rel = f"{partition_col}={part}/{name}"
+        nbytes = write_file_atomic(sub, root / rel, compression)
+        entries.append(file_stats(sub, rel, part, nbytes))
+    return entries
+
+
+def entries_to_table(entries: list[FileEntry]) -> pa.Table:
+    return pa.Table.from_pylist(
+        [
+            {
+                "path": e.path,
+                "partition": e.partition,
+                "rows": e.rows,
+                "bytes": e.bytes,
+                "min_n_tok": e.min_n_tok,
+                "max_n_tok": e.max_n_tok,
+                "min_key": e.min_key,
+                "max_key": e.max_key,
+                "sum_tok": e.sum_tok,
+            }
+            for e in entries
+        ],
+        schema=STATS_SCHEMA,
+    )
+
+
+class FileWriter:
+    """Actor-pool stage: conform each Arrow batch and write it out as one
+    Parquet file per partition value; emit the stats rows (reference M9 +
+    K2 fused — see SURVEY.md §2.2/§2.3)."""
+
+    def __init__(self, root: str, schema: pa.Schema, partition_col: str = "source"):
+        self.root = root
+        self.schema = schema
+        self.partition_col = partition_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return entries_to_table([])
+        batch = conform_table(batch, self.schema)
+        entries = write_partitioned(batch, self.root, self.partition_col)
+        return entries_to_table(entries)

@@ -1,0 +1,226 @@
+"""JSON snapshot log: the engine-owned equivalent of Delta's ``_delta_log``.
+
+The reference delegates its transaction log / snapshot isolation / time
+travel to the Delta 1.2 JAR (``format("delta")`` at
+/root/reference/etl/glue_stream.py:341, README.md:83,176,194).  This module
+implements those capabilities natively on a plain filesystem:
+
+- one JSON file per version under ``<table>/_log/<version:014d>.json``,
+  holding ``add`` / ``remove`` file actions with per-file stats
+  (partition, rows, bytes, min/max ``n_tok``, min/max ``doc_id``, token sum);
+- **atomic, optimistic commit**: the version file is published with
+  ``os.link`` (fails if the version already exists -> ``CommitConflict``),
+  giving single-winner semantics for concurrent writers;
+- **snapshot isolation**: readers resolve a version's complete file list by
+  replaying actions from the latest *base* (consolidated) snapshot; writers
+  never mutate committed data files (copy-on-write);
+- **manifest rewrite**: any version can be consolidated in place into an
+  equivalent base snapshot (same state, full file list) — used on its own
+  (``Table.rewrite_manifests``) and by snapshot expiry so that the oldest
+  retained version stays readable after older log files are deleted.
+
+All of this is tiny driver-side metadata (file stats, not data); the data
+plane stays in Ray Data pipelines.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import asdict, dataclass
+from pathlib import Path
+from typing import Any, Iterable
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed this version first (optimistic-concurrency loss)."""
+
+
+@dataclass
+class FileEntry:
+    """Stats for one committed data file (the engine's manifest row)."""
+
+    path: str  # relative to the table root
+    partition: str
+    rows: int
+    bytes: int
+    min_n_tok: int | None = None
+    max_n_tok: int | None = None
+    min_key: str | None = None
+    max_key: str | None = None
+    sum_tok: int | None = None
+
+    def to_action(self, op: str = "add") -> dict[str, Any]:
+        d = asdict(self)
+        d["op"] = op
+        return d
+
+    @staticmethod
+    def from_action(a: dict[str, Any]) -> "FileEntry":
+        return FileEntry(**{k: v for k, v in a.items() if k != "op"})
+
+
+def atomic_write_new(path: Path, text: str) -> None:
+    """Write ``text`` to ``path`` atomically, failing if ``path`` exists."""
+    tmp = path.parent / f".tmp-{uuid.uuid4().hex}"
+    tmp.write_text(text)
+    try:
+        os.link(tmp, path)  # atomic publish; raises FileExistsError on race
+    finally:
+        tmp.unlink(missing_ok=True)
+
+
+def atomic_replace(path: Path, text: str) -> None:
+    """Atomically replace ``path`` (used only for semantic no-op rewrites)."""
+    tmp = path.parent / f".tmp-{uuid.uuid4().hex}"
+    tmp.write_text(text)
+    os.replace(tmp, path)
+
+
+class SnapshotLog:
+    def __init__(self, table_root: str | os.PathLike):
+        self.root = Path(table_root)
+        self.log_dir = self.root / "_log"
+
+    # ---- read side -------------------------------------------------------
+
+    def versions(self) -> list[int]:
+        if not self.log_dir.is_dir():
+            return []
+        return sorted(
+            int(p.stem) for p in self.log_dir.glob("*.json") if p.stem.isdigit()
+        )
+
+    def latest_version(self) -> int:
+        vs = self.versions()
+        return vs[-1] if vs else 0
+
+    def _path(self, version: int) -> Path:
+        return self.log_dir / f"{version:014d}.json"
+
+    def read_version(self, version: int) -> dict[str, Any]:
+        return json.loads(self._path(version).read_text())
+
+    def snapshot(self, version: int | None = None) -> dict[str, Any]:
+        """Resolve the full state at ``version``: replay from the latest base."""
+        vs = self.versions()
+        if version is None:
+            version = vs[-1] if vs else 0
+        if version == 0:
+            return {"version": 0, "files": []}
+        replay = [v for v in vs if v <= version]
+        if not replay or replay[-1] != version:
+            raise FileNotFoundError(
+                f"version {version} not in log (retained: {replay or 'none'}); "
+                "it may have been expired"
+            )
+        # find latest base <= version
+        start = 0
+        payloads: dict[int, dict] = {}
+        for v in reversed(replay):
+            payloads[v] = self.read_version(v)
+            if payloads[v].get("base"):
+                start = v
+                break
+        files: dict[str, dict] = {}
+        for v in replay:
+            if v < start:
+                continue
+            payload = payloads.get(v) or self.read_version(v)
+            if payload.get("base"):
+                files.clear()
+            for a in payload["actions"]:
+                if a["op"] == "add":
+                    files[a["path"]] = a
+                elif a["op"] == "remove":
+                    files.pop(a["path"], None)
+        return {"version": version, "files": list(files.values())}
+
+    def files(self, version: int | None = None) -> list[FileEntry]:
+        return [FileEntry.from_action(a) for a in self.snapshot(version)["files"]]
+
+    def find_commit_by_job(self, job_id: str) -> int | None:
+        """Scan the retained log for a commit tagged with ``job_id`` (idempotence)."""
+        for v in reversed(self.versions()):
+            if self.read_version(v).get("job_id") == job_id:
+                return v
+        return None
+
+    # ---- write side ------------------------------------------------------
+
+    def commit(
+        self,
+        actions: Iterable[dict[str, Any]],
+        operation: str,
+        parent: int | None = None,
+        job_id: str | None = None,
+        base: bool = False,
+        extra: dict[str, Any] | None = None,
+    ) -> int:
+        """Publish the next version atomically; raise CommitConflict on race.
+
+        ``parent`` (when given) enforces compare-and-swap semantics: the
+        commit only succeeds as version ``parent + 1``, so a maintenance job
+        planned against version P cannot clobber a concurrent commit.
+        """
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+        latest = self.latest_version()
+        if parent is None:
+            parent = latest
+        if parent != latest:
+            raise CommitConflict(
+                f"planned against version {parent} but log is at {latest}"
+            )
+        version = parent + 1
+        payload = {
+            "version": version,
+            "parent": parent,
+            "operation": operation,
+            "job_id": job_id,
+            "base": base,
+            "actions": list(actions),
+        }
+        if extra:
+            payload.update(extra)
+        try:
+            atomic_write_new(self._path(version), json.dumps(payload))
+        except FileExistsError as e:
+            raise CommitConflict(f"version {version} was committed concurrently") from e
+        return version
+
+    def materialize_version(self, version: int) -> None:
+        """Manifest rewrite: consolidate ``version`` in place into a base
+        snapshot (identical state, full ``add`` list, no replay needed)."""
+        snap = self.snapshot(version)
+        old = self.read_version(version)
+        payload = {
+            "version": version,
+            "parent": old.get("parent", version - 1),
+            "operation": old.get("operation"),
+            "job_id": old.get("job_id"),
+            "base": True,
+            "consolidated": True,
+            "actions": [dict(a, op="add") for a in snap["files"]],
+        }
+        atomic_replace(self._path(version), json.dumps(payload))
+
+    def expire(self, keep_last: int) -> list[int]:
+        """Drop log versions so only the most recent ``keep_last`` remain.
+
+        The oldest retained version is first consolidated (manifest rewrite)
+        so it stays readable without its expired ancestors.  Returns the
+        expired version numbers.  Data files referenced only by expired
+        versions become orphans — ``Table.vacuum`` deletes them.
+        """
+        vs = self.versions()
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        if len(vs) <= keep_last:
+            return []
+        cutoff = vs[-keep_last]
+        self.materialize_version(cutoff)
+        expired = [v for v in vs if v < cutoff]
+        for v in expired:
+            self._path(v).unlink(missing_ok=True)
+        return expired
