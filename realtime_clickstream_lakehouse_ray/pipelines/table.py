@@ -370,10 +370,19 @@ class Table:
         done = self.log.find_commit_by_job(job_id)
         if done is not None:
             return done
+        # global bounds for integer dims come free from the file stats, so
+        # every dim fills its full 21-bit slot in the interleave
+        bounds: dict[str, tuple[int, int]] = {}
+        stat_files = self.files(parent)
+        if "n_tok" in dims and stat_files:
+            mins = [f.min_n_tok for f in stat_files if f.min_n_tok is not None]
+            maxs = [f.max_n_tok for f in stat_files if f.max_n_tok is not None]
+            if mins and maxs:
+                bounds["n_tok"] = (min(mins), max(maxs))
         ds = self.scan(version=parent)
         ds = ds.map_batches(
             add_zkey,
-            fn_kwargs=dict(dims=dims),
+            fn_kwargs=dict(dims=dims, bounds=bounds),
             batch_format="pyarrow",
             zero_copy_batch=True,
         ).sort("zkey")
@@ -529,7 +538,10 @@ class Table:
         if done is not None:
             return done
         if isinstance(source, pa.Table):
-            source = ray.data.from_arrow(conform_table(source, self.schema))
+            # keep-latest is well-defined driver-side; inside the shuffle the
+            # per-key row order is not deterministic
+            source = _dedup_keep_latest(conform_table(source, self.schema), self.key_col)
+            source = ray.data.from_arrow(source)
 
         def _tag(prio: int):
             def fn(t: pa.Table) -> pa.Table:

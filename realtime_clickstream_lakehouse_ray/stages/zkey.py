@@ -21,16 +21,27 @@ from realtime_clickstream_lakehouse_ray.functions.zorder import morton3, top_bit
 def add_zkey(
     batch: pa.Table,
     dims: tuple[str, str, str] = ("source", "n_tok", "doc_id"),
+    bounds: dict[str, tuple[int, int]] | None = None,
 ) -> pa.Table:
+    """``bounds`` maps an integer dim to its global (min, max) — known for
+    free from the snapshot's file stats — so the dim is scaled to the full
+    21-bit range.  Without scaling, a narrow-range dim (n_tok ≤ 4096 uses
+    12 of 21 bits) only occupies LOW interleaved bit positions and barely
+    influences the sort order; with it, every dim contributes equally."""
+    bounds = bounds or {}
     cols = []
     for name in dims:
         col = batch.column(name)
         if pa.types.is_integer(col.type):
             vals = np.asarray(col.cast(pa.int64()) if col.type != pa.int64() else col)
-            vals = vals.astype(np.uint64)
-            if vals.size and vals.max() > 0x1FFFFF:  # wide ints -> hash to 21 bits
-                vals = top_bits(hash64(col), 21)
-            cols.append(vals)
+            vals = vals.astype(np.float64)
+            if name in bounds:
+                lo, hi = bounds[name]
+            else:
+                lo, hi = (vals.min(), vals.max()) if vals.size else (0, 0)
+            span = max(float(hi) - float(lo), 1.0)
+            scaled = np.clip((vals - float(lo)) / span, 0.0, 1.0) * float(0x1FFFFF)
+            cols.append(scaled.astype(np.uint64))
         else:
             cols.append(top_bits(hash64(col), 21))
     zkey = morton3(cols[0], cols[1], cols[2])

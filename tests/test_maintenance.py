@@ -1,0 +1,238 @@
+"""Maintenance ops: compaction (+resume), Z-order, MERGE INTO, snapshot
+expire / vacuum, snapshot isolation — golden token-array equality throughout
+(BASELINE.md correctness target)."""
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from realtime_clickstream_lakehouse_ray.pipelines.table import Table, _dedup_keep_latest
+from realtime_clickstream_lakehouse_ray.sources.synth import (
+    build_synthetic_table,
+    expected_tokens_table,
+    gen_updates_chunk,
+)
+from realtime_clickstream_lakehouse_ray.stages.rewrite import BinRewriter
+from realtime_clickstream_lakehouse_ray.state.checkpoint import JobCheckpoint
+from tests.util import assert_tokens_equal, collect_sorted
+
+N_ROWS = 3_000
+ROWS_PER_FILE = 150
+TARGET = 2 * 1024 * 1024
+
+
+def _fresh(tmp_path_factory, name) -> Table:
+    root = tmp_path_factory.mktemp(name) / "tokens"
+    return build_synthetic_table(str(root), N_ROWS, ROWS_PER_FILE)
+
+
+def _expected() -> pa.Table:
+    return expected_tokens_table(N_ROWS, ROWS_PER_FILE).sort_by("doc_id").combine_chunks()
+
+
+# ---- compaction ---------------------------------------------------------
+
+
+class TestCompact:
+    @pytest.fixture(scope="class")
+    def table(self, tmp_path_factory):
+        return _fresh(tmp_path_factory, "compact")
+
+    def test_compact_reduces_files_preserves_tokens(self, table):
+        files_before = table.stats()["files"]
+        v = table.compact(target_file_bytes=TARGET)
+        assert v == 2
+        assert table.stats()["files"] < files_before
+        assert_tokens_equal(collect_sorted(table.scan()), _expected())
+
+    def test_lineage_recorded_per_partition(self, table):
+        payload = table.log.read_version(2)
+        lineage = payload["lineage"]
+        assert lineage  # one record per partition with bins
+        for part, rec in lineage.items():
+            assert rec["input_files"] >= 2 * rec["units"]
+            assert rec["rows"] > 0
+
+    def test_rerun_same_job_is_noop(self, table):
+        v = table.log.find_commit_by_job("compact-v1")
+        assert v == 2
+        assert table.compact(job_id="compact-v1") == 2  # idempotent
+
+    def test_checkpoint_marked_committed(self, table):
+        assert JobCheckpoint(table.root, "compact-v1").committed_version() == 2
+
+
+class TestCompactResume:
+    def test_partial_units_are_reused(self, tmp_path_factory):
+        table = _fresh(tmp_path_factory, "resume")
+        job_id = f"compact-v{table.version()}"
+        bins = table.plan_compaction_bins(table.files(), TARGET, job_id)
+        assert len(bins) >= 2
+        # simulate a crashed job that finished exactly one unit
+        rw = BinRewriter(str(table.root), table.schema, job_id, mode="compact")
+        rw._process_unit(bins[0])
+        ckpt = JobCheckpoint(table.root, job_id)
+        rec_before = ckpt.read_unit(bins[0]["unit"])
+        out_path = table.root / bins[0]["out"]
+        mtime_before = out_path.stat().st_mtime_ns
+        # resumed run: finished unit must be skipped, not rewritten
+        v = table.compact(target_file_bytes=TARGET, job_id=job_id)
+        assert v == 2
+        assert out_path.stat().st_mtime_ns == mtime_before
+        assert ckpt.read_unit(bins[0]["unit"]) == rec_before
+        assert_tokens_equal(
+            collect_sorted(table.scan()),
+            expected_tokens_table(N_ROWS, ROWS_PER_FILE).sort_by("doc_id").combine_chunks(),
+        )
+
+    def test_torn_unit_record_is_redone(self, tmp_path_factory):
+        table = _fresh(tmp_path_factory, "torn")
+        job_id = f"compact-v{table.version()}"
+        bins = table.plan_compaction_bins(table.files(), TARGET, job_id)
+        ckpt = JobCheckpoint(table.root, job_id)
+        ckpt.dir.mkdir(parents=True, exist_ok=True)
+        ckpt.unit_path(bins[0]["unit"]).write_text('{"truncated')  # torn write
+        v = table.compact(target_file_bytes=TARGET, job_id=job_id)
+        assert v == 2
+        assert_tokens_equal(
+            collect_sorted(table.scan()),
+            expected_tokens_table(N_ROWS, ROWS_PER_FILE).sort_by("doc_id").combine_chunks(),
+        )
+
+
+# ---- z-order ------------------------------------------------------------
+
+
+class TestZorder:
+    @pytest.fixture(scope="class")
+    def table(self, tmp_path_factory):
+        return _fresh(tmp_path_factory, "zorder")
+
+    def test_zorder_preserves_tokens(self, table):
+        pre_files = table.files()
+        v = table.zorder(target_rows_per_file=500)
+        assert v == 2
+        assert_tokens_equal(collect_sorted(table.scan()), _expected())
+        assert {f.path for f in table.files()}.isdisjoint({f.path for f in pre_files})
+
+    def test_zorder_tightens_file_stats(self, table):
+        # clustering on (source, n_tok, doc_id) must shrink per-file n_tok
+        # spans vs an unclustered layout at the SAME file size (that's what
+        # makes stats pruning effective at scale)
+        files2 = table.files(2)
+        w = np.array([f.rows for f in files2], dtype=float)
+        s = np.array([f.max_n_tok - f.min_n_tok for f in files2], dtype=float)
+        zspan = float((w * s).sum() / w.sum())
+        # baseline: contiguous 500-row chunks in doc_id order (random wrt n_tok)
+        ntok = np.asarray(_expected().column("n_tok"))
+        chunks = [ntok[i : i + 500] for i in range(0, len(ntok), 500)]
+        base = float(
+            np.average(
+                [c.max() - c.min() for c in chunks], weights=[len(c) for c in chunks]
+            )
+        )
+        assert zspan < 0.8 * base
+
+    def test_zorder_lineage_per_partition(self, table):
+        ckpt = JobCheckpoint(table.root, "zorder-v1")
+        units = ckpt.list_units()
+        parts = {r["partition"] for r in units.values()}
+        assert parts == set(table.stats()["partitions"])
+        assert ckpt.committed_version() == 2
+
+    def test_zorder_rerun_is_noop(self, table):
+        assert table.zorder(job_id="zorder-v1") == 2
+
+
+# ---- MERGE INTO ---------------------------------------------------------
+
+
+class TestMerge:
+    @pytest.fixture(scope="class")
+    def updates(self):
+        return gen_updates_chunk(N_ROWS, n_updates=150, n_inserts=60)
+
+    def _expected_after_merge(self, updates: pa.Table) -> pa.Table:
+        base = expected_tokens_table(N_ROWS, ROWS_PER_FILE)
+        upd = _dedup_keep_latest(updates, "doc_id")
+        upd_keys = set(upd.column("doc_id").to_pylist())
+        keep = base.filter(
+            pc.invert(pc.is_in(base.column("doc_id"), value_set=pa.array(list(upd_keys))))
+        )
+        return pa.concat_tables([keep, upd]).sort_by("doc_id").combine_chunks()
+
+    def test_broadcast_merge(self, tmp_path_factory, updates):
+        table = _fresh(tmp_path_factory, "merge_bc")
+        v = table.merge(updates, strategy="broadcast")
+        assert v == 2
+        got = collect_sorted(table.scan())
+        assert_tokens_equal(got, self._expected_after_merge(updates))
+
+    def test_keep_latest_dedup(self, tmp_path_factory, updates):
+        # the generator duplicates the first update key with different
+        # tokens; the LAST occurrence must win
+        table = _fresh(tmp_path_factory, "merge_dup")
+        table.merge(updates, strategy="broadcast")
+        dup_key = updates.column("doc_id")[0].as_py()
+        got = collect_sorted(table.scan())
+        idx = got.column("doc_id").index(dup_key).as_py()
+        last_tokens = updates.column("tokens")[-1]
+        assert got.column("tokens")[idx] == last_tokens
+
+    def test_shuffle_merge_matches_broadcast(self, tmp_path_factory, updates):
+        table = _fresh(tmp_path_factory, "merge_sh")
+        v = table.merge(updates, strategy="shuffle")
+        assert v == 2
+        got = collect_sorted(table.scan())
+        assert_tokens_equal(got, self._expected_after_merge(updates))
+
+    def test_merge_rerun_is_noop(self, tmp_path_factory, updates):
+        table = _fresh(tmp_path_factory, "merge_rerun")
+        v = table.merge(updates, strategy="broadcast", job_id="m1")
+        assert table.merge(updates, strategy="broadcast", job_id="m1") == v
+
+
+# ---- expire / vacuum / isolation ---------------------------------------
+
+
+class TestRetention:
+    def test_expire_and_vacuum(self, tmp_path_factory):
+        table = _fresh(tmp_path_factory, "retention")
+        table.compact(target_file_bytes=TARGET)  # v2
+        table.zorder(target_rows_per_file=500)  # v3
+        n_disk_before = len(list(table.root.glob("source=*/*.parquet")))
+        expired = table.expire_snapshots(keep_last=2)
+        assert expired == [1]
+        with pytest.raises(FileNotFoundError):
+            table.scan(version=1)
+        removed = table.vacuum()
+        assert removed  # v1's small files are gone
+        n_disk_after = len(list(table.root.glob("source=*/*.parquet")))
+        assert n_disk_after == n_disk_before - len(removed)
+        # retained versions still fully readable + correct
+        assert_tokens_equal(collect_sorted(table.scan(version=2)), _expected())
+        assert_tokens_equal(collect_sorted(table.scan()), _expected())
+        # on-disk file set now == union of retained snapshots
+        referenced = {f.path for v in table.log.versions() for f in table.files(v)}
+        on_disk = {str(p.relative_to(table.root)) for p in table.root.glob("source=*/*.parquet")}
+        assert on_disk == referenced
+
+    def test_snapshot_isolation_reader_unaffected_by_commit(self, tmp_path_factory):
+        table = _fresh(tmp_path_factory, "isolation")
+        ds_v1 = table.scan(version=1)  # reader pins version 1
+        table.compact(target_file_bytes=TARGET)  # concurrent commit v2
+        table.merge(gen_updates_chunk(N_ROWS, 50, 20))  # v3 rewrites rows
+        got = collect_sorted(ds_v1)  # consume AFTER the commits
+        assert_tokens_equal(got, _expected())
+
+    def test_dedup_keep_latest_unit(self):
+        t = pa.table({"doc_id": ["a", "b", "a"], "v": [1, 2, 3]})
+        out = _dedup_keep_latest(t, "doc_id")
+        assert out.column("doc_id").to_pylist() == ["b", "a"] or out.column(
+            "doc_id"
+        ).to_pylist() == ["a", "b"]
+        m = dict(zip(out.column("doc_id").to_pylist(), out.column("v").to_pylist()))
+        assert m == {"a": 3, "b": 2}
