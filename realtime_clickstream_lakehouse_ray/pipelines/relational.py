@@ -1,0 +1,341 @@
+"""Relational pipelines over the TPC-H-ish test tables.
+
+The reference exposes its wide relational surface (joins / aggregates /
+sorts) only as latent Athena-on-Delta capability (SURVEY.md §2.5-§2.7,
+README.md:113); this module makes those operators first-class Ray Data
+pipelines, following the scale rules:
+
+- column pruning at the read (``read_parquet(columns=...)``);
+- vectorized pyarrow.compute kernels inside ``map_batches``;
+- **partial aggregation** inside ``map_batches`` before the shuffle for
+  high-cardinality rollups;
+- **broadcast joins** for small dimension tables (``ray.put`` once, dict /
+  arrow lookup per batch inside the stage — no shuffle);
+- hash-shuffle ``Dataset.join`` only when both sides are large.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _e(col, scale: int) -> pa.Array:
+    """Lift a fixed-decimal double column onto its exact integer grid
+    (price/qty/discount columns carry ≤2 decimals): int64(rint(x*scale)).
+
+    Derived measures are then computed in exact int64 arithmetic and only
+    divided back to double at the very end, with the same expression shape
+    the DuckDB oracle uses — so both engines produce bit-identical doubles
+    and the driver's value-hash comparison is robust (float sums in
+    different orders are NOT)."""
+    vals = np.asarray(col, dtype=np.float64)
+    return pa.array(np.rint(vals * scale).astype(np.int64))
+
+
+# ---------------------------------------------------------------------------
+def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1 shape: filter -> computed measures -> grouped aggregate.
+
+    The measures (disc_price, charge) are computed vectorized per batch;
+    the groupby shuffles only the (tiny) per-batch rows, keyed on a
+    4-value composite key."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate",
+        ],
+    )
+
+    cutoff = pa.scalar(np.datetime64("1998-09-02", "us"))
+
+    def measures(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        # exact integer-grid arithmetic: qty/price/disc/tax carry 2 decimals
+        qty_e2 = np.asarray(_e(t["l_quantity"], 100))
+        price_e2 = np.asarray(_e(t["l_extendedprice"], 100))
+        disc_e2 = np.asarray(_e(t["l_discount"], 100))
+        tax_e2 = np.asarray(_e(t["l_tax"], 100))
+        dp_e4 = price_e2 * (100 - disc_e2)  # disc_price * 1e4, exact
+        charge_e6 = dp_e4 * (100 + tax_e2)  # charge * 1e6, exact
+        # partial (per-batch) combine before the shuffle
+        part = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_e2": pa.array(qty_e2),
+                "price_e2": pa.array(price_e2),
+                "disc_e2": pa.array(disc_e2),
+                "dp_e4": pa.array(dp_e4),
+                "charge_e6": pa.array(charge_e6),
+            }
+        ).group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("qty_e2", "sum"), ("price_e2", "sum"), ("disc_e2", "sum"),
+                ("dp_e4", "sum"), ("charge_e6", "sum"), ("qty_e2", "count"),
+            ]
+        )
+        return part.rename_columns(
+            ["l_returnflag", "l_linestatus", "s_qty", "s_price", "s_disc",
+             "s_dp", "s_charge", "n"]
+        )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n"]).astype(np.float64)
+        s_qty = np.asarray(t["s_qty"]).astype(np.float64)
+        s_price = np.asarray(t["s_price"]).astype(np.float64)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": pa.array(s_qty / 100.0),
+                "sum_base_price": pa.array(s_price / 100.0),
+                "sum_disc_price": pa.array(np.asarray(t["s_dp"]).astype(np.float64) / 10000.0),
+                "sum_charge": pa.array(np.asarray(t["s_charge"]).astype(np.float64) / 1000000.0),
+                "avg_qty": pa.array(s_qty / 100.0 / n),
+                "avg_price": pa.array(s_price / 100.0 / n),
+                "avg_disc": pa.array(np.asarray(t["s_disc"]).astype(np.float64) / 100.0 / n),
+                "count_order": t["n"],
+            }
+        )
+
+    return (
+        ds.map_batches(measures, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("s_qty", alias_name="s_qty"),
+            Sum("s_price", alias_name="s_price"),
+            Sum("s_disc", alias_name="s_disc"),
+            Sum("s_dp", alias_name="s_dp"),
+            Sum("s_charge", alias_name="s_charge"),
+            Sum("n", alias_name="n"),
+        )
+        .map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["l_returnflag", "l_linestatus"])
+    )
+
+
+# ---------------------------------------------------------------------------
+def revenue_filter_project(sf_dir: str) -> ray.data.Dataset:
+    """M5-style projection + vectorized filter + computed column: 1996 Q1
+    lineitems with their discounted revenue (row-level output)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1996-04-01", "us"))
+
+    def fn(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi))
+        t = t.filter(keep)
+        dp_e4 = np.asarray(_e(t["l_extendedprice"], 100)) * (
+            100 - np.asarray(_e(t["l_discount"], 100))
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "revenue": pa.array(dp_e4.astype(np.float64) / 10000.0),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+def region_supplier_rollup(sf_dir: str) -> ray.data.Dataset:
+    """Broadcast join chain supplier -> nation -> region (both dims tiny):
+    the dimension tables are put in the object store ONCE and each batch
+    does a vectorized dictionary lookup — no shuffle at all (SURVEY.md
+    §2.5 broadcast regime)."""
+    nation = pa.concat_tables(ray.get(_read(sf_dir, "nation").to_arrow_refs()))
+    region = pa.concat_tables(ray.get(_read(sf_dir, "region").to_arrow_refs()))
+    n2r = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())
+    )
+    r2name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    lookup_ref = ray.put(
+        {int(nk): r2name[rk] for nk, rk in n2r.items()}
+    )
+
+    class JoinDims:
+        def __init__(self):
+            lut = ray.get(lookup_ref)  # fetched once per actor
+            size = max(lut) + 1
+            self.names = np.array([lut.get(i, "") for i in range(size)], dtype=object)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            nk = np.asarray(t["s_nationkey"])
+            return pa.table(
+                {
+                    "r_name": pa.array(self.names[nk]),
+                    "acct_e2": _e(t["s_acctbal"], 100),
+                }
+            )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "r_name": t["r_name"],
+                "n_suppliers": t["n_suppliers"],
+                "sum_acctbal": pa.array(np.asarray(t["s_acct"]).astype(np.float64) / 100.0),
+            }
+        )
+
+    return (
+        _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+        .map_batches(JoinDims, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4))
+        .groupby("r_name")
+        .aggregate(
+            Count(alias_name="n_suppliers"),
+            Sum("acct_e2", alias_name="s_acct"),
+        )
+        .map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("r_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+def top_customers_by_revenue(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    """Pre-aggregate orders per customer (partial combine inside
+    map_batches), shuffle only the partials, broadcast-join customer names,
+    then top-k: the canonical skew-safe rollup shape."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        # combine within the batch before the shuffle (exact e2 integers)
+        return (
+            pa.table({"o_custkey": t["o_custkey"], "tp_e2": _e(t["o_totalprice"], 100)})
+            .group_by("o_custkey")
+            .aggregate([("tp_e2", "sum"), ("tp_e2", "count")])
+            .rename_columns(["o_custkey", "p_sum", "p_cnt"])
+        )
+
+    partials = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = partials.groupby("o_custkey").aggregate(
+        Sum("p_sum", alias_name="rev_e2"), Sum("p_cnt", alias_name="n_orders")
+    )
+
+    cust = pa.concat_tables(
+        ray.get(_read(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_arrow_refs())
+    )
+    cust_ref = ray.put(cust)
+
+    class AddName:
+        def __init__(self):
+            c = ray.get(cust_ref)
+            keys = np.asarray(c["c_custkey"])
+            order = np.argsort(keys)
+            self.keys = keys[order]
+            self.names = np.asarray(c["c_name"])[order]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            idx = np.searchsorted(self.keys, np.asarray(t["o_custkey"]))
+            return pa.table(
+                {
+                    "o_custkey": t["o_custkey"],
+                    "revenue": pa.array(np.asarray(t["rev_e2"]).astype(np.float64) / 100.0),
+                    "n_orders": t["n_orders"],
+                    "c_name": pa.array(self.names[idx]),
+                }
+            )
+
+    named = agg.map_batches(
+        AddName, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+    )
+    return named.sort(["revenue", "o_custkey"], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+def order_priority_counts(sf_dir: str) -> ray.data.Dataset:
+    """Simple grouped count + min/max over orders (aggregate coverage)."""
+    return (
+        _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+        .groupby("o_orderpriority")
+        .aggregate(
+            Count(alias_name="n"),
+            Min("o_totalprice", alias_name="min_price"),
+            Max("o_totalprice", alias_name="max_price"),
+        )
+        .sort("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+def order_revenue_join(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    """Large-large hash join: lineitem revenue rolled up per order, joined
+    to orders (hash-partitioned ``Dataset.join``), top-k by revenue.
+
+    The lineitem side is pre-aggregated per key BEFORE the join so the
+    shuffle moves one row per order, not one per lineitem."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        dp_e4 = np.asarray(_e(t["l_extendedprice"], 100)) * (
+            100 - np.asarray(_e(t["l_discount"], 100))
+        )
+        return (
+            pa.table({"l_orderkey": t["l_orderkey"], "rev": pa.array(dp_e4)})
+            .group_by("l_orderkey")
+            .aggregate([("rev", "sum")])
+            .rename_columns(["l_orderkey", "p_rev"])
+        )
+
+    li = (
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Sum("p_rev", alias_name="rev_e4"))
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        # Dataset.join keeps only the LEFT key column
+        return pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "o_orderpriority": t["o_orderpriority"],
+                "revenue": pa.array(np.asarray(t["rev_e4"]).astype(np.float64) / 10000.0),
+            }
+        )
+
+    return (
+        joined.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["revenue", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+def top_orders(sf_dir: str, k: int = 100) -> ray.data.Dataset:
+    """Global sort + limit (top-k)."""
+    return (
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def distinct_mktsegments(sf_dir: str) -> pa.Table:
+    """Set op: distinct values (``Dataset.unique`` -> tiny table)."""
+    vals = _read(sf_dir, "customer", columns=["c_mktsegment"]).unique("c_mktsegment")
+    return pa.table({"c_mktsegment": pa.array(sorted(vals))})
