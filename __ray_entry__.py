@@ -35,12 +35,36 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from realtime_clickstream_lakehouse_ray.pipelines import (
+        ann,
         clickstream,
+        dedup,
         maintenance,
+        multimodal,
         relational,
+        text,
     )
 
     return {
+        # --- text analysis / training-data prep -------------------------
+        "text_stats": text.text_stats,
+        "token_counts": text.token_counts,
+        "lang_id": text.lang_id,  # heuristic -> rows-only
+        "doc_fingerprints": text.fingerprints,  # rolling fp -> rows-only
+        "fingerprint_md5": lambda sf: text.fingerprints(sf).select_columns(
+            ["doc_id", "fp_md5"]
+        ),
+        # --- deduplication ----------------------------------------------
+        "exact_dedup": dedup.exact_dedup,
+        "minhash_lsh_dedup": dedup.minhash_lsh_dedup,  # approx -> rows-only
+        "simhash_dedup": dedup.simhash_dedup,  # approx -> rows-only
+        "embedding_dup_pairs": dedup.embedding_dup_pairs,
+        # --- similarity search ------------------------------------------
+        "knn_bruteforce": ann.knn_bruteforce,
+        "knn_ivf": ann.knn_ivf,  # approximate -> rows-only
+        # --- multimodal (stubbed codec, real plumbing) ------------------
+        "image_metadata": multimodal.image_metadata,
+        "image_features": multimodal.image_features,  # stub -> rows-only
+        "frame_samples": multimodal.frame_samples,
         # --- clickstream conformance (SURVEY.md §2.3 M1-M9) -------------
         "events_normalized": clickstream.events_normalized,
         "events_partition_counts": clickstream.events_partition_counts,
@@ -71,6 +95,11 @@ _DOCS_BASE = (
 )
 _DOC_KEY = "'doc-' || lpad(CAST(id AS VARCHAR), 12, '0')"
 _K_EXPR = "CAST(regexp_extract(props, '\"k\":\\s*(\\d+)', 1) AS BIGINT)"
+# the Ray-side BPE pattern (pipelines/text.py) as a SQL string literal;
+# both engines run RE2, so match counts agree exactly
+BPE_SQL_PATTERN = (
+    "'''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -78,7 +107,59 @@ def oracle_sql() -> dict[str, str]:
         f"WITH base AS ({_DOCS_BASE}) "
         f"SELECT {_DOC_KEY} AS doc_id, CAST(nt AS BIGINT) AS n_tok, source FROM base"
     )
+    words = "string_split_regex(trim(text), '\\s+')"
+    bpe = BPE_SQL_PATTERN
     return {
+        "text_stats": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len({words}) AS BIGINT) AS n_words,
+                   CAST(len(list_distinct({words})) AS BIGINT) AS n_uniq_words,
+                   CAST(len(list_filter({words}, w -> w IN ('the', 'a'))) AS DOUBLE)
+                       / CAST(len({words}) AS DOUBLE) AS stop_ratio,
+                   (len({words}) BETWEEN 10 AND 1000)
+                       AND (CAST(len(list_filter({words}, w -> w IN ('the', 'a'))) AS DOUBLE)
+                            / CAST(len({words}) AS DOUBLE) < 0.5) AS quality_ok
+            FROM documents
+        """,
+        "token_counts": f"""
+            SELECT doc_id,
+                   CAST(len({words}) AS BIGINT) AS n_tok_ws,
+                   CAST(len(regexp_extract_all(text, {bpe})) AS BIGINT) AS n_tok_bpe
+            FROM documents
+        """,
+        "fingerprint_md5": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+        "exact_dedup": """
+            SELECT min(doc_id) AS doc_id, md5(text) AS fp
+            FROM documents GROUP BY text
+        """,
+        "embedding_dup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+        """,
+        "knn_bruteforce": """
+            SELECT q.vec_id AS query_id, n.neighbor_id
+            FROM embeddings q, LATERAL (
+                SELECT e.vec_id AS neighbor_id
+                FROM embeddings e WHERE e.vec_id <> q.vec_id
+                ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
+                LIMIT 10
+            ) n
+            WHERE q.vec_id < 5
+        """,
+        "image_metadata": """
+            SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
+        """,
+        "frame_samples": """
+            SELECT d.doc_id, f.frame_idx,
+                   least(1024, octet_length(encode(d.text)) - f.frame_idx * 1024) AS frame_bytes
+            FROM documents d, LATERAL (
+                SELECT unnest(range(0,
+                    CAST(ceil(octet_length(encode(d.text)) / 1024.0) AS BIGINT), 4)) AS frame_idx
+            ) f
+        """,
         "events_normalized": f"""
             SELECT event_id,
                    coalesce(event_type, 'unknown') AS event_type,

@@ -1,0 +1,103 @@
+"""MinHash / SimHash kernels for near-duplicate detection, vectorized.
+
+MinHash: per document, ``sig_i = min over shingles of h_i(shingle)`` for
+``n_perm`` universal-hash permutations ``h_i(x) = a_i * x + b_i (mod 2^64)``
+over one base hash of each shingle — computed as ``np.minimum.reduceat``
+per permutation over the flattened shingle-hash array (no per-doc loops).
+LSH banding: the signature is cut into ``n_bands`` bands of ``r`` rows;
+each band is hashed to one bucket key, and documents sharing any
+(band, bucket) are candidate pairs (the classic banding scheme from
+Broder / MMDS ch.3).
+
+SimHash: 64-bit signature where bit j is the sign of the sum over word
+hashes of ±1 at bit j; near-dups have small Hamming distance.  Banding a
+64-bit simhash into 4×16-bit bands guarantees (pigeonhole) that any pair
+within Hamming distance 3 collides in at least one band.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from realtime_clickstream_lakehouse_ray.functions.hashing import hash64, splitmix64
+
+
+def shingle_hashes(words: pa.ListArray, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Word k-gram hashes per document.
+
+    Returns (flat_hashes, doc_lengths): ``flat_hashes`` concatenates each
+    document's shingle hashes; a doc with fewer than k words contributes
+    one whole-doc shingle.  Combining adjacent word hashes uses rotate-xor
+    chains so shingles are order-sensitive."""
+    offsets = np.asarray(words.offsets).astype(np.int64)
+    lengths = offsets[1:] - offsets[:-1]
+    wh = hash64(words.values)
+    n_sh = np.maximum(lengths - (k - 1), 1)
+    # hash of k consecutive word hashes, vectorized across the flat array
+    combo = wh.copy()
+    for j in range(1, k):
+        shifted = np.roll(wh, -j)
+        combo = (combo << np.uint64(5)) ^ (combo >> np.uint64(59)) ^ shifted
+    # valid shingle positions: within-doc windows only
+    doc_idx = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+    pos_in_doc = np.arange(len(wh), dtype=np.int64) - np.repeat(offsets[:-1], lengths)
+    valid = pos_in_doc < np.repeat(np.maximum(lengths - (k - 1), 1), lengths)
+    return combo[valid], n_sh
+
+
+def minhash_signatures(
+    flat: np.ndarray, n_per_doc: np.ndarray, n_perm: int = 128, seed: int = 7
+) -> np.ndarray:
+    """(n_docs, n_perm) uint64 signature matrix via universal hashing."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 2**63, size=n_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 2**63, size=n_perm, dtype=np.uint64)
+    starts = np.zeros(len(n_per_doc), dtype=np.int64)
+    np.cumsum(n_per_doc[:-1], out=starts[1:])
+    sigs = np.empty((len(n_per_doc), n_perm), dtype=np.uint64)
+    for i in range(n_perm):  # loop over permutations (128), not rows
+        h = flat * a[i] + b[i]
+        sigs[:, i] = np.minimum.reduceat(h, starts)
+    return sigs
+
+
+def band_keys(sigs: np.ndarray, n_bands: int = 32) -> np.ndarray:
+    """(n_docs, n_bands) uint64 bucket keys: hash of each band's rows."""
+    n_docs, n_perm = sigs.shape
+    r = n_perm // n_bands
+    bands = sigs[:, : n_bands * r].reshape(n_docs, n_bands, r)
+    key = np.zeros((n_docs, n_bands), dtype=np.uint64)
+    for j in range(r):
+        key = splitmix64(key ^ bands[:, :, j])
+    return key
+
+
+def simhash(words: pa.ListArray) -> np.ndarray:
+    """64-bit SimHash per document from its word hashes (bit-count votes)."""
+    offsets = np.asarray(words.offsets).astype(np.int64)
+    lengths = offsets[1:] - offsets[:-1]
+    wh = hash64(words.values)
+    bits = ((wh[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
+    votes = 2 * bits - 1  # ±1 per bit
+    starts = offsets[:-1]
+    sums = np.add.reduceat(votes, starts, axis=0) if len(wh) else np.zeros((len(lengths), 64), np.int32)
+    sig = (sums > 0).astype(np.uint64)
+    return (sig << np.arange(64, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = a ^ b
+    # popcount via numpy bit tricks
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+def exact_jaccard(set_a: np.ndarray, set_b: np.ndarray) -> float:
+    """Exact Jaccard of two shingle-hash sets (verification step)."""
+    ua, ub = np.unique(set_a), np.unique(set_b)
+    inter = len(np.intersect1d(ua, ub, assume_unique=True))
+    union = len(ua) + len(ub) - inter
+    return inter / union if union else 1.0

@@ -1,0 +1,60 @@
+"""Multimodal pipelines: binary payload columns through actor-pool stages.
+
+The test corpus has no real images, so the documents' utf8 text bytes play
+the opaque binary payload (schema-wise identical to image bytes); the
+codec itself is stubbed deterministically (stages/multimodal.py)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from realtime_clickstream_lakehouse_ray.stages.multimodal import FrameSampler, ImageFeatures
+
+
+def _payload_ds(sf_dir: str) -> ray.data.Dataset:
+    def to_payload(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"], "payload": t["text"].cast(pa.binary())}
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(to_payload, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def image_features(sf_dir: str) -> ray.data.Dataset:
+    """Binary payload -> (n_bytes, stub dims, byte-histogram features).
+    Small batch_size on purpose: binary rows are wide (see stage docs)."""
+    return _payload_ds(sf_dir).map_batches(
+        ImageFeatures,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=256,
+        concurrency=(1, 4),
+    )
+
+
+def image_metadata(sf_dir: str) -> ray.data.Dataset:
+    """Oracle-checkable slice of the decode output: payload byte length
+    (DuckDB: octet_length(encode(text)))."""
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "n_bytes": t["n_bytes"]})
+
+    return image_features(sf_dir).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def frame_samples(sf_dir: str) -> ray.data.Dataset:
+    """'Video' frame sampling over the binary payload (every 4th 1-KiB
+    frame) — deterministic chunk arithmetic, oracle-checkable."""
+    return _payload_ds(sf_dir).map_batches(
+        FrameSampler,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=512,
+        concurrency=(1, 4),
+    )

@@ -1,0 +1,133 @@
+"""Text-analysis pipelines over the documents table (training-data prep).
+
+Each pipeline is a single vectorized ``map_batches`` over
+``read_parquet(columns=...)`` — stateless kernels from
+``functions/textstats.py``; the BPE-ish tokenizer compiles its regex once
+per actor (stateful stage)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from realtime_clickstream_lakehouse_ray.functions.textstats import (
+    language_scores,
+    md5_fingerprints,
+    rolling_fingerprint,
+    split_words,
+    stopword_counts,
+    unique_word_counts,
+    word_counts,
+)
+
+# GPT-2-style pre-tokenizer pattern (RE2-compatible subset; both pyarrow and
+# DuckDB use RE2, so match counts agree exactly across engines)
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def _read_docs(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def text_stats(sf_dir: str) -> ray.data.Dataset:
+    """Quality scoring: per-doc char/word/distinct-word counts, stopword
+    ratio, and a quality flag (length + stopword-density gates) — the
+    standard pre-training corpus filters."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        words = split_words(t["text"])
+        n_words = word_counts(words)
+        n_uniq = unique_word_counts(words)
+        n_stop = stopword_counts(words)
+        stop_ratio = n_stop.astype(np.float64) / n_words.astype(np.float64)
+        n_chars = np.asarray(pc.utf8_length(t["text"])).astype(np.int64)
+        quality_ok = (n_words >= 10) & (n_words <= 1000) & (stop_ratio < 0.5)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": pa.array(n_chars),
+                "n_words": pa.array(n_words),
+                "n_uniq_words": pa.array(n_uniq),
+                "stop_ratio": pa.array(stop_ratio),
+                "quality_ok": pa.array(quality_ok),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+class BpeishTokenCounter:
+    """Stateful stage: the tokenizer regex is compiled once per actor
+    (reference pattern: module-level client at Lambda cold start,
+    click_handler.py:14-23); per batch it's one vectorized RE2 scan."""
+
+    def __init__(self):
+        self.pattern = BPE_PATTERN
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        words = split_words(t["text"])
+        n_ws = word_counts(words)
+        n_bpe = np.asarray(
+            pc.count_substring_regex(t["text"], self.pattern)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tok_ws": pa.array(n_ws),
+                "n_tok_bpe": pa.array(n_bpe),
+            }
+        )
+
+
+def token_counts(sf_dir: str) -> ray.data.Dataset:
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        BpeishTokenCounter,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+
+
+def lang_id(sf_dir: str, threshold: float = 0.0) -> ray.data.Dataset:
+    """Heuristic language id (hint-word ratio; rows-only checked)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        words = split_words(t["text"])
+        score = language_scores(words)
+        pred = np.where(score > threshold, "en", "unknown")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang_pred": pa.array(pred),
+                "en_score": pa.array(np.round(score, 6)),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def fingerprints(sf_dir: str) -> ray.data.Dataset:
+    """Content fingerprints: md5 (oracle-exact vs DuckDB ``md5``) plus a
+    winnowing-style rolling-hash fingerprint (rows-only)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        words = split_words(t["text"])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "fp_md5": md5_fingerprints(t["text"]),
+                "fp_rolling": pa.array(
+                    (rolling_fingerprint(words) >> np.uint64(1)).astype(np.int64)
+                ),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )

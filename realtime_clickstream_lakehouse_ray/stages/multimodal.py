@@ -1,0 +1,123 @@
+"""Multimodal (image/audio/video) stages: opaque binary columns + typed
+metadata, processed by actor-pool map_batches stages.
+
+The decode libraries (PIL / torchaudio / av) are NOT in this container, so
+the codec step is stubbed per the build contract: ``try: import PIL``
+gates the real path, and the fallback computes a deterministic fake decode
+(byte-histogram features + hash-derived dimensions).  Everything around
+the stub — binary schema, small-batch sizing, per-actor setup, output
+layout — is real and tested, so swapping in a real codec is a one-line
+change inside ``_decode_real``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from realtime_clickstream_lakehouse_ray.functions.hashing import hash64
+
+try:  # pragma: no cover - PIL absent in this container by design
+    from PIL import Image  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+
+class ImageFeatures:
+    """Actor-pool stage over binary image payloads.
+
+    batch in : (doc_id, payload: binary)
+    batch out: (doc_id, n_bytes, width, height, features: list<float>[8])
+
+    ``__init__`` is where a model / codec would load once per actor; size
+    the pool with small ``batch_size`` — binary payloads are wide rows and
+    batch x concurrency must fit the worker heap."""
+
+    FEATURE_DIM = 8
+
+    def __init__(self):
+        self.have_codec = HAVE_PIL
+
+    def _decode_real(self, payloads: pa.Array):  # pragma: no cover
+        raise NotImplementedError(
+            "real image decode requires PIL, not present in this container"
+        )
+
+    def _decode_stub(self, payloads: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Deterministic fake decode: dims from the payload hash, features
+        from the true byte histogram (real vectorized compute over the
+        binary buffers — only the codec itself is faked)."""
+        h = hash64(payloads.cast(pa.string()))
+        width = (h % np.uint64(1920) + np.uint64(16)).astype(np.int64)
+        height = ((h >> np.uint64(17)) % np.uint64(1080) + np.uint64(16)).astype(np.int64)
+        big = payloads.cast(pa.large_binary())
+        offsets = np.frombuffer(
+            big.buffers()[1], dtype=np.int64, count=len(big) + 1, offset=big.offset * 8
+        )
+        data = np.frombuffer(big.buffers()[2], dtype=np.uint8)
+        feats = np.zeros((len(big), self.FEATURE_DIM), dtype=np.float64)
+        doc_idx = np.repeat(np.arange(len(big)), offsets[1:] - offsets[:-1])
+        np.add.at(feats, (doc_idx, data[: len(doc_idx)] >> 5), 1.0)
+        lengths = np.maximum(offsets[1:] - offsets[:-1], 1).astype(np.float64)
+        feats /= lengths[:, None]
+        return width, height, feats
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t["payload"].combine_chunks() if isinstance(t["payload"], pa.ChunkedArray) else t["payload"]
+        n_bytes = pc.binary_length(payloads).cast(pa.int64())
+        if self.have_codec:  # pragma: no cover
+            width, height, feats = self._decode_real(payloads)
+        else:
+            width, height, feats = self._decode_stub(payloads)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bytes": n_bytes,
+                "width": pa.array(width),
+                "height": pa.array(height),
+                "features": pa.array(list(feats), type=pa.list_(pa.float64())),
+            }
+        )
+
+
+class FrameSampler:
+    """'Video' stage: treat the payload as a frame container and sample
+    every ``stride``-th fixed-size frame (real chunking arithmetic; the
+    frame *decode* would sit behind the same stub gate as above).
+
+    batch in : (doc_id, payload: binary)
+    batch out: (doc_id, frame_idx, frame_bytes)"""
+
+    def __init__(self, frame_size: int = 1024, stride: int = 4):
+        self.frame_size = frame_size
+        self.stride = stride
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        big = t["payload"].combine_chunks().cast(pa.large_binary()) if isinstance(
+            t["payload"], pa.ChunkedArray
+        ) else t["payload"].cast(pa.large_binary())
+        offsets = np.frombuffer(
+            big.buffers()[1], dtype=np.int64, count=len(big) + 1, offset=big.offset * 8
+        )
+        lengths = offsets[1:] - offsets[:-1]
+        n_frames = np.maximum((lengths + self.frame_size - 1) // self.frame_size, 1)
+        sampled = (n_frames + self.stride - 1) // self.stride
+        doc_ids = np.repeat(np.asarray(t["doc_id"]), sampled)
+        frame_idx = (
+            np.arange(int(sampled.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(sampled) - sampled, sampled)
+        ) * self.stride
+        frame_bytes = np.minimum(
+            self.frame_size,
+            np.repeat(lengths, sampled) - frame_idx * self.frame_size,
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids),
+                "frame_idx": pa.array(frame_idx),
+                "frame_bytes": pa.array(frame_bytes),
+            }
+        )

@@ -1,0 +1,127 @@
+"""Text analysis, dedup family, ANN, multimodal stages — planted-duplicate
+fixtures + recall checks (the oracle-parity suite covers the exact ops)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from realtime_clickstream_lakehouse_ray.pipelines import ann, dedup, multimodal, text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory):
+    """documents.parquet with planted duplicates:
+    0: base; 1: base with 2 words swapped (near-dup); 2: unrelated;
+    3: exact copy of 0; 4: word-shuffled 0 (bag-equal, order-different)."""
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(50)]
+    base = [vocab[i] for i in rng.integers(0, 50, 40)]
+    near = list(base)
+    near[5], near[25] = "zzz", "qqq"
+    other = [vocab[i] for i in rng.integers(0, 50, 40)][::-1] + ["xx", "yy"]
+    shuffled = list(base)
+    rng.shuffle(shuffled)
+    texts = [" ".join(t) for t in (base, near, other, base, shuffled)]
+    d = tmp_path_factory.mktemp("planted")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(5), pa.int64()),
+                "text": texts,
+                "lang": ["en"] * 5,
+                "source": ["s0"] * 5,
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    return str(d)
+
+
+def test_exact_dedup_planted(planted_dir):
+    out = dedup.exact_dedup(planted_dir).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 1, 2, 4]  # 3 deduped into 0
+
+
+def test_minhash_lsh_planted(planted_dir):
+    out = dedup.minhash_lsh_dedup(planted_dir, threshold=0.5).to_pandas()
+    g = dict(zip(out["doc_id"], out["group"]))
+    assert g[0] == g[1] == g[3] == 0  # near-dup + exact dup grouped
+    assert g[2] == 2
+    assert g[4] == 4  # shuffled words -> different shingles, NOT a dup
+    assert set(out[out["keep"]]["doc_id"]) == {0, 2, 4}
+
+
+def test_simhash_planted(planted_dir):
+    out = dedup.simhash_dedup(planted_dir, max_hamming=3).to_pandas()
+    g = dict(zip(out["doc_id"], out["group"]))
+    # simhash is bag-of-words: the shuffled copy IS a dup here
+    assert g[0] == g[3] == g[4] == 0
+    assert g[2] == 2
+
+
+def test_minhash_merges_on_corpus_are_genuine():
+    """The test corpus contains planted near-dups; every merge the pipeline
+    makes must be a true >= threshold Jaccard pair (verify independently)."""
+    import duckdb
+    import pyarrow as pa
+
+    from realtime_clickstream_lakehouse_ray.functions.minhash import (
+        exact_jaccard,
+        shingle_hashes,
+    )
+    from realtime_clickstream_lakehouse_ray.functions.textstats import split_words
+
+    thr = 0.8
+    out = dedup.minhash_lsh_dedup(SF, threshold=thr).to_pandas()
+    assert len(out) == 500
+    merged = out[~out["keep"]]
+    assert len(merged) > 0  # the corpus does contain near-dups
+    con = duckdb.connect()
+    txt = con.sql(f"SELECT doc_id, text FROM '{SF}/documents.parquet'").df()
+    txt = dict(zip(txt["doc_id"], txt["text"]))
+    for _, row in merged.head(5).iterrows():
+        w = split_words(pa.array([txt[row["group"]], txt[row["doc_id"]]]))
+        flat, n = shingle_hashes(w, k=3)
+        assert exact_jaccard(flat[: n[0]], flat[n[0] :]) >= thr
+
+
+def test_knn_ivf_recall():
+    exact = ann.knn_bruteforce(SF, k=10, n_queries=5).to_pandas()
+    approx = ann.knn_ivf(SF, k=10, n_queries=5, n_clusters=8, nprobe=4).to_pandas()
+    recalls = []
+    for q in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    # nprobe/n_clusters = 0.5 of the space scanned; recall must beat that
+    assert np.mean(recalls) >= 0.5, recalls
+
+
+def test_lang_id_scores():
+    out = text.lang_id(SF).to_pandas()
+    assert len(out) == 500
+    assert (out["lang_pred"] == "en").mean() > 0.9  # hint words are common
+
+
+def test_image_features_shapes():
+    out = multimodal.image_features(SF).to_pandas()
+    assert len(out) == 500
+    assert (out["n_bytes"] > 0).all()
+    feats = np.vstack(out["features"])
+    assert feats.shape == (500, 8)
+    np.testing.assert_allclose(feats.sum(axis=1), 1.0, rtol=1e-9)  # histogram
+
+
+def test_frame_sampler_arithmetic():
+    out = multimodal.frame_samples(SF).to_pandas()
+    # every doc contributes ceil(ceil(bytes/1024)/4) frames, idx multiple of 4
+    assert (out["frame_idx"] % 4 == 0).all()
+    assert (out["frame_bytes"] > 0).all() and (out["frame_bytes"] <= 1024).all()
+    meta = multimodal.image_metadata(SF).to_pandas().set_index("doc_id")
+    counts = out.groupby("doc_id").size()
+    expect = np.ceil(np.ceil(meta["n_bytes"] / 1024) / 4).astype(int)
+    assert (counts.sort_index() == expect.sort_index()).all()
