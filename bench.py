@@ -1,0 +1,159 @@
+"""Benchmark driver: headline maintenance pipeline + representative queries.
+
+Prints ONE JSON line:
+  {"metric": "maintenance_lifecycle_sec", "value": <sec>, "unit": "sec",
+   "queries": {...}, "sf": <sf>, "num_cpus": N, "tokens_per_sec": ...}
+
+Headline = compact + Z-order + MERGE INTO on a freshly built synthetic
+tokens table (FIXTURES.md spec; many small files by construction), sized
+~10M rows/sf so sf0.1 -> 1M rows (~0.5B tokens).  The build is untimed.
+
+``--scaling`` reruns this script in two fresh processes (RAY_GRAFT_CPUS=8
+and 32) on the same spec and reports both throughputs + scaling
+efficiency (the sandbox stand-in for N vs 4N nodes per the north rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _sf_of(sf_dir: str) -> float:
+    name = Path(sf_dir).name
+    try:
+        return float(name.removeprefix("sf"))
+    except ValueError:
+        return 0.1
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from realtime_clickstream_lakehouse_ray.config import tune_context
+
+    tune_context()
+
+    from realtime_clickstream_lakehouse_ray.pipelines import (
+        ann,
+        clickstream,
+        dedup,
+        relational,
+    )
+    from realtime_clickstream_lakehouse_ray.sources.synth import (
+        build_synthetic_table,
+        gen_updates_chunk,
+    )
+
+    sf = _sf_of(SF_DIR)
+    n_rows = max(int(10_000_000 * sf), 20_000)
+    root = f"/tmp/rcl_bench/{Path(SF_DIR).name}-cpus{NUM_CPUS}/tokens"
+    shutil.rmtree(Path(root).parent, ignore_errors=True)
+
+    # ---- build (untimed): deliberately small files --------------------
+    table = build_synthetic_table(
+        root, n_rows, rows_per_file=5_000, files_per_task=2, concurrency=(1, NUM_CPUS // 2)
+    )
+    sum_tok = table.stats()["sum_tok"]
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # ---- headline: maintenance lifecycle ------------------------------
+    timed("compact", lambda: table.compact(concurrency=(1, NUM_CPUS)))
+    timed(
+        "zorder",
+        lambda: table.zorder(
+            target_rows_per_file=50_000, write_concurrency=(1, NUM_CPUS)
+        ),
+    )
+    updates = gen_updates_chunk(n_rows, n_updates=n_rows // 20, n_inserts=n_rows // 50)
+    timed("merge", lambda: table.merge(updates, concurrency=(1, NUM_CPUS)))
+    maintenance_sec = timings["compact"] + timings["zorder"] + timings["merge"]
+    # tokens that flowed through the three rewrite passes
+    tokens_per_sec = round(3 * sum_tok / maintenance_sec, 1)
+
+    # ---- representative queries over the shared sf dir ----------------
+    def consume(res):
+        import pandas as pd
+        import pyarrow as pa
+
+        if isinstance(res, (pa.Table, pd.DataFrame)):
+            return len(res)
+        return res.count()
+
+    timed("q1", lambda: consume(relational.q1_pricing_summary(SF_DIR)))
+    timed("join_topk", lambda: consume(relational.order_revenue_join(SF_DIR)))
+    timed("events_rollup", lambda: consume(clickstream.events_daily_summary(SF_DIR)))
+    timed("exact_dedup", lambda: consume(dedup.exact_dedup(SF_DIR)))
+    timed("minhash_lsh", lambda: consume(dedup.minhash_lsh_dedup(SF_DIR)))
+    timed("knn", lambda: consume(ann.knn_bruteforce(SF_DIR)))
+
+    ray.shutdown()
+    shutil.rmtree(Path(root).parent, ignore_errors=True)
+    return {
+        "metric": "maintenance_lifecycle_sec",
+        "value": round(maintenance_sec, 3),
+        "unit": "sec",
+        "queries": {k: v for k, v in timings.items()},
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "bench_rows": n_rows,
+        "bench_tokens": sum_tok,
+        "tokens_per_sec": tokens_per_sec,
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, __file__], env=env, capture_output=True, text=True,
+            check=True, cwd=REPO,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    thr_lo, thr_hi = lo["tokens_per_sec"], hi["tokens_per_sec"]
+    eff = (thr_hi / thr_lo) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "tokens_per_sec_8": thr_lo,
+        "tokens_per_sec_32": thr_hi,
+        "sf": lo["sf"],
+        "bench_rows": lo["bench_rows"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

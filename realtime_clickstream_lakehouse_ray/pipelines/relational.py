@@ -23,8 +23,11 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
+from realtime_clickstream_lakehouse_ray.config import tune_context
+
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    tune_context()
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
@@ -300,10 +303,13 @@ def order_revenue_join(sf_dir: str, k: int = 20) -> ray.data.Dataset:
         .aggregate(Sum("p_rev", alias_name="rev_e4"))
     )
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    # size the hash-join partitions to the cluster (each partition is one
+    # aggregator actor; oversubscribing CPUs serializes the join)
+    ncpu = int(ray.available_resources().get("CPU", 8)) if ray.is_initialized() else 8
     joined = li.join(
         orders,
         join_type="inner",
-        num_partitions=16,
+        num_partitions=max(2, ncpu // 2),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )

@@ -41,6 +41,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from realtime_clickstream_lakehouse_ray.config import tune_context
 from realtime_clickstream_lakehouse_ray.schema import TOKENS_SCHEMA, conform_table
 from realtime_clickstream_lakehouse_ray.stages.rewrite import BinRewriter, make_spec_items
 from realtime_clickstream_lakehouse_ray.stages.writer import (
@@ -370,6 +371,7 @@ class Table:
         done = self.log.find_commit_by_job(job_id)
         if done is not None:
             return done
+        tune_context()  # polars sort path for the range shuffle
         # global bounds for integer dims come free from the file stats, so
         # every dim fills its full 21-bit slot in the interleave
         bounds: dict[str, tuple[int, int]] = {}
@@ -385,7 +387,13 @@ class Table:
             fn_kwargs=dict(dims=dims, bounds=bounds),
             batch_format="pyarrow",
             zero_copy_batch=True,
-        ).sort("zkey")
+        )
+        # coalesce the many-small-file scan into ~128 MB blocks before the
+        # range shuffle: per-block sort overhead dominates otherwise
+        total_bytes = sum(f.bytes for f in stat_files) or 1
+        ncpu = int(ray.available_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        nblocks = max(total_bytes // (128 << 20) + 1, ncpu)
+        ds = ds.repartition(int(nblocks)).sort("zkey")
         stats_ds = ds.map_batches(
             FileWriter,
             fn_constructor_kwargs=dict(
@@ -476,15 +484,25 @@ class Table:
             lo = np.searchsorted(keys, f.min_key, side="left")
             if lo < len(keys) and keys[lo] <= f.max_key:
                 affected.append(f)
-        bins = [
-            {
-                "unit": i,
-                "partition": f.partition,
-                "files": [f.path],
-                "out": f"{self.partition_col}={f.partition}/{job_id}-u{i:06d}.parquet",
-            }
-            for i, f in enumerate(affected)
-        ]
+        # bin-pack the affected files per partition (one output file per
+        # bin): fewer, bigger rewrite units — a broadcast MERGE doubles as
+        # compaction of the files it touches
+        target = DEFAULT_TARGET_FILE_BYTES
+        by_part: dict[str, list[FileEntry]] = {}
+        for f in affected:
+            by_part.setdefault(f.partition, []).append(f)
+        bins: list[dict] = []
+        for part in sorted(by_part):
+            cur: list[FileEntry] = []
+            cur_bytes = 0
+            for f in sorted(by_part[part], key=lambda f: f.path):
+                if cur and cur_bytes + f.bytes > target:
+                    bins.append(self._bin_spec(len(bins), part, cur, job_id))
+                    cur, cur_bytes = [], 0
+                cur.append(f)
+                cur_bytes += f.bytes
+            if cur:
+                bins.append(self._bin_spec(len(bins), part, cur, job_id))
         ckpt = JobCheckpoint(self.root, job_id)
         records: dict[str, dict] = {}
         if bins:
@@ -537,6 +555,7 @@ class Table:
         done = self.log.find_commit_by_job(job_id)
         if done is not None:
             return done
+        tune_context()  # groupby shuffle uses the sort path
         if isinstance(source, pa.Table):
             # keep-latest is well-defined driver-side; inside the shuffle the
             # per-key row order is not deterministic

@@ -12,7 +12,8 @@ def ray_session():
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
-    ctx = ray.data.DataContext.get_current()
-    ctx.enable_progress_bars = False
+    from realtime_clickstream_lakehouse_ray.config import tune_context
+
+    tune_context()
     yield
     ray.shutdown()
