@@ -86,9 +86,7 @@ def run_bench() -> dict:
     timed("compact", lambda: table.compact(concurrency=(1, NUM_CPUS)))
     timed(
         "zorder",
-        lambda: table.zorder(
-            target_rows_per_file=50_000, write_concurrency=(1, NUM_CPUS)
-        ),
+        lambda: table.zorder(),
     )
     updates = gen_updates_chunk(n_rows, n_updates=n_rows // 20, n_inserts=n_rows // 50)
     timed("merge", lambda: table.merge(updates, concurrency=(1, NUM_CPUS)))

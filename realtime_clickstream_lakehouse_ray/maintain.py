@@ -1,0 +1,89 @@
+"""Maintenance job CLI — the engine's restatement of the reference's Glue
+job entry point (``run_glue_job``, /root/reference/etl/glue_stream.py:375-426):
+resolve args -> session -> plan -> run ops -> verify -> log runtime.
+
+Run via ``ray job submit -- python -m realtime_clickstream_lakehouse_ray.maintain
+--table /path/tokens --ops compact,zorder,merge,expire`` (or directly; a
+local session is created only if none exists — the driver/bench own theirs).
+
+Exit code 0 on success; each op commits independently, so a crashed run
+resumes from the last committed snapshot (checkpoint manifests skip
+finished units).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="Run maintenance ops on a tokens table")
+    p.add_argument("--table", required=True, help="table root directory")
+    p.add_argument(
+        "--ops",
+        default="compact,zorder",
+        help="comma list: compact,zorder,merge,rewrite-manifests,expire,vacuum",
+    )
+    p.add_argument("--target-file-mb", type=int, default=128)
+    p.add_argument("--merge-source", help="parquet file/dir with the MERGE source rows")
+    p.add_argument("--keep-last", type=int, default=3, help="snapshots kept by expire")
+    p.add_argument("--num-cpus", type=int, default=None)
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from realtime_clickstream_lakehouse_ray.config import tune_context
+    from realtime_clickstream_lakehouse_ray.pipelines.table import Table
+
+    tune_context()
+    table = Table.load(args.table)
+    t0 = time.perf_counter()
+    results: dict[str, object] = {}
+    for op in [o.strip() for o in args.ops.split(",") if o.strip()]:
+        if op == "compact":
+            results[op] = table.compact(target_file_bytes=args.target_file_mb << 20)
+        elif op == "zorder":
+            results[op] = table.zorder(target_file_bytes=args.target_file_mb << 20)
+        elif op == "merge":
+            if not args.merge_source:
+                p.error("--merge-source required for the merge op")
+            import pyarrow.parquet as pq
+
+            results[op] = table.merge(pq.read_table(args.merge_source))
+        elif op == "rewrite-manifests":
+            table.rewrite_manifests()
+            results[op] = table.version()
+        elif op == "expire":
+            results[op] = table.expire_snapshots(keep_last=args.keep_last)
+        elif op == "vacuum":
+            results[op] = len(table.vacuum())
+        else:
+            p.error(f"unknown op: {op}")
+
+    # post-write verification (reference K3, glue_stream.py:357-372):
+    # every file of the final snapshot must exist with consistent stats
+    missing = [f.path for f in table.files() if not (table.root / f.path).is_file()]
+    status = {
+        "table": str(table.root),
+        "version": table.version(),
+        "ops": results,
+        "rows": table.stats()["rows"],
+        "missing_files": missing,
+        "runtime_sec": round(time.perf_counter() - t0, 3),
+    }
+    print(json.dumps(status))
+    return 0 if not missing else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

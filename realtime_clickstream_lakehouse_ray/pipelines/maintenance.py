@@ -139,7 +139,7 @@ def maintenance_compact(sf_dir: str) -> pa.Table:
 
 def maintenance_zorder(sf_dir: str) -> pa.Table:
     t = build_from_documents(sf_dir, _scratch_root(sf_dir, "zorder"))
-    t.zorder(target_rows_per_file=4096)
+    t.zorder(target_file_bytes=1 << 20)
     return _scan_projected(t)
 
 
@@ -158,7 +158,7 @@ def maintenance_time_travel(sf_dir: str) -> pa.Table:
     v_ingest = t.version()
     t.compact(target_file_bytes=8 << 20)
     t.merge(updates_from_documents(sf_dir))
-    t.zorder(target_rows_per_file=4096)
+    t.zorder(target_file_bytes=1 << 20)
     return _scan_projected(t, version=v_ingest)
 
 
@@ -167,7 +167,7 @@ def maintenance_full_lifecycle(sf_dir: str) -> pa.Table:
     scan latest — the flagship maintenance pipeline (bench headline)."""
     t = build_from_documents(sf_dir, _scratch_root(sf_dir, "full"))
     t.compact(target_file_bytes=8 << 20)
-    t.zorder(target_rows_per_file=4096)
+    t.zorder(target_file_bytes=1 << 20)
     t.merge(updates_from_documents(sf_dir))
     t.rewrite_manifests()
     t.expire_snapshots(keep_last=2)

@@ -45,8 +45,8 @@ from realtime_clickstream_lakehouse_ray.config import tune_context
 from realtime_clickstream_lakehouse_ray.schema import TOKENS_SCHEMA, conform_table
 from realtime_clickstream_lakehouse_ray.stages.rewrite import BinRewriter, make_spec_items
 from realtime_clickstream_lakehouse_ray.stages.writer import (
-    FileWriter,
     file_stats,
+    make_file_writer,
     write_file_atomic,
     write_partitioned,
 )
@@ -216,14 +216,10 @@ class Table:
         if isinstance(data, pa.Table):
             data = ray.data.from_arrow(conform_table(data, self.schema))
         stats_ds = data.map_batches(
-            FileWriter,
-            fn_constructor_kwargs=dict(
-                root=str(self.root), schema=self.schema, partition_col=self.partition_col
-            ),
+            make_file_writer(str(self.root), self.schema, self.partition_col),
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=rows_per_file,
-            concurrency=concurrency or (1, 8),
         )
         entries = self._collect_stats(stats_ds)
         return self.log.commit(
@@ -285,6 +281,12 @@ class Table:
         the authoritative per-unit lineage records from the checkpoint."""
         ckpt = JobCheckpoint(self.root, job_id)
         ds = ray.data.from_items(make_spec_items(bins))
+        # FIXED-size pool sized to the unit count: an autoscaling pool
+        # starting at one actor serializes short rewrite jobs (measured
+        # ~20x on 20-unit jobs)
+        ncpu = int(ray.available_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        if isinstance(concurrency, tuple):
+            concurrency = max(1, min(len(bins), ncpu, concurrency[1]))
         ds.map_batches(
             BinRewriter,
             fn_constructor_kwargs=dict(
@@ -352,9 +354,9 @@ class Table:
     def zorder(
         self,
         dims: tuple[str, str, str] = ("source", "n_tok", "doc_id"),
-        target_rows_per_file: int = 100_000,
+        target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
         job_id: str | None = None,
-        write_concurrency: int | tuple[int, int] = (1, 16),
+        write_concurrency: int | tuple[int, int] | None = None,  # kept for API compat
     ) -> int:
         """Z-order clustering: zkey map_batches -> global range-partitioned
         sort -> size-targeted rewrite -> snapshot swap (remove all, add all).
@@ -388,21 +390,20 @@ class Table:
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        # coalesce the many-small-file scan into ~128 MB blocks before the
-        # range shuffle: per-block sort overhead dominates otherwise
+        # block count = output file count: coalesce the many-small-file
+        # scan into target-file-size blocks BEFORE the range shuffle (per-
+        # block sort overhead dominates otherwise), floored at cluster CPUs
+        # for parallelism; the writer then takes whole sorted blocks with
+        # NO rebatching (batch_size=None -> zero-copy block-aligned files)
         total_bytes = sum(f.bytes for f in stat_files) or 1
         ncpu = int(ray.available_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        nblocks = max(total_bytes // (128 << 20) + 1, ncpu)
+        nblocks = max(total_bytes // target_file_bytes + 1, ncpu)
         ds = ds.repartition(int(nblocks)).sort("zkey")
         stats_ds = ds.map_batches(
-            FileWriter,
-            fn_constructor_kwargs=dict(
-                root=str(self.root), schema=self.schema, partition_col=self.partition_col
-            ),
+            make_file_writer(str(self.root), self.schema, self.partition_col),
             batch_format="pyarrow",
             zero_copy_batch=True,
-            batch_size=target_rows_per_file,
-            concurrency=write_concurrency,
+            batch_size=None,
         )
         entries = self._collect_stats(stats_ds)
         removes = [f.path for f in self.files(parent)]
@@ -585,14 +586,10 @@ class Table:
             keep_winner, batch_format="pyarrow"
         )
         stats_ds = merged.map_batches(
-            FileWriter,
-            fn_constructor_kwargs=dict(
-                root=str(self.root), schema=self.schema, partition_col=self.partition_col
-            ),
+            make_file_writer(str(self.root), self.schema, self.partition_col),
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=100_000,
-            concurrency=concurrency,
         )
         entries = self._collect_stats(stats_ds)
         removes = [f.path for f in self.files(parent)]

@@ -1,0 +1,149 @@
+"""Click-event JSON ingest: the reference's Kinesis->bronze path on files.
+
+Mirrors, operator for operator, the reference ingest chain over the exact
+CLICK_SCHEMA payload (FIXTURES.md §3):
+
+- S2/S3 registry-validated read with inference fallback
+  (glue_stream.py:121-165): ``read_click_json`` reads JSON lines, casts to
+  the declared six-string schema; rows that fail the JSON parse flow to
+  the reject path instead of killing the job (M1, click_handler.py:139-147)
+- M2 enrichment (ingest_ts, request_id; click_handler.py:150-154)
+- M4 partition key default "unknown" (click_handler.py:164)
+- M7 timestamp parse fallback chain (glue_stream.py:213-229):
+  ``to_timestamp(timestamp)`` else arrival time else a constant "now"
+  passed by the caller (never wall clock inside workers — determinism)
+- M8/M9 derived ``event_date`` + conform to the output projection
+  (glue_stream.py:239, :309-334)
+
+The reject path is data, not an exception: ``status`` column marks
+``valid`` / ``malformed``, the caller splits with a vectorized filter.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from realtime_clickstream_lakehouse_ray.schema import CLICK_SCHEMA, conform_table
+
+OUT_SCHEMA = pa.schema(
+    list(CLICK_SCHEMA)
+    + [pa.field("event_ts", pa.timestamp("us")), pa.field("event_date", pa.date32())]
+)
+
+
+def parse_click_lines(
+    batch: pa.Table,
+    ingest_ts: str,
+    fallback_now: str = "1970-01-01T00:00:00Z",
+) -> pa.Table:
+    """Raw JSON lines -> conformed click rows + reject marker.
+
+    JSON parsing is per line (the payloads are tiny); everything after the
+    parse — casts, null-fill, timestamp chain, date derivation — is
+    vectorized Arrow.  ``ingest_ts``/``fallback_now`` are caller-supplied
+    constants (the Lambda's ``time.strftime(gmtime())`` equivalent,
+    injected for determinism)."""
+    rows, status = [], []
+    for line in batch.column("text").to_pylist():
+        try:
+            obj = json.loads(line)
+            if not isinstance(obj, dict):
+                raise ValueError("not an object")
+            rows.append(obj)
+            status.append("valid")
+        except (json.JSONDecodeError, ValueError):
+            rows.append({})
+            status.append("malformed")
+    n = len(rows)
+    # build column-wise (from_pylist of empty dicts would drop the rows)
+    def as_str(v):  # writer-side CAST-to-string normalization (M9)
+        return v if (v is None or isinstance(v, str)) else json.dumps(v)
+
+    tbl = pa.table(
+        {
+            f.name: pa.array([as_str(r.get(f.name)) for r in rows], type=pa.string())
+            for f in CLICK_SCHEMA
+        }
+    )
+    tbl = conform_table(tbl, CLICK_SCHEMA)
+    # M2: enrichment columns (only where absent — Lambda always sets them)
+    tbl = tbl.set_column(
+        tbl.column_names.index("ingest_ts"),
+        "ingest_ts",
+        pc.fill_null(tbl["ingest_ts"], ingest_ts),
+    )
+    req = pc.binary_join_element_wise(
+        "req-", pa.array([f"{i:08d}" for i in range(n)], type=pa.string()), ""
+    )
+    tbl = tbl.set_column(
+        tbl.column_names.index("request_id"), "request_id",
+        pc.fill_null(tbl["request_id"], req),
+    )
+    # M4: partition key default
+    tbl = tbl.set_column(
+        tbl.column_names.index("element"), "element",
+        pc.fill_null(tbl["element"], "unknown"),
+    )
+    # M7: timestamp fallback chain — ISO parse, else ingest_ts, else constant
+    def parse_iso(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        out = np.array(arr.to_pylist(), dtype=object)
+        parsed = np.full(len(out), np.datetime64("NaT"), dtype="datetime64[us]")
+        for i, v in enumerate(out):  # tolerant ISO-8601 parse w/ [.SSS]X
+            if v is None:
+                continue
+            try:
+                parsed[i] = np.datetime64(v.replace("Z", "").replace("+00:00", ""), "us")
+            except ValueError:
+                pass
+        return pa.array(parsed)
+
+    ts1 = parse_iso(tbl["timestamp"])
+    ts2 = parse_iso(tbl["ingest_ts"])
+    ts3 = pa.array(
+        np.full(n, np.datetime64(fallback_now.replace("Z", ""), "us"))
+    )
+    event_ts = pc.coalesce(ts1, ts2, ts3)
+    event_date = event_ts.cast(pa.date32())
+    out = tbl.append_column("event_ts", event_ts).append_column("event_date", event_date)
+    return out.append_column("status", pa.array(status))
+
+
+def read_click_json(
+    paths: str | list[str],
+    ingest_ts: str = "1970-01-01T00:00:00Z",
+) -> ray.data.Dataset:
+    """S2: read JSON-lines click events with schema enforcement; malformed
+    lines carry status='malformed' (reject path) rather than failing."""
+    return ray.data.read_text(paths).map_batches(
+        parse_click_lines,
+        fn_kwargs=dict(ingest_ts=ingest_ts),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def split_rejects(ds: ray.data.Dataset) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """M1 reject path: (valid rows conformed to OUT_SCHEMA, reject rows)."""
+    valid = ds.map_batches(
+        lambda t: conform_table(t.filter(pc.equal(t["status"], "valid")), OUT_SCHEMA),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    rejects = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["status"], "malformed")),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return valid, rejects
+
+
+def sample_collector(ds: ray.data.Dataset, n: int = 5) -> list[dict]:
+    """M10/S4 diagnostics: first-n sample without materializing the stream
+    (reference: foreachBatch collector / get_records(Limit=10))."""
+    return ds.limit(n).take(n)

@@ -1,0 +1,87 @@
+"""Click-event JSON ingest conformance (reference M1/M2/M4/M7/M9 semantics
+on the exact CLICK_SCHEMA payload, FIXTURES.md §3 edge rows included)."""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from realtime_clickstream_lakehouse_ray.schema import CLICK_SCHEMA
+from realtime_clickstream_lakehouse_ray.sources.clicks import (
+    OUT_SCHEMA,
+    read_click_json,
+    sample_collector,
+    split_rejects,
+)
+
+CANONICAL = {
+    "element": "button-signup",
+    "page": "/landing-page",
+    "userAgent": "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36",
+    "timestamp": "2023-09-15T14:30:45Z",
+    "ingest_ts": "2023-09-15T14:30:46Z",
+    "request_id": "test-req-123",
+}
+
+
+@pytest.fixture(scope="module")
+def events_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("clicks")
+    rows = [
+        json.dumps(CANONICAL),
+        json.dumps({**CANONICAL, "element": None}),  # -> "unknown"
+        json.dumps({**CANONICAL, "timestamp": "2023-09-15T14:30:45.123Z"}),  # millis
+        json.dumps({k: v for k, v in CANONICAL.items() if k != "timestamp"}),  # fallback
+        "{this is not json",  # reject path
+        json.dumps({"page": "/only-page"}),  # missing most fields -> null-fill
+    ]
+    f = d / "events.jsonl"
+    f.write_text("\n".join(rows))
+    return str(f)
+
+
+def test_ingest_valid_and_reject_split(events_file):
+    from realtime_clickstream_lakehouse_ray.util import to_arrow_table
+
+    ds = read_click_json(events_file, ingest_ts="2024-01-01T00:00:00Z")
+    valid, rejects = split_rejects(ds)
+    vt = to_arrow_table(valid)
+    assert vt.num_rows == 5
+    assert rejects.count() == 1
+    assert vt.schema == OUT_SCHEMA  # M9: byte-stable output projection
+
+
+def test_conformance_semantics(events_file):
+    from realtime_clickstream_lakehouse_ray.util import to_arrow_table
+
+    ds = read_click_json(events_file, ingest_ts="2024-01-01T00:00:00Z")
+    valid, _ = split_rejects(ds)
+    vt = to_arrow_table(valid).sort_by("page")
+    rows = vt.to_pylist()
+    by_page = {}
+    for r in rows:
+        by_page.setdefault(r["page"], []).append(r)
+    only = by_page["/only-page"][0]
+    assert only["element"] == "unknown"  # M4 default partition key
+    assert only["userAgent"] is None  # M9 typed null-fill
+    assert only["ingest_ts"] == "2024-01-01T00:00:00Z"  # M2 enrichment
+    assert only["request_id"].startswith("req-")
+    landing = by_page["/landing-page"]
+    ts = {str(r["event_ts"]) for r in landing}
+    assert "2023-09-15 14:30:45" in ts  # M7 ISO parse
+    assert "2023-09-15 14:30:45.123000" in ts  # [.SSS] variant
+    assert "2023-09-15 14:30:46" in ts  # fallback -> ingest_ts chain
+    assert all(str(r["event_date"]) == "2023-09-15" for r in landing)  # M8
+
+
+def test_sample_collector(events_file):
+    ds = read_click_json(events_file)
+    sample = sample_collector(ds, n=3)
+    assert len(sample) == 3 and all("status" in r for r in sample)
+
+
+def test_click_schema_matches_fixture():
+    assert [f.name for f in CLICK_SCHEMA] == [
+        "element", "page", "userAgent", "timestamp", "ingest_ts", "request_id",
+    ]
+    assert all(f.type == pa.string() for f in CLICK_SCHEMA)

@@ -1,0 +1,93 @@
+"""True crash-resume: SIGKILL a maintenance CLI mid-compaction, rerun it,
+and require the final table to equal the never-crashed result with the
+finished units reused (BASELINE.md resumability target)."""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+from realtime_clickstream_lakehouse_ray.sources.synth import (
+    build_synthetic_table,
+    expected_tokens_table,
+)
+from realtime_clickstream_lakehouse_ray.state.checkpoint import JobCheckpoint
+from realtime_clickstream_lakehouse_ray.pipelines.table import Table
+from tests.util import assert_tokens_equal, collect_sorted
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+N_ROWS, ROWS_PER_FILE = 4_000, 100
+
+
+def _spawn_maintain(root: str, extra=()):  # fresh process with its own ray
+    return subprocess.Popen(
+        [
+            sys.executable, "-m", "realtime_clickstream_lakehouse_ray.maintain",
+            "--table", root, "--ops", "compact", "--target-file-mb", "2", *extra,
+        ],
+        cwd=REPO,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        env=dict(os.environ, RAY_ADDRESS="local"),
+        start_new_session=True,  # so we can kill the whole process group
+    )
+
+
+@pytest.mark.timeout(600)
+def test_sigkill_mid_compact_then_resume(tmp_path):
+    root = str(tmp_path / "tokens")
+    table = build_synthetic_table(root, N_ROWS, ROWS_PER_FILE)
+    job_id = f"compact-v{table.version()}"
+    ckpt = JobCheckpoint(root, job_id)
+
+    # start compaction in a separate process and SIGKILL it as soon as at
+    # least one unit's lineage record has been written
+    proc = _spawn_maintain(root)
+    deadline = time.time() + 240
+    while time.time() < deadline:
+        if ckpt.list_units():
+            break
+        if proc.poll() is not None:
+            break  # finished before we could kill it — resume is then a no-op
+        time.sleep(0.2)
+    killed_midway = proc.poll() is None
+    if killed_midway:
+        os.killpg(proc.pid, signal.SIGKILL)
+    proc.wait()
+
+    done_before = set(ckpt.list_units())
+    mtimes_before = {
+        u: ckpt.unit_path(u).stat().st_mtime_ns for u in done_before
+    }
+
+    # resumed run in a fresh process
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "realtime_clickstream_lakehouse_ray.maintain",
+            "--table", root, "--ops", "compact", "--target-file-mb", "2",
+        ],
+        cwd=REPO, capture_output=True, text=True, check=True,
+    )
+    status = json.loads(out.stdout.strip().splitlines()[-1])
+    assert status["missing_files"] == []
+    assert status["rows"] == N_ROWS
+
+    table = Table.load(root)
+    if killed_midway:
+        assert table.version() == 2  # exactly one compaction commit
+        # units finished before the kill were reused, not redone
+        for u in done_before:
+            assert ckpt.unit_path(u).stat().st_mtime_ns == mtimes_before[u]
+    got = collect_sorted(table.scan())
+    expect = expected_tokens_table(N_ROWS, ROWS_PER_FILE).sort_by("doc_id").combine_chunks()
+    assert_tokens_equal(got, expect)
+    # no torn outputs left behind: on-disk files == union of snapshots
+    referenced = {f.path for v in table.log.versions() for f in table.files(v)}
+    on_disk = {
+        str(p.relative_to(table.root)) for p in table.root.glob("source=*/*.parquet")
+    }
+    assert on_disk == referenced

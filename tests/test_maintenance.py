@@ -113,7 +113,7 @@ class TestZorder:
 
     def test_zorder_preserves_tokens(self, table):
         pre_files = table.files()
-        v = table.zorder(target_rows_per_file=500)
+        v = table.zorder(target_file_bytes=1 << 20)
         assert v == 2
         assert_tokens_equal(collect_sorted(table.scan()), _expected())
         assert {f.path for f in table.files()}.isdisjoint({f.path for f in pre_files})
@@ -202,7 +202,7 @@ class TestRetention:
     def test_expire_and_vacuum(self, tmp_path_factory):
         table = _fresh(tmp_path_factory, "retention")
         table.compact(target_file_bytes=TARGET)  # v2
-        table.zorder(target_rows_per_file=500)  # v3
+        table.zorder(target_file_bytes=1 << 20)  # v3
         n_disk_before = len(list(table.root.glob("source=*/*.parquet")))
         expired = table.expire_snapshots(keep_last=2)
         assert expired == [1]
