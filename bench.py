@@ -103,6 +103,21 @@ def run_bench() -> dict:
             return len(res)
         return res.count()
 
+    if os.environ.get("RCL_BENCH_SKIP_QUERIES") == "1":
+        ray.shutdown()
+        shutil.rmtree(Path(root).parent, ignore_errors=True)
+        return {
+            "metric": "maintenance_lifecycle_sec",
+            "value": round(maintenance_sec, 3),
+            "unit": "sec",
+            "queries": dict(timings),
+            "sf": sf,
+            "num_cpus": NUM_CPUS,
+            "bench_rows": n_rows,
+            "bench_tokens": sum_tok,
+            "tokens_per_sec": tokens_per_sec,
+        }
+
     timed("q1", lambda: consume(relational.q1_pricing_summary(SF_DIR)))
     timed("join_topk", lambda: consume(relational.order_revenue_join(SF_DIR)))
     timed("events_rollup", lambda: consume(clickstream.events_daily_summary(SF_DIR)))
@@ -126,15 +141,25 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    """Same job at num_cpus=8 and num_cpus=32, INTERLEAVED and min-of-2
+    per level: this sandbox VM shows 15-19% hypervisor steal and ±50%
+    run-to-run wall-time swings (see BASELINE.md §Sandbox caveats), so a
+    single sequential pair routinely inverts; the interleaved minimum is
+    the least-noisy estimator available here."""
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), RCL_BENCH_SKIP_QUERIES="1")
         out = subprocess.run(
             [sys.executable, __file__], env=env, capture_output=True, text=True,
             check=True, cwd=REPO,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = run(8), run(32)
+    runs = {8: [], 32: []}
+    for ncpu in (8, 32, 8, 32):
+        runs[ncpu].append(run(ncpu))
+    lo = min(runs[8], key=lambda r: r["value"])
+    hi = min(runs[32], key=lambda r: r["value"])
     thr_lo, thr_hi = lo["tokens_per_sec"], hi["tokens_per_sec"]
     eff = (thr_hi / thr_lo) / (32 / 8)
     return {
@@ -145,6 +170,8 @@ def run_scaling() -> dict:
         "sec_32": hi["value"],
         "tokens_per_sec_8": thr_lo,
         "tokens_per_sec_32": thr_hi,
+        "all_sec_8": [r["value"] for r in runs[8]],
+        "all_sec_32": [r["value"] for r in runs[32]],
         "sf": lo["sf"],
         "bench_rows": lo["bench_rows"],
     }

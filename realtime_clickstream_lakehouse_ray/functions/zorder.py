@@ -54,3 +54,46 @@ def morton3(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     for hashed dimensions; small ordered ints like ``n_tok`` fit directly).
     """
     return _part1by2(a) | (_part1by2(b) << np.uint64(1)) | (_part1by2(c) << np.uint64(2))
+
+
+def hilbert3(x: np.ndarray, y: np.ndarray, z: np.ndarray, bits: int = 21) -> np.ndarray:
+    """3-D Hilbert index (63-bit) of 21-bit coords, vectorized.
+
+    Skilling's axes->transpose algorithm (J. Skilling, "Programming the
+    Hilbert curve", AIP Conf. Proc. 707, 2004) with the per-element
+    conditionals turned into numpy masks, then bit-interleave of the
+    transpose form (X[0] most significant within each triplet).  Unlike
+    Morton order, consecutive Hilbert indices always differ by one unit
+    step in exactly one dimension — verified exhaustively in tests.
+    """
+    n = 3
+    X = [x.astype(np.uint64), y.astype(np.uint64), z.astype(np.uint64)]
+    M = np.uint64(1) << np.uint64(bits - 1)
+
+    Q = M
+    while Q > np.uint64(1):
+        P = Q - np.uint64(1)
+        for i in range(n):
+            mask = (X[i] & Q) != 0
+            t = (X[0] ^ X[i]) & P
+            t = np.where(mask, np.uint64(0), t)
+            inv = np.where(mask, P, np.uint64(0))
+            X[0] = X[0] ^ inv ^ t
+            if i:
+                X[i] = X[i] ^ t
+        Q >>= np.uint64(1)
+
+    for i in range(1, n):
+        X[i] = X[i] ^ X[i - 1]
+    t = np.zeros_like(X[0])
+    Q = M
+    while Q > np.uint64(1):
+        flip = (X[n - 1] & Q) != 0
+        t = np.where(flip, t ^ (Q - np.uint64(1)), t)
+        Q >>= np.uint64(1)
+    for i in range(n):
+        X[i] = X[i] ^ t
+    # transpose -> index: X[0]'s bit is the most significant of each triplet
+    return _part1by2(X[2]) | (_part1by2(X[1]) << np.uint64(1)) | (
+        _part1by2(X[0]) << np.uint64(2)
+    )

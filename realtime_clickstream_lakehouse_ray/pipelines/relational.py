@@ -278,9 +278,65 @@ def order_priority_counts(sf_dir: str) -> ray.data.Dataset:
 
 
 # ---------------------------------------------------------------------------
+def bucket_hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_on: str,
+    right_on: str,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Explicit partitioned hash join: add ``bucket = hash(key) % B`` to
+    both sides, union, group by bucket, pandas-merge the two sides inside
+    each bucket group.
+
+    B python calls total (one per bucket), not one per key — and the only
+    shuffle moves each row once, keyed by bucket.  This replaces
+    ``Dataset.join`` whose aggregator actors measured 10-20x slower on
+    this workload (161s vs ~8s for 600k x 150k rows at 32 CPUs)."""
+    import pandas as pd
+
+    from realtime_clickstream_lakehouse_ray.functions.hashing import hash64
+    from realtime_clickstream_lakehouse_ray.schema import conform_table
+
+    if num_buckets is None:
+        ncpu = int(ray.available_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        num_buckets = max(4, ncpu)
+
+    l_schema, r_schema = left.schema().base_schema, right.schema().base_schema
+    left_cols = list(l_schema.names)
+    right_cols = list(r_schema.names)
+    superset = pa.schema(
+        [l_schema.field(c) for c in left_cols]
+        + [r_schema.field(c) for c in right_cols if c not in left_cols]
+        + [pa.field("__bucket", pa.int32()), pa.field("__side", pa.int8())]
+    )
+
+    def tag(side: int, key: str):
+        def fn(t: pa.Table) -> pa.Table:
+            bucket = (hash64(t[key]) % np.uint64(num_buckets)).astype(np.int32)
+            t = t.append_column("__bucket", pa.array(bucket)).append_column(
+                "__side", pa.array(np.full(len(t), side, dtype=np.int8))
+            )
+            return conform_table(t, superset)  # null-fill the other side's cols
+
+        return fn
+
+    lt = left.map_batches(tag(0, left_on), batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.map_batches(tag(1, right_on), batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["__side"] == 0, left_cols]
+        r = g.loc[g["__side"] == 1, right_cols]
+        return l.merge(r, left_on=left_on, right_on=right_on, how="inner")
+
+    return lt.union(rt).groupby("__bucket").map_groups(
+        merge_bucket, batch_format="pandas"
+    )
+
+
 def order_revenue_join(sf_dir: str, k: int = 20) -> ray.data.Dataset:
     """Large-large hash join: lineitem revenue rolled up per order, joined
-    to orders (hash-partitioned ``Dataset.join``), top-k by revenue.
+    to orders (explicit bucketed hash join), top-k by revenue.
 
     The lineitem side is pre-aggregated per key BEFORE the join so the
     shuffle moves one row per order, not one per lineitem."""
@@ -303,22 +359,12 @@ def order_revenue_join(sf_dir: str, k: int = 20) -> ray.data.Dataset:
         .aggregate(Sum("p_rev", alias_name="rev_e4"))
     )
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
-    # size the hash-join partitions to the cluster (each partition is one
-    # aggregator actor; oversubscribing CPUs serializes the join)
-    ncpu = int(ray.available_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    joined = li.join(
-        orders,
-        join_type="inner",
-        num_partitions=max(2, ncpu // 2),
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-    )
+    joined = bucket_hash_join(li, orders, "l_orderkey", "o_orderkey")
 
     def project(t: pa.Table) -> pa.Table:
-        # Dataset.join keeps only the LEFT key column
         return pa.table(
             {
-                "o_orderkey": t["l_orderkey"],
+                "o_orderkey": t["o_orderkey"],
                 "o_orderpriority": t["o_orderpriority"],
                 "revenue": pa.array(np.asarray(t["rev_e4"]).astype(np.float64) / 10000.0),
             }

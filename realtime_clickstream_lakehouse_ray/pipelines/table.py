@@ -356,6 +356,7 @@ class Table:
         dims: tuple[str, str, str] = ("source", "n_tok", "doc_id"),
         target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
         job_id: str | None = None,
+        curve: str = "z",  # "z" (Morton) or "hilbert"
         write_concurrency: int | tuple[int, int] | None = None,  # kept for API compat
     ) -> int:
         """Z-order clustering: zkey map_batches -> global range-partitioned
@@ -369,7 +370,9 @@ class Table:
         snapshot; per-partition lineage is recorded in the checkpoint
         manifest at completion."""
         parent = self.version()
-        job_id = job_id or f"zorder-v{parent}"
+        if job_id is None:
+            tag = "zorder" if curve == "z" else f"zorder-{curve}"
+            job_id = f"{tag}-v{parent}"
         done = self.log.find_commit_by_job(job_id)
         if done is not None:
             return done
@@ -386,7 +389,7 @@ class Table:
         ds = self.scan(version=parent)
         ds = ds.map_batches(
             add_zkey,
-            fn_kwargs=dict(dims=dims, bounds=bounds),
+            fn_kwargs=dict(dims=dims, bounds=bounds, curve=curve),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
@@ -621,7 +624,9 @@ class Table:
         now = time.time()
         for p in self.root.glob(f"{self.partition_col}=*/*.parquet"):
             rel = str(p.relative_to(self.root))
-            if rel in referenced:
+            # .tmp-* files are half-written leftovers of a crashed writer
+            # (temp + rename protocol) — never referenced, always garbage
+            if rel in referenced and not p.name.startswith(".tmp-"):
                 continue
             if now - p.stat().st_mtime < min_age_seconds:
                 continue

@@ -66,6 +66,11 @@ class BinRewriter:
         keys_ref=None,  # ray.ObjectRef of a sorted numpy array of keys
         key_col: str = "doc_id",
     ):
+        # each pool actor caps its Arrow thread pool: N actors x default
+        # 32-thread pools oversubscribe the node and *degrade* with more
+        # actors (measured: merge 12s@8cpus -> 44s@32cpus before the cap)
+        pa.set_cpu_count(2)
+        pa.set_io_thread_count(2)
         self.root = Path(root)
         self.schema = schema
         self.ckpt = JobCheckpoint(root, job_id)

@@ -154,6 +154,9 @@ def make_file_writer(root: str, schema: pa.Schema, partition_col: str = "source"
     writer = FileWriter(root, schema, partition_col)
 
     def write_batch(batch: pa.Table) -> pa.Table:
+        # cap this worker's Arrow pool: concurrent write tasks each spawn a
+        # full-size pool otherwise and thrash the node (see BinRewriter)
+        pa.set_cpu_count(2)
         return writer(batch)
 
     return write_batch

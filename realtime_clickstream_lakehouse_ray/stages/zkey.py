@@ -15,13 +15,14 @@ import numpy as np
 import pyarrow as pa
 
 from realtime_clickstream_lakehouse_ray.functions.hashing import hash64
-from realtime_clickstream_lakehouse_ray.functions.zorder import morton3, top_bits
+from realtime_clickstream_lakehouse_ray.functions.zorder import hilbert3, morton3, top_bits
 
 
 def add_zkey(
     batch: pa.Table,
     dims: tuple[str, str, str] = ("source", "n_tok", "doc_id"),
     bounds: dict[str, tuple[int, int]] | None = None,
+    curve: str = "z",
 ) -> pa.Table:
     """``bounds`` maps an integer dim to its global (min, max) — known for
     free from the snapshot's file stats — so the dim is scaled to the full
@@ -44,5 +45,8 @@ def add_zkey(
             cols.append(scaled.astype(np.uint64))
         else:
             cols.append(top_bits(hash64(col), 21))
-    zkey = morton3(cols[0], cols[1], cols[2])
+    if curve == "hilbert":
+        zkey = hilbert3(cols[0], cols[1], cols[2])
+    else:
+        zkey = morton3(cols[0], cols[1], cols[2])
     return batch.append_column("zkey", pa.array(zkey, type=pa.uint64()))

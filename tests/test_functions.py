@@ -35,6 +35,40 @@ def test_morton3_bit_exact():
     assert morton2(np.array([3], np.uint64), np.array([0], np.uint64))[0] == 0b101
 
 
+def test_hilbert3_is_a_true_hilbert_curve():
+    from realtime_clickstream_lakehouse_ray.functions.zorder import hilbert3
+
+    # exhaustive over the 8x8x8 grid: indices must be a permutation of
+    # 0..511 AND consecutive indices must be unit steps in ONE dimension —
+    # the defining property of a Hilbert curve (Morton order fails this)
+    g = np.arange(8, dtype=np.uint64)
+    x, y, z = np.meshgrid(g, g, g, indexing="ij")
+    idx = hilbert3(x.ravel(), y.ravel(), z.ravel(), bits=3)
+    assert sorted(idx.tolist()) == list(range(512))
+    order = np.argsort(idx)
+    coords = np.stack([x.ravel(), y.ravel(), z.ravel()], axis=1)[order].astype(np.int64)
+    steps = np.abs(np.diff(coords, axis=0))
+    assert (steps.sum(axis=1) == 1).all()
+
+
+def test_hilbert_zkey_stage():
+    import pyarrow as pa
+
+    from realtime_clickstream_lakehouse_ray.stages.zkey import add_zkey
+
+    t = pa.table(
+        {
+            "source": ["web", "web", "books"],
+            "n_tok": pa.array([10, 2000, 500], pa.int32()),
+            "doc_id": ["a", "b", "c"],
+        }
+    )
+    out_z = add_zkey(t, bounds={"n_tok": (8, 4096)}, curve="z")
+    out_h = add_zkey(t, bounds={"n_tok": (8, 4096)}, curve="hilbert")
+    assert out_z.column("zkey").to_pylist() != out_h.column("zkey").to_pylist()
+    assert out_h.column("zkey").null_count == 0
+
+
 def test_top_bits():
     x = np.array([0xFFFFFFFFFFFFFFFF], dtype=np.uint64)
     assert top_bits(x, 21)[0] == 0x1FFFFF
