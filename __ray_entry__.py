@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": dedup.exact_dedup,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,  # approx -> rows-only
         "simhash_dedup": dedup.simhash_dedup,  # approx -> rows-only
+        "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
         # --- similarity search ------------------------------------------
         "knn_bruteforce": ann.knn_bruteforce,
@@ -132,6 +133,29 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, md5(text) AS fp
             FROM documents GROUP BY text
+        """,
+        "ngram_jaccard_dedup": f"""
+            WITH wrds AS (
+              SELECT doc_id, {words} AS w FROM documents
+            ), grams AS (
+              SELECT doc_id, unnest(
+                CASE WHEN len(w) >= 3
+                  THEN list_transform(generate_series(1, len(w) - 2),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  ELSE [array_to_string(w, ' ')] END) AS g
+              FROM wrds
+            ), dg AS (SELECT DISTINCT doc_id, g FROM grams),
+            cnt AS (SELECT doc_id, count(*) AS n FROM dg GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM dg a JOIN dg b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, i AS inter_size, (ca.n + cb.n - i) AS union_size
+            FROM inter
+            JOIN cnt ca ON ca.doc_id = id_a
+            JOIN cnt cb ON cb.doc_id = id_b
+            WHERE i * 5 >= 4 * (ca.n + cb.n - i)
         """,
         "embedding_dup_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b

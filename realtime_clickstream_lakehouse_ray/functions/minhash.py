@@ -101,3 +101,49 @@ def exact_jaccard(set_a: np.ndarray, set_b: np.ndarray) -> float:
     inter = len(np.intersect1d(ua, ub, assume_unique=True))
     union = len(ua) + len(ub) - inter
     return inter / union if union else 1.0
+
+
+def ngram_hashes_distinct(
+    words: pa.ListArray, n: int = 3
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-document DISTINCT word n-gram hashes with exact doc-boundary
+    handling: unlike ``shingle_hashes`` (whose whole-doc fallback for short
+    docs can mix in the neighboring document's words via ``np.roll``),
+    positions past a document's end contribute 0 to the rotate-xor chain,
+    so the same text always maps to the same gram set in any batch — the
+    determinism the exact-Jaccard oracle comparison needs.
+
+    A doc with fewer than ``n`` words contributes one whole-doc gram; an
+    empty doc contributes none.  Returns ``(flat_hashes, doc_index,
+    distinct_count_per_doc)`` where ``flat_hashes`` is deduplicated within
+    each document and ``doc_index[i]`` is the owning doc's position in the
+    batch.
+    """
+    offsets = np.asarray(words.offsets).astype(np.int64)
+    starts, lengths = offsets[:-1], offsets[1:] - offsets[:-1]
+    wh = hash64(words.values)
+    total = len(wh)
+    pos = np.arange(total, dtype=np.int64)
+    doc_end = np.repeat(offsets[1:], lengths)
+    combo = wh.copy()
+    for j in range(1, n):
+        shifted = np.roll(wh, -j)
+        inbounds = (pos + j) < doc_end
+        combo = (
+            (combo << np.uint64(5))
+            ^ (combo >> np.uint64(59))
+            ^ np.where(inbounds, shifted, np.uint64(0))
+        )
+    n_g = np.where(lengths == 0, 0, np.maximum(lengths - (n - 1), 1))
+    pos_in_doc = pos - np.repeat(starts, lengths)
+    valid = pos_in_doc < np.repeat(n_g, lengths)
+    g = combo[valid]
+    d = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)[valid]
+    order = np.lexsort((g, d))
+    g, d = g[order], d[order]
+    if len(g):
+        keep = np.ones(len(g), dtype=bool)
+        keep[1:] = (d[1:] != d[:-1]) | (g[1:] != g[:-1])
+        g, d = g[keep], d[keep]
+    counts = np.bincount(d, minlength=len(lengths)).astype(np.int64)
+    return g, d, counts

@@ -317,3 +317,142 @@ def embedding_dup_pairs(sf_dir: str, tau: float = 0.95) -> pa.Table:
     )
     out = pa.concat_tables(ray.get(pairs.to_arrow_refs()))
     return out.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
+# ---- exact n-gram Jaccard (inverted-index set-similarity join) -----------
+def ngram_jaccard_dedup(
+    sf_dir: str,
+    num: int = 4,
+    den: int = 5,
+    n: int = 3,
+    max_df: int | None = None,
+) -> pa.Table:
+    """Exact word-n-gram Jaccard near-dup pairs with Jaccard >= num/den,
+    computed as a distributed inverted-index set-similarity join — no
+    per-document gram set is ever materialized as state:
+
+    1. ``map_batches``: per-doc DISTINCT gram hashes exploded to
+       (gram, doc_id) rows (vectorized, boundary-exact).
+    2. ``groupby(gram)`` count -> grams shared by >=2 docs; broadcast that
+       (small) key set and filter the exploded rows to it.
+    3. ``groupby(gram).map_groups`` over multi-member buckets only ->
+       candidate pair rows; ``groupby(pair)`` count = intersection size
+       (|A ∩ B| is an *aggregate*, the sum of co-occurrences over buckets).
+    4. Integer-exact threshold: inter*den >= num*(n_a + n_b - inter) with
+       per-doc distinct-gram counts broadcast via ``ray.put`` (at scale:
+       hash-join the counts onto the — tiny — pair table instead).
+
+    ``max_df`` (scale knob, default off = exact): drop grams appearing in
+    more than ``max_df`` docs before pair expansion — classic
+    prefix-filter-style pruning that bounds hot-bucket O(df^2) blowup at
+    the cost of underestimating intersections of pairs that only share
+    ultra-common grams (which cannot reach a high threshold anyway).
+
+    Output: (id_a, id_b, inter_size, union_size), id_a < id_b, sorted —
+    all-integer so the DuckDB oracle comparison is exact (no float
+    rounding hazards).
+    """
+    from ray.data.aggregate import Count
+
+    from realtime_clickstream_lakehouse_ray.functions.minhash import ngram_hashes_distinct
+
+    tune_context()
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        words = split_words(t["text"])
+        g, d, _ = ngram_hashes_distinct(words, n=n)
+        ids = np.asarray(t["doc_id"])
+        return pa.table(
+            {
+                "g": pa.array((g >> np.uint64(1)).astype(np.int64)),
+                "doc_id": pa.array(ids[d]),
+            }
+        )
+
+    # materialized once: (int64, int64) rows, orders of magnitude smaller
+    # than the text; reused by the count and bucket branches below
+    exploded = docs.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "inter_size": pa.array([], pa.int64()),
+            "union_size": pa.array([], pa.int64()),
+        }
+    )
+
+    # per-doc distinct-gram counts (broadcast; see docstring for scale path)
+    cnt_df = exploded.groupby("doc_id").aggregate(Count(alias_name="n")).to_pandas()
+    ids_arr = cnt_df["doc_id"].to_numpy().astype(np.int64)
+    order = np.argsort(ids_arr)
+    counts_ref = ray.put((ids_arr[order], cnt_df["n"].to_numpy().astype(np.int64)[order]))
+
+    # grams shared by >=2 docs (and under the df cap, if any)
+    df_counts = exploded.groupby("g").aggregate(Count(alias_name="df"))
+    hi = np.int64(max_df) if max_df is not None else np.iinfo(np.int64).max
+
+    def hot_only(t: pa.Table) -> pa.Table:
+        dfv = np.asarray(t["df"])
+        return t.filter(pa.array((dfv > 1) & (dfv <= hi)))
+
+    hot = df_counts.map_batches(
+        hot_only, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if not len(hot):
+        return empty
+    hot_keys_ref = ray.put(np.sort(hot["g"].to_numpy().astype(np.int64)))
+
+    def filter_hot(t: pa.Table) -> pa.Table:
+        keys = ray.get(hot_keys_ref)
+        b = np.asarray(t["g"])
+        idx = np.searchsorted(keys, b)
+        in_r = idx < len(keys)
+        mask = np.zeros(len(t), dtype=bool)
+        mask[in_r] = keys[idx[in_r]] == b[in_r]
+        return t.filter(pa.array(mask))
+
+    def emit_pairs(gdf: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(gdf["doc_id"].to_numpy().astype(np.int64))
+        if len(ids) < 2:
+            return pd.DataFrame({"pk": np.empty(0, dtype=np.int64)})
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"pk": (ids[a] << np.int64(32)) | ids[b]})
+
+    pair_counts = (
+        exploded.map_batches(filter_hot, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("g")
+        .map_groups(emit_pairs, batch_format="pandas")
+        .groupby("pk")
+        .aggregate(Count(alias_name="inter_size"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        cids, cns = ray.get(counts_ref)
+        pk = np.asarray(t["pk"]).astype(np.int64)
+        ia = pk >> np.int64(32)
+        ib = pk & np.int64(0xFFFFFFFF)
+        inter = np.asarray(t["inter_size"]).astype(np.int64)
+        na = cns[np.searchsorted(cids, ia)]
+        nb = cns[np.searchsorted(cids, ib)]
+        union = na + nb - inter
+        ok = inter * den >= num * union
+        return pa.table(
+            {
+                "id_a": pa.array(ia[ok]),
+                "id_b": pa.array(ib[ok]),
+                "inter_size": pa.array(inter[ok]),
+                "union_size": pa.array(union[ok]),
+            }
+        )
+
+    out = pair_counts.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+    parts = [t for t in ray.get(out.to_arrow_refs()) if len(t)]
+    if not parts:
+        return empty
+    return pa.concat_tables(parts).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")]
+    )

@@ -125,3 +125,40 @@ def test_frame_sampler_arithmetic():
     counts = out.groupby("doc_id").size()
     expect = np.ceil(np.ceil(meta["n_bytes"] / 1024) / 4).astype(int)
     assert (counts.sort_index() == expect.sort_index()).all()
+
+
+def test_ngram_hashes_boundary_invariance():
+    """The gram set of a document must not depend on its neighbors in the
+    batch (shingle_hashes' short-doc fallback rolls in the next doc;
+    ngram_hashes_distinct must not)."""
+    from realtime_clickstream_lakehouse_ray.functions.minhash import ngram_hashes_distinct
+    from realtime_clickstream_lakehouse_ray.functions.textstats import split_words
+
+    def gramset(texts, which):
+        words = split_words(pa.array(texts))
+        g, d, _ = ngram_hashes_distinct(words, n=3)
+        return set(g[d == which].tolist())
+
+    short = "alpha beta"          # < n words -> whole-doc gram
+    assert gramset([short, "x y z w"], 0) == gramset([short, "p q r s t"], 0)
+    assert gramset(["a b c d e", short], 1) == gramset([short], 0)
+    # empty text splits to one empty token (matches DuckDB
+    # string_split_regex) -> one whole-doc gram, same as any 1-word doc
+    words = split_words(pa.array(["", "a b c d"]))
+    g, d, counts = ngram_hashes_distinct(words, n=3)
+    assert counts.tolist() == [1, 2] and len(g) == 3
+    # distinct within doc: repeated grams collapse
+    words = split_words(pa.array(["a b c a b c a b c"]))
+    _, _, c2 = ngram_hashes_distinct(words, n=3)
+    assert c2[0] < 7  # 7 positions, only 3 distinct grams
+
+
+def test_ngram_jaccard_planted(planted_dir):
+    out = dedup.ngram_jaccard_dedup(str(planted_dir), num=1, den=2)
+    df = out.to_pandas()
+    pairs = set(zip(df["id_a"], df["id_b"]))
+    assert (0, 3) in pairs  # exact copy: jaccard 1.0
+    row03 = df[(df["id_a"] == 0) & (df["id_b"] == 3)].iloc[0]
+    assert row03["inter_size"] == row03["union_size"]
+    assert (0, 1) in pairs  # 2 swapped words out of 40 -> high jaccard
+    assert not any(2 in p for p in pairs)  # unrelated doc pairs with no one
