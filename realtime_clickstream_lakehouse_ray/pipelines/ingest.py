@@ -1,0 +1,100 @@
+"""Composed click-ingest job: the reference's primary pipeline end to end.
+
+The reference's processing path (SURVEY.md §3.2; ``run_glue_job``,
+/root/reference/etl/glue_stream.py:375-426) drains everything currently in
+the stream (``trigger(availableNow=True)``), validates/enriches/conforms,
+and appends to a partitioned Delta table exactly once per micro-batch
+(streaming checkpoint + Glue job bookmark, glue_stream.py:344 +
+glue/main.tf:90).  This module is that job on Ray Data:
+
+- "the stream" = the set of JSON-lines files visible under ``paths`` right
+  now (availableNow semantics — drain and stop);
+- the bookmark = ``source_files`` recorded on every ingest commit; files
+  already named by ANY committed ingest are skipped, so reruns and crashed
+  reruns are exactly-once at file granularity;
+- validate → enrich → conform → reject-split is the vectorized chain in
+  ``sources/clicks.py`` (M1-M9);
+- the sink is a snapshot-committed engine Table partitioned by
+  ``event_date`` (reference K2: ``partitionBy("event_date")`` Delta append)
+  with per-file stats in the commit, and reject counts on the commit
+  payload (reference M1's 400-path, kept as data).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import ray.data
+
+from realtime_clickstream_lakehouse_ray.sources.clicks import (
+    OUT_SCHEMA,
+    read_click_json,
+    split_rejects,
+)
+from realtime_clickstream_lakehouse_ray.pipelines.table import Table
+
+CLICKS_PARTITION_COL = "event_date"
+CLICKS_KEY_COL = "request_id"
+
+
+def clicks_table(root: str) -> Table:
+    """Create-or-load the clicks table (OUT_SCHEMA, event_date-partitioned)."""
+    if (Path(root) / "_table.json").exists():
+        return Table.load(root)
+    return Table.create(
+        root,
+        schema=OUT_SCHEMA,
+        partition_col=CLICKS_PARTITION_COL,
+        key_col=CLICKS_KEY_COL,
+    )
+
+
+def ingested_files(table: Table) -> set[str]:
+    """The job bookmark: union of source_files over all committed ingests."""
+    out: set[str] = set()
+    for v in table.log.versions():
+        out.update(table.log.read_version(v).get("source_files", []))
+    return out
+
+
+def ingest_clicks(
+    paths: str | list[str],
+    table_root: str,
+    ingest_ts: str = "1970-01-01T00:00:00Z",
+    rows_per_file: int | None = None,
+) -> dict:
+    """Drain all currently-visible click JSON files into the clicks table.
+
+    Returns ``{version, files, rows, rejects}``; a rerun over the same
+    files is a no-op (``version`` None, ``files`` 0) — the bookmark makes
+    ingestion exactly-once per input file even across crashes, because the
+    bookmark and the data files land in one atomic commit.
+    """
+    if isinstance(paths, (str, Path)):
+        p = Path(paths)
+        files = sorted(str(f) for f in p.glob("*.json*")) if p.is_dir() else [str(p)]
+    else:
+        files = sorted(str(f) for f in paths)
+
+    table = clicks_table(table_root)
+    todo = sorted(set(files) - ingested_files(table))
+    if not todo:
+        return {"version": None, "files": 0, "rows": 0, "rejects": 0}
+
+    ds = read_click_json(todo, ingest_ts=ingest_ts)
+    valid, rejects = split_rejects(ds)
+    n_rejects = rejects.count()
+    rows_before = table.stats()["rows"]
+    # appending zero valid rows still commits: the bookmark must advance so
+    # all-malformed files are not re-parsed forever
+    version = table.append(
+        valid,
+        rows_per_file=rows_per_file,
+        extra={"source_files": todo, "rejects": n_rejects},
+    )
+    return {
+        "version": version,
+        "files": len(todo),
+        "rows": table.stats(version)["rows"] - rows_before,
+        "rejects": n_rejects,
+    }

@@ -210,9 +210,11 @@ class Table:
         data: pa.Table | ray.data.Dataset,
         rows_per_file: int | None = None,
         concurrency: int | tuple[int, int] | None = None,
+        extra: dict | None = None,
     ) -> int:
         """Append rows as new files + a new snapshot (reference K2 semantics:
-        append-only, schema conformed, partitioned by the partition column)."""
+        append-only, schema conformed, partitioned by the partition column).
+        ``extra`` rides on the commit payload (e.g. ingest bookmarks)."""
         if isinstance(data, pa.Table):
             data = ray.data.from_arrow(conform_table(data, self.schema))
         stats_ds = data.map_batches(
@@ -223,7 +225,7 @@ class Table:
         )
         entries = self._collect_stats(stats_ds)
         return self.log.commit(
-            [e.to_action() for e in entries], "append", job_id=None
+            [e.to_action() for e in entries], "append", job_id=None, extra=extra
         )
 
     # ---- compaction -----------------------------------------------------
@@ -436,6 +438,7 @@ class Table:
         broadcast_max_rows: int = 2_000_000,
         job_id: str | None = None,
         concurrency: int | tuple[int, int] = (1, 16),
+        target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
     ) -> int:
         """MERGE INTO (upsert) on ``key_col``: WHEN MATCHED UPDATE SET * /
         WHEN NOT MATCHED INSERT *; duplicate keys in the source resolve
@@ -461,7 +464,9 @@ class Table:
         else:
             use_broadcast = strategy != "shuffle"
         if use_broadcast:
-            return self._merge_broadcast(source, parent, job_id, concurrency)
+            return self._merge_broadcast(
+                source, parent, job_id, concurrency, target_file_bytes
+            )
         return self._merge_shuffle(source, parent, job_id, concurrency)
 
     def _merge_broadcast(
@@ -470,6 +475,7 @@ class Table:
         parent: int,
         job_id: str | None,
         concurrency: int | tuple[int, int],
+        target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
     ) -> int:
         job_id = job_id or f"merge-v{parent}"
         done = self.log.find_commit_by_job(job_id)
@@ -491,7 +497,7 @@ class Table:
         # bin-pack the affected files per partition (one output file per
         # bin): fewer, bigger rewrite units — a broadcast MERGE doubles as
         # compaction of the files it touches
-        target = DEFAULT_TARGET_FILE_BYTES
+        target = target_file_bytes
         by_part: dict[str, list[FileEntry]] = {}
         for f in affected:
             by_part.setdefault(f.partition, []).append(f)

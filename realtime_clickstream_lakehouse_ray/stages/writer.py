@@ -98,6 +98,9 @@ def write_partitioned(
     root = Path(root)
     entries = []
     for part, sub in split_by_partition(tbl, partition_col).items():
+        # non-string partition values (e.g. a date32 event_date) become
+        # their Hive-style string form in paths, stats, and commit JSON
+        part = part if isinstance(part, str) else str(part)
         name = name_fn(part) if name_fn else f"part-{uuid.uuid4().hex}.parquet"
         rel = f"{partition_col}={part}/{name}"
         nbytes = write_file_atomic(sub, root / rel, compression)

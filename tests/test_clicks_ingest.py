@@ -85,3 +85,49 @@ def test_click_schema_matches_fixture():
         "element", "page", "userAgent", "timestamp", "ingest_ts", "request_id",
     ]
     assert all(f.type == pa.string() for f in CLICK_SCHEMA)
+
+
+def test_composed_ingest_job_bookmark_and_partitioning(tmp_path_factory):
+    """The reference's primary pipeline end-to-end: drain available files ->
+    validate/enrich/conform -> event_date-partitioned table append, with
+    exactly-once file-granular bookmark semantics (ingest.py)."""
+    from realtime_clickstream_lakehouse_ray.pipelines import ingest
+    from realtime_clickstream_lakehouse_ray.util import to_arrow_table
+
+    d = tmp_path_factory.mktemp("ingestjob")
+    f1 = d / "a.jsonl"
+    f1.write_text(
+        "\n".join(
+            [
+                json.dumps(CANONICAL),
+                json.dumps({**CANONICAL, "timestamp": "2023-09-16T01:02:03Z"}),
+                "{broken",
+            ]
+        )
+    )
+    root = str(d / "clicks_table")
+
+    r1 = ingest.ingest_clicks([str(f1)], root, ingest_ts="2024-01-01T00:00:00Z")
+    assert r1["files"] == 1 and r1["rows"] == 2 and r1["rejects"] == 1
+
+    # rerun over the same files: bookmark makes it a no-op
+    r2 = ingest.ingest_clicks([str(f1)], root)
+    assert r2 == {"version": None, "files": 0, "rows": 0, "rejects": 0}
+
+    # new file arrives: only it is drained (availableNow incremental)
+    f2 = d / "b.jsonl"
+    f2.write_text(json.dumps({**CANONICAL, "timestamp": "2023-09-17T00:00:00Z"}))
+    r3 = ingest.ingest_clicks([str(f1), str(f2)], root)
+    assert r3["files"] == 1 and r3["rows"] == 1
+
+    table = ingest.clicks_table(root)
+    st = table.stats()
+    assert st["rows"] == 3
+    # Hive-style event_date partitions from the timestamp chain
+    assert set(st["partitions"]) == {"2023-09-15", "2023-09-16", "2023-09-17"}
+    # partition pruning at the read
+    sub = to_arrow_table(table.scan(partitions=["2023-09-16"]))
+    assert sub.num_rows == 1
+    # snapshot commit carries the bookmark + reject lineage
+    v1 = table.log.read_version(r1["version"])
+    assert v1["source_files"] == [str(f1)] and v1["rejects"] == 1
