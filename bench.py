@@ -64,8 +64,15 @@ def run_bench() -> dict:
     )
 
     sf = _sf_of(SF_DIR)
-    n_rows = max(int(10_000_000 * sf), 20_000)
-    root = f"/tmp/rcl_bench/{Path(SF_DIR).name}-cpus{NUM_CPUS}/tokens"
+    n_rows = int(os.environ.get("RCL_BENCH_ROWS", "0")) or max(
+        int(10_000_000 * sf), 20_000
+    )
+    # RCL_BENCH_ROOT=/dev/shm/rcl_bench puts the table on tmpfs: at the
+    # 100 TB design point storage bandwidth (S3/HDFS) scales with nodes,
+    # but this VM's single virtual disk does not — measuring CPU scaling
+    # against /dev/vda measures the disk, not the engine
+    bench_root = os.environ.get("RCL_BENCH_ROOT", "/tmp/rcl_bench")
+    root = f"{bench_root}/{Path(SF_DIR).name}-cpus{NUM_CPUS}/tokens"
     shutil.rmtree(Path(root).parent, ignore_errors=True)
 
     # ---- build (untimed): deliberately small files --------------------
@@ -180,6 +187,11 @@ def run_scaling() -> dict:
             # units >> cpus at both levels (see run_bench); identical job
             # at both levels so the comparison stays apples-to-apples
             RCL_BENCH_TARGET_MB=os.environ.get("RCL_BENCH_TARGET_MB", "24"),
+            # tmpfs table root: on one VM the virtual disk's bandwidth is a
+            # shared serial resource, while at the design point (S3/HDFS on
+            # N nodes) storage bandwidth scales with the cluster — tmpfs is
+            # the single-box stand-in for storage-that-scales
+            RCL_BENCH_ROOT=os.environ.get("RCL_BENCH_ROOT", "/dev/shm/rcl_bench"),
         )
         out = subprocess.run(
             [sys.executable, __file__], env=env, capture_output=True, text=True,
