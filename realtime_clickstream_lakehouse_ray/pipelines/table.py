@@ -388,10 +388,22 @@ class Table:
             maxs = [f.max_n_tok for f in stat_files if f.max_n_tok is not None]
             if mins and maxs:
                 bounds["n_tok"] = (min(mins), max(maxs))
+        # Delta semantics: ZORDER clusters WITHIN partitions — the
+        # partition column LEADS the sort as itself (so each output file
+        # holds one partition value and the per-partition writer never
+        # fragments a batch into one sliver per source), and the remaining
+        # dims are bit-interleaved behind it.  A fully-global interleave
+        # (partition hashed into the key) mixes every partition into every
+        # sorted batch and re-creates the small-file problem at write time
+        # (measured: 24 MB target -> 3.5 MB mean files).
+        zdims = tuple(d for d in dims if d != self.partition_col)
+        sort_keys = (
+            [self.partition_col, "zkey"] if len(zdims) < len(dims) else ["zkey"]
+        )
         ds = self.scan(version=parent)
         ds = ds.map_batches(
             add_zkey,
-            fn_kwargs=dict(dims=dims, bounds=bounds, curve=curve),
+            fn_kwargs=dict(dims=zdims, bounds=bounds, curve=curve),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
@@ -405,7 +417,7 @@ class Table:
         total_bytes = sum(f.bytes for f in stat_files) or 1
         total_rows = sum(f.rows for f in stat_files) or 1
         rows_per_file = max(1, int(total_rows * target_file_bytes / total_bytes))
-        ds = ds.sort("zkey")
+        ds = ds.sort(sort_keys)
         stats_ds = ds.map_batches(
             make_file_writer(str(self.root), self.schema, self.partition_col),
             batch_format="pyarrow",

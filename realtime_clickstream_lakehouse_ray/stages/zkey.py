@@ -15,12 +15,17 @@ import numpy as np
 import pyarrow as pa
 
 from realtime_clickstream_lakehouse_ray.functions.hashing import hash64
-from realtime_clickstream_lakehouse_ray.functions.zorder import hilbert3, morton3, top_bits
+from realtime_clickstream_lakehouse_ray.functions.zorder import (
+    hilbert3,
+    morton2,
+    morton3,
+    top_bits,
+)
 
 
 def add_zkey(
     batch: pa.Table,
-    dims: tuple[str, str, str] = ("source", "n_tok", "doc_id"),
+    dims: tuple[str, ...] = ("source", "n_tok", "doc_id"),
     bounds: dict[str, tuple[int, int]] | None = None,
     curve: str = "z",
 ) -> pa.Table:
@@ -45,7 +50,15 @@ def add_zkey(
             cols.append(scaled.astype(np.uint64))
         else:
             cols.append(top_bits(hash64(col), 21))
-    if curve == "hilbert":
+    if len(cols) == 2:
+        # 2-D variant: used when the partition column leads the sort
+        # instead of being interleaved (Delta semantics: ZORDER clusters
+        # WITHIN partitions)
+        if curve == "hilbert":
+            zkey = hilbert3(cols[0], cols[1], np.zeros_like(cols[0]))
+        else:
+            zkey = morton2(cols[0], cols[1])
+    elif curve == "hilbert":
         zkey = hilbert3(cols[0], cols[1], cols[2])
     else:
         zkey = morton3(cols[0], cols[1], cols[2])
