@@ -146,6 +146,47 @@ class Table:
             "partitions": per_part,
         }
 
+    # ---- per-file key Bloom sidecars -----------------------------------
+    def _write_bloom_sidecar(self, version: int, entries: list[FileEntry]) -> None:
+        """Persist per-file key Bloom filters for this commit's new files
+        as a parquet sidecar (`_blooms/v<N>.parquet`).  Sidecars keep the
+        JSON manifest small at 10^12-row scale; a missing sidecar (e.g.
+        crash between commit and sidecar write, or files produced by the
+        checkpointed rewrite path) only disables skipping — never breaks
+        correctness."""
+        import os as _os
+        import uuid as _uuid
+
+        import pyarrow.parquet as pq
+
+        rows = [(e.path, e.bloom) for e in entries if e.bloom]
+        if not rows:
+            return
+        tbl = pa.table(
+            {
+                "path": pa.array([r[0] for r in rows], pa.string()),
+                "bloom": pa.array([r[1] for r in rows], pa.binary()),
+            }
+        )
+        d = self.root / "_blooms"
+        d.mkdir(parents=True, exist_ok=True)
+        tmp = d / f".tmp-{_uuid.uuid4().hex}.parquet"
+        pq.write_table(tbl, tmp, compression="zstd")
+        _os.replace(tmp, d / f"v{version:06d}.parquet")
+
+    def blooms(self, version: int | None = None) -> dict[str, bytes]:
+        """path -> Bloom bitset for the live files that have one."""
+        import pyarrow.parquet as pq
+
+        d = self.root / "_blooms"
+        out: dict[str, bytes] = {}
+        if d.is_dir():
+            for f in sorted(d.glob("v*.parquet")):
+                t = pq.read_table(f)
+                out.update(zip(t["path"].to_pylist(), t["bloom"].to_pylist()))
+        live = {f.path for f in self.files(version)}
+        return {p: b for p, b in out.items() if p in live}
+
     def scan(
         self,
         version: int | None = None,
@@ -180,7 +221,7 @@ class Table:
         rows = stats_ds.take_all()  # tiny: one row per written file
         return [FileEntry(**{k: r[k] for k in (
             "path", "partition", "rows", "bytes",
-            "min_n_tok", "max_n_tok", "min_key", "max_key", "sum_tok",
+            "min_n_tok", "max_n_tok", "min_key", "max_key", "sum_tok", "bloom",
         )}) for r in rows]
 
     def _commit_with_rebase(
@@ -224,9 +265,11 @@ class Table:
             batch_size=rows_per_file,
         )
         entries = self._collect_stats(stats_ds)
-        return self.log.commit(
+        version = self.log.commit(
             [e.to_action() for e in entries], "append", job_id=None, extra=extra
         )
+        self._write_bloom_sidecar(version, entries)
+        return version
 
     # ---- compaction -----------------------------------------------------
     def plan_compaction_bins(
@@ -429,6 +472,7 @@ class Table:
         version = self._commit_with_rebase(
             [e.to_action() for e in entries], removes, "zorder", parent, job_id
         )
+        self._write_bloom_sidecar(version, entries)
         # per-partition lineage for the completed job
         ckpt = JobCheckpoint(self.root, job_id)
         per_part: dict[str, dict] = {}
@@ -495,19 +539,29 @@ class Table:
         done = self.log.find_commit_by_job(job_id)
         if done is not None:
             return done
+        from realtime_clickstream_lakehouse_ray.functions.bloom import bloom_any_match
+        from realtime_clickstream_lakehouse_ray.functions.hashing import hash64
+
         source = conform_table(source, self.schema)
         source = _dedup_keep_latest(source, self.key_col)
         keys = np.sort(np.asarray(source.column(self.key_col)))
+        key_hashes = hash64(source.column(self.key_col).combine_chunks())
+        blooms = self.blooms(parent)
         # stats-based file pruning: a file can contain a match only if some
-        # source key falls inside its [min_key, max_key] range
+        # source key falls inside its [min_key, max_key] range AND (when the
+        # file has a Bloom sidecar) some key probes positive — the bloom is
+        # what keeps small-source MERGE cheap after Z-order scatters the
+        # key ranges (min/max alone prunes nothing then)
         affected: list[FileEntry] = []
         for f in self.files(parent):
-            if f.min_key is None or f.max_key is None:
-                affected.append(f)
+            if f.min_key is not None and f.max_key is not None:
+                lo = np.searchsorted(keys, f.min_key, side="left")
+                if lo >= len(keys) or keys[lo] > f.max_key:
+                    continue
+            b = blooms.get(f.path)
+            if b is not None and not bloom_any_match(b, key_hashes):
                 continue
-            lo = np.searchsorted(keys, f.min_key, side="left")
-            if lo < len(keys) and keys[lo] <= f.max_key:
-                affected.append(f)
+            affected.append(f)
         # bin-pack the affected files per partition (one output file per
         # bin): fewer, bigger rewrite units — a broadcast MERGE doubles as
         # compaction of the files it touches

@@ -42,15 +42,26 @@ STATS_SCHEMA = pa.schema(
         ("min_key", pa.string()),
         ("max_key", pa.string()),
         ("sum_tok", pa.int64()),
+        ("bloom", pa.binary()),
     ]
 )
 
 
 def file_stats(tbl: pa.Table, path: str, partition: str, nbytes: int) -> FileEntry:
-    """Compute a FileEntry from an in-memory table slice (vectorized)."""
+    """Compute a FileEntry from an in-memory table slice (vectorized),
+    including the per-file key Bloom filter (functions/bloom.py) that
+    restores MERGE file-skipping after Z-order scatters the key ranges."""
+    from realtime_clickstream_lakehouse_ray.functions.bloom import build_bloom
+    from realtime_clickstream_lakehouse_ray.functions.hashing import hash64
+
     mm_tok = pc.min_max(tbl["n_tok"]) if "n_tok" in tbl.column_names else None
     mm_key = pc.min_max(tbl["doc_id"]) if "doc_id" in tbl.column_names else None
     sum_tok = pc.sum(tbl["n_tok"]).as_py() if "n_tok" in tbl.column_names else None
+    bloom = (
+        build_bloom(hash64(tbl["doc_id"].combine_chunks()))
+        if "doc_id" in tbl.column_names and tbl.num_rows
+        else None
+    )
     return FileEntry(
         path=path,
         partition=partition,
@@ -61,6 +72,7 @@ def file_stats(tbl: pa.Table, path: str, partition: str, nbytes: int) -> FileEnt
         min_key=(mm_key["min"].as_py() if mm_key else None),
         max_key=(mm_key["max"].as_py() if mm_key else None),
         sum_tok=sum_tok,
+        bloom=bloom,
     )
 
 
@@ -121,6 +133,7 @@ def entries_to_table(entries: list[FileEntry]) -> pa.Table:
                 "min_key": e.min_key,
                 "max_key": e.max_key,
                 "sum_tok": e.sum_tok,
+                "bloom": e.bloom,
             }
             for e in entries
         ],

@@ -50,9 +50,14 @@ class FileEntry:
     min_key: str | None = None
     max_key: str | None = None
     sum_tok: int | None = None
+    # per-file key Bloom filter (bytes). NOT serialized into the JSON
+    # snapshot — it rides a parquet sidecar (`_blooms/`, see Table) so the
+    # manifest stays small at 10^12-row scale.
+    bloom: bytes | None = None
 
     def to_action(self, op: str = "add") -> dict[str, Any]:
         d = asdict(self)
+        d.pop("bloom", None)
         d["op"] = op
         return d
 
