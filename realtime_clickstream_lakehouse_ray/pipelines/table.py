@@ -214,6 +214,17 @@ class Table:
                 empty = empty.select(list(columns))
             return ray.data.from_arrow(empty)
         paths = [str(self.root / f.path) for f in files]
+        # the table schema is passed explicitly so files written BEFORE a
+        # schema evolution null-fill the added columns (Arrow dataset
+        # behavior; reference mergeSchema=true at the sink,
+        # glue_stream.py:345); with a column projection the schema must be
+        # projected to the same subset or the reader rejects the mismatch
+        if columns is None:
+            read_kwargs.setdefault("schema", self.schema)
+        elif all(c in self.schema.names for c in columns):
+            read_kwargs.setdefault(
+                "schema", pa.schema([self.schema.field(c) for c in columns])
+            )
         return ray.data.read_parquet(paths, columns=list(columns) if columns else None, **read_kwargs)
 
     # ---- write side ----------------------------------------------------
@@ -246,16 +257,50 @@ class Table:
                 return self.log.commit(actions, operation, parent=latest, job_id=job_id, extra=extra)
             raise
 
+    def evolve_schema(self, new_fields: Iterable[pa.Field]) -> None:
+        """Schema evolution, BACKWARD-compatible only (the reference's Glue
+        registry sets compatibility=BACKWARD, glue/main.tf:38-66): ADD
+        nullable columns; renames/type-changes are rejected.  Old files are
+        never rewritten — ``scan`` null-fills the added columns."""
+        for f in new_fields:
+            if f.name in self.schema.names:
+                existing = self.schema.field(f.name)
+                if existing.type != f.type:
+                    raise ValueError(
+                        f"incompatible evolution for {f.name!r}: "
+                        f"{existing.type} -> {f.type}"
+                    )
+                continue
+            self.schema = self.schema.append(pa.field(f.name, f.type))
+        meta_path = self.root / "_table.json"
+        meta = json.loads(meta_path.read_text())
+        meta["schema"] = self.schema.serialize().to_pybytes().hex()
+        from realtime_clickstream_lakehouse_ray.state.log import atomic_replace
+
+        atomic_replace(meta_path, json.dumps(meta))
+
     def append(
         self,
         data: pa.Table | ray.data.Dataset,
         rows_per_file: int | None = None,
         concurrency: int | tuple[int, int] | None = None,
         extra: dict | None = None,
+        merge_schema: bool = False,
     ) -> int:
         """Append rows as new files + a new snapshot (reference K2 semantics:
         append-only, schema conformed, partitioned by the partition column).
-        ``extra`` rides on the commit payload (e.g. ingest bookmarks)."""
+        ``extra`` rides on the commit payload (e.g. ingest bookmarks);
+        ``merge_schema=True`` widens the table schema with the data's new
+        columns first (the sink's mergeSchema option, glue_stream.py:345)."""
+        if merge_schema:
+            incoming = (
+                data.schema
+                if isinstance(data, pa.Table)
+                else data.schema().base_schema
+            )
+            new = [f for f in incoming if f.name not in self.schema.names]
+            if new:
+                self.evolve_schema(new)
         if isinstance(data, pa.Table):
             data = ray.data.from_arrow(conform_table(data, self.schema))
         stats_ds = data.map_batches(
@@ -672,6 +717,118 @@ class Table:
         removes = [f.path for f in self.files(parent)]
         version = self._commit_with_rebase(
             [e.to_action() for e in entries], removes, "merge", parent, job_id
+        )
+        JobCheckpoint(self.root, job_id).mark_committed(version)
+        return version
+
+    # ---- DELETE ---------------------------------------------------------
+    def delete(
+        self,
+        keys: Sequence[str] | None = None,
+        partitions: Sequence[str] | None = None,
+        min_n_tok: int | None = None,
+        max_n_tok: int | None = None,
+        job_id: str | None = None,
+        concurrency: int | tuple[int, int] = (1, 16),
+    ) -> int | None:
+        """Predicate DELETE (conjunction of the given conditions) — the
+        Delta ``DELETE FROM`` capability, copy-on-write.
+
+        Two regimes per candidate file, decided from file STATS alone:
+        - **metadata-only**: a file whose whole row range satisfies the
+          predicate (its partition is in ``partitions`` and its
+          [min_n_tok, max_n_tok] lies inside the range, with no key
+          predicate) is dropped by a manifest ``remove`` — no data read.
+        - **rewrite**: partially-matching files go through the same
+          stats+Bloom-pruned actor-pool rewrite as MERGE's delete half.
+
+        Returns the new version, or None when nothing matches."""
+        import hashlib
+
+        parent = self.version()
+        if job_id is None:
+            sig = hashlib.md5(
+                json.dumps(
+                    [sorted(keys) if keys else None, sorted(partitions) if partitions else None,
+                     min_n_tok, max_n_tok],
+                ).encode()
+            ).hexdigest()[:10]
+            job_id = f"delete-v{parent}-{sig}"
+        done = self.log.find_commit_by_job(job_id)
+        if done is not None:
+            return done
+
+        from realtime_clickstream_lakehouse_ray.functions.bloom import bloom_any_match
+        from realtime_clickstream_lakehouse_ray.functions.hashing import hash64
+
+        key_arr = np.sort(np.asarray(keys, dtype=object)) if keys else None
+        key_hashes = (
+            hash64(pa.array(list(keys), type=pa.string())) if keys else None
+        )
+        blooms = self.blooms(parent) if keys else {}
+        part_set = set(partitions) if partitions is not None else None
+
+        whole_files: list[FileEntry] = []
+        rewrite_files: list[FileEntry] = []
+        for f in self.files(parent):
+            if part_set is not None and f.partition not in part_set:
+                continue
+            # n_tok range overlap test from stats
+            if min_n_tok is not None and f.max_n_tok is not None and f.max_n_tok < min_n_tok:
+                continue
+            if max_n_tok is not None and f.min_n_tok is not None and f.min_n_tok > max_n_tok:
+                continue
+            if key_arr is not None:
+                # key predicate: range + bloom prune, never metadata-only
+                if f.min_key is not None and f.max_key is not None:
+                    lo = np.searchsorted(key_arr, f.min_key, side="left")
+                    if lo >= len(key_arr) or key_arr[lo] > f.max_key:
+                        continue
+                b = blooms.get(f.path)
+                if b is not None and not bloom_any_match(b, key_hashes):
+                    continue
+                rewrite_files.append(f)
+                continue
+            fully = (
+                (min_n_tok is None or (f.min_n_tok is not None and f.min_n_tok >= min_n_tok))
+                and (max_n_tok is None or (f.max_n_tok is not None and f.max_n_tok <= max_n_tok))
+            )
+            (whole_files if fully else rewrite_files).append(f)
+
+        if not whole_files and not rewrite_files:
+            return None
+
+        records: dict[str, dict] = {}
+        if rewrite_files:
+            by_part: dict[str, list[FileEntry]] = {}
+            for f in rewrite_files:
+                by_part.setdefault(f.partition, []).append(f)
+            bins = []
+            for part in sorted(by_part):
+                for f in sorted(by_part[part], key=lambda f: f.path):
+                    spec = self._bin_spec(len(bins), part, [f], job_id)
+                    spec["min_n_tok"] = min_n_tok
+                    spec["max_n_tok"] = max_n_tok
+                    bins.append(spec)
+            keys_ref = (
+                ray.put(np.asarray(list(keys), dtype=object)) if keys else None
+            )
+            records = self._run_rewrite_units(
+                bins, job_id, mode="delete_where", keys_ref=keys_ref,
+                concurrency=concurrency,
+            )
+        adds = [a for r in records.values() for a in r["adds"]]
+        removes = [p for r in records.values() for p in r["removes"]] + [
+            f.path for f in whole_files
+        ]
+        if not adds and not removes:
+            return None
+        version = self._commit_with_rebase(
+            adds, removes, "delete", parent, job_id,
+            extra={
+                "lineage": self._lineage_summary(records),
+                "metadata_only_deletes": [f.path for f in whole_files],
+            },
         )
         JobCheckpoint(self.root, job_id).mark_committed(version)
         return version

@@ -23,6 +23,7 @@ from __future__ import annotations
 import json
 from pathlib import Path
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -103,8 +104,21 @@ class BinRewriter:
 
         tbl = self._read_bin(spec["files"])
         removes = list(spec["files"])
-        if self.mode == "delete_keys":
-            mask = pc.is_in(tbl[self.key_col], value_set=self.keys)
+        if self.mode in ("delete_keys", "delete_where"):
+            if self.mode == "delete_keys":
+                mask = pc.is_in(tbl[self.key_col], value_set=self.keys)
+            else:
+                # conjunctive predicate delete: key-set (optional) AND
+                # n_tok range (optional); partition predicates are
+                # resolved at planning time (a file is all-in or all-out)
+                mask = pa.array(np.ones(tbl.num_rows, dtype=bool))
+                if self.keys is not None:
+                    mask = pc.and_(mask, pc.is_in(tbl[self.key_col], value_set=self.keys))
+                lo, hi = spec.get("min_n_tok"), spec.get("max_n_tok")
+                if lo is not None:
+                    mask = pc.and_(mask, pc.greater_equal(tbl["n_tok"], lo))
+                if hi is not None:
+                    mask = pc.and_(mask, pc.less_equal(tbl["n_tok"], hi))
             n_match = pc.sum(mask).as_py() or 0
             if n_match == 0:
                 # stats-range false positive: keep the file(s) as-is

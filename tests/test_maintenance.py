@@ -236,3 +236,66 @@ class TestRetention:
         ).to_pylist() == ["a", "b"]
         m = dict(zip(out.column("doc_id").to_pylist(), out.column("v").to_pylist()))
         assert m == {"a": 3, "b": 2}
+
+
+class TestDelete:
+    """Predicate DELETE (Delta `DELETE FROM` parity): metadata-only whole-
+    file drops, stats/bloom-pruned rewrites, idempotent reruns."""
+
+    @pytest.fixture()
+    def table(self, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("del") / "tokens")
+        t = build_synthetic_table(root, 20_000, rows_per_file=1_000)
+        t.compact(target_file_bytes=1 << 20)
+        return t
+
+    def test_delete_whole_partition_is_metadata_only(self, table):
+        part = table.files()[0].partition
+        rows_before = table.stats()["rows"]
+        part_rows = table.stats()["partitions"][part]["rows"]
+        v = table.delete(partitions=[part])
+        commit = table.log.read_version(v)
+        assert commit["metadata_only_deletes"], "expected whole-file drops"
+        assert not any(a["op"] == "add" for a in commit["actions"])  # no rewrite
+        assert table.stats()["rows"] == rows_before - part_rows
+        assert part not in table.stats()["partitions"]
+
+    def test_delete_ntok_range_rewrites_partially(self, table):
+        from realtime_clickstream_lakehouse_ray.util import to_arrow_table
+
+        rows_before = table.stats()["rows"]
+        scan = to_arrow_table(table.scan(columns=["n_tok"]))
+        n_match = sum(1 for v in scan["n_tok"].to_pylist() if v >= 2000)
+        assert 0 < n_match < rows_before
+        v = table.delete(min_n_tok=2000)
+        assert v is not None
+        out = to_arrow_table(table.scan(columns=["n_tok"]))
+        assert out.num_rows == rows_before - n_match
+        assert all(x < 2000 for x in out["n_tok"].to_pylist())
+
+    def test_delete_keys_bloom_pruned(self, table):
+        from realtime_clickstream_lakehouse_ray.util import to_arrow_table
+
+        table.zorder(target_file_bytes=1 << 20)
+        sample = to_arrow_table(table.scan(columns=["doc_id"]))["doc_id"].to_pylist()[:4]
+        n_files = len(table.files())
+        v = table.delete(keys=sample)
+        commit = table.log.read_version(v)
+        removed = sum(1 for a in commit["actions"] if a["op"] == "remove")
+        assert removed <= max(4, n_files // 4), (removed, n_files)
+        out = to_arrow_table(table.scan(columns=["doc_id"]))
+        left = set(out["doc_id"].to_pylist())
+        assert not (left & set(sample))
+
+    def test_delete_rerun_same_predicate_is_noop(self, table):
+        part = table.files()[0].partition
+        v1 = table.delete(partitions=[part])
+        v2 = table.delete(partitions=[part], job_id=f"delete-rerun-{v1}")
+        # nothing left to delete for the same predicate -> None
+        assert v2 is None
+        # and replaying the SAME job id returns the committed version
+        job = table.log.read_version(v1)["job_id"]
+        assert table.delete(partitions=[part], job_id=job) == v1
+
+    def test_delete_nothing_matches(self, table):
+        assert table.delete(min_n_tok=10**9) is None

@@ -87,3 +87,51 @@ def test_load_roundtrip(table):
     t2 = Table.load(str(table.root))
     assert t2.schema == table.schema
     assert t2.version() == table.version()
+
+
+class TestSchemaEvolution:
+    """mergeSchema parity (reference sink option, glue_stream.py:345) with
+    BACKWARD compatibility (registry setting, glue/main.tf:38-66)."""
+
+    def test_append_merge_schema_adds_nullable_column(self, tmp_path_factory):
+        import pyarrow as pa
+
+        from realtime_clickstream_lakehouse_ray.pipelines.table import Table
+        from realtime_clickstream_lakehouse_ray.util import to_arrow_table
+
+        root = str(tmp_path_factory.mktemp("evolve") / "tokens")
+        t = build_synthetic_table(root, 2_000, rows_per_file=500)
+        rows_v1 = t.stats()["rows"]
+        new = pa.table(
+            {
+                "doc_id": pa.array([f"doc-n{i}" for i in range(3)]),
+                "tokens": pa.array([[1], [2, 3], [4]], pa.list_(pa.int32())),
+                "n_tok": pa.array([1, 2, 1], pa.int32()),
+                "source": pa.array(["web"] * 3),
+                "lang": pa.array(["en", "fr", "en"]),
+            }
+        )
+        t.append(new, merge_schema=True)
+        assert "lang" in t.schema.names
+        # reload from disk: evolution is durable
+        t2 = Table.load(root)
+        assert "lang" in t2.schema.names
+        out = to_arrow_table(t2.scan()).sort_by("doc_id")
+        assert out.num_rows == rows_v1 + 3
+        langs = out["lang"].to_pylist()
+        assert langs.count(None) == rows_v1  # old files null-fill
+        assert sorted(x for x in langs if x) == ["en", "en", "fr"]
+        # maintenance after evolution unifies files under the new schema
+        t2.compact(target_file_bytes=1 << 20)
+        out2 = to_arrow_table(t2.scan()).sort_by("doc_id")
+        assert out2["lang"].to_pylist() == out["lang"].to_pylist()
+        assert out2.schema.field("lang").type == pa.string()
+
+    def test_incompatible_evolution_rejected(self, tmp_path_factory):
+        import pyarrow as pa
+        import pytest as _pytest
+
+        root = str(tmp_path_factory.mktemp("evolve2") / "tokens")
+        t = build_synthetic_table(root, 500, rows_per_file=500)
+        with _pytest.raises(ValueError, match="incompatible"):
+            t.evolve_schema([pa.field("n_tok", pa.string())])
