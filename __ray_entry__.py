@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maintenance_compact": maintenance.maintenance_compact,
         "maintenance_zorder": maintenance.maintenance_zorder,
         "maintenance_merge": maintenance.maintenance_merge,
+        "maintenance_delete": maintenance.maintenance_delete,
         "maintenance_time_travel": maintenance.maintenance_time_travel,
         "maintenance_full_lifecycle": maintenance.maintenance_full_lifecycle,
     }
@@ -299,6 +300,11 @@ def oracle_sql() -> dict[str, str]:
         # --- maintenance: post-op scans as SQL-checkable relations ------
         "maintenance_compact": docs_scan,
         "maintenance_zorder": docs_scan,
+        "maintenance_delete": (
+            f"WITH base AS ({_DOCS_BASE}) "
+            f"SELECT {_DOC_KEY} AS doc_id, CAST(nt AS BIGINT) AS n_tok, source "
+            f"FROM base WHERE nt < 60"
+        ),
         "maintenance_time_travel": docs_scan,
         "maintenance_merge": f"""
             WITH base AS ({_DOCS_BASE})

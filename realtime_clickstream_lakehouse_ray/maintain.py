@@ -25,10 +25,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--ops",
         default="compact,zorder",
-        help="comma list: compact,zorder,merge,rewrite-manifests,expire,vacuum",
+        help="comma list: compact,zorder,merge,delete,rewrite-manifests,expire,vacuum",
     )
     p.add_argument("--target-file-mb", type=int, default=128)
     p.add_argument("--merge-source", help="parquet file/dir with the MERGE source rows")
+    p.add_argument("--delete-partitions", help="comma list for the delete op")
+    p.add_argument("--delete-min-n-tok", type=int, default=None)
+    p.add_argument("--delete-max-n-tok", type=int, default=None)
     p.add_argument("--keep-last", type=int, default=3, help="snapshots kept by expire")
     p.add_argument("--num-cpus", type=int, default=None)
     args = p.parse_args(argv)
@@ -60,6 +63,22 @@ def main(argv: list[str] | None = None) -> int:
             import pyarrow.parquet as pq
 
             results[op] = table.merge(pq.read_table(args.merge_source))
+        elif op == "delete":
+            if not (
+                args.delete_partitions
+                or args.delete_min_n_tok is not None
+                or args.delete_max_n_tok is not None
+            ):
+                p.error("delete op needs --delete-partitions / --delete-min-n-tok / --delete-max-n-tok")
+            results[op] = table.delete(
+                partitions=(
+                    [x.strip() for x in args.delete_partitions.split(",")]
+                    if args.delete_partitions
+                    else None
+                ),
+                min_n_tok=args.delete_min_n_tok,
+                max_n_tok=args.delete_max_n_tok,
+            )
         elif op == "rewrite-manifests":
             table.rewrite_manifests()
             results[op] = table.version()

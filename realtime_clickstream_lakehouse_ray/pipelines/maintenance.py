@@ -173,3 +173,12 @@ def maintenance_full_lifecycle(sf_dir: str) -> pa.Table:
     t.expire_snapshots(keep_last=2)
     t.vacuum()
     return _scan_projected(t)
+
+
+def maintenance_delete(sf_dir: str) -> pa.Table:
+    """Ingest -> compact -> predicate DELETE (n_tok >= 60) -> scan: the
+    remaining relation must equal the oracle's ``WHERE nt < 60``."""
+    t = build_from_documents(sf_dir, _scratch_root(sf_dir, "delete"))
+    t.compact(target_file_bytes=8 << 20)
+    t.delete(min_n_tok=60)
+    return _scan_projected(t)
