@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_summary": clickstream.events_daily_summary,
         "events_sessionize": clickstream.events_sessionize,
         "events_reject_path": clickstream.events_reject_path,
+        "events_asof_join": clickstream.events_asof_join,
         # --- relational surface (SURVEY.md §2.5-§2.7) -------------------
         "q1_pricing_summary": relational.q1_pricing_summary,
         "revenue_filter_project": relational.revenue_filter_project,
@@ -215,6 +216,12 @@ def oracle_sql() -> dict[str, str]:
                        epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap
                 FROM events
             ) GROUP BY user_id
+        """,
+        "events_asof_join": """
+            SELECT l.event_id, r.event_id AS prev_event_id, r.value AS prev_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "events_reject_path": """
             SELECT CASE WHEN regexp_matches(props, '^\\{\\s*"k"\\s*:\\s*\\d+\\s*\\}$')

@@ -171,3 +171,77 @@ def events_reject_path(sf_dir: str) -> ray.data.Dataset:
         .groupby("status")
         .aggregate(Count(alias_name="n"))
     )
+
+
+def events_asof_join(sf_dir: str) -> ray.data.Dataset:
+    """AS-OF join — a custom operator Ray Data lacks (task-list item:
+    "as-of join ... as a composition of map_batches + groupby().map_groups"):
+    each ``click`` event joined to the SAME user's most recent ``purchase``
+    at or before its timestamp.
+
+    Shape: ONE shuffle — both sides are pruned and tagged with
+    ``bucket = hash(user_id) % B`` in a single pass over the events table,
+    co-located by ``groupby(bucket)``, and matched inside each bucket with
+    ``pandas.merge_asof`` (C-implemented backward search, vectorized
+    across every user in the bucket).  Partitioning assumption: all rows
+    of one user land in one bucket group (guaranteed by hashing the join
+    key); bucket count bounds group size, and a hot user only skews its
+    own bucket."""
+    import numpy as np
+
+    from realtime_clickstream_lakehouse_ray.functions.hashing import hash64
+
+    ncpu = int(ray.available_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    num_buckets = max(4, ncpu)
+
+    def tag(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"], value_set=pa.array(["click", "purchase"]))
+        t = t.filter(keep)
+        bucket = (hash64(t["user_id"]) % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "value": t["value"],
+                "is_click": pc.equal(t["event_type"], "click"),
+                "__bucket": pa.array(bucket),
+            }
+        )
+
+    def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["is_click"]].sort_values("ts", kind="mergesort")
+        right = g[~g["is_click"]].sort_values("ts", kind="mergesort")
+        if not len(left) or not len(right):
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype="int64"),
+                    "prev_event_id": pd.Series(dtype="int64"),
+                    "prev_value": pd.Series(dtype="float64"),
+                }
+            )
+        m = pd.merge_asof(
+            left[["event_id", "user_id", "ts"]],
+            right[["event_id", "user_id", "ts", "value"]].rename(
+                columns={"event_id": "prev_event_id", "value": "prev_value"}
+            ),
+            on="ts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        m = m[m["prev_event_id"].notna()]
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype("int64"),
+                "prev_event_id": m["prev_event_id"].astype("int64"),
+                "prev_value": m["prev_value"].astype("float64"),
+            }
+        )
+
+    return (
+        read_events(sf_dir, columns=["event_id", "user_id", "ts", "event_type", "value"])
+        .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(asof_bucket, batch_format="pandas")
+    )
