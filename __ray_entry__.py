@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": dedup.simhash_dedup,  # approx -> rows-only
         "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
+        "embedding_dup_pairs_ivf": dedup.embedding_dup_pairs_ivf,  # approx -> rows-only
         # --- similarity search ------------------------------------------
         "knn_bruteforce": ann.knn_bruteforce,
         "knn_ivf": ann.knn_ivf,  # approximate -> rows-only

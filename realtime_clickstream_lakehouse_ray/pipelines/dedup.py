@@ -456,3 +456,66 @@ def ngram_jaccard_dedup(
     return pa.concat_tables(parts).sort_by(
         [("id_a", "ascending"), ("id_b", "ascending")]
     )
+
+
+def embedding_dup_pairs_ivf(
+    sf_dir: str, tau: float = 0.95, n_clusters: int = 16
+) -> pa.Table:
+    """Scale path for embedding near-dup: IVF-bucketed all-pairs.
+
+    Instead of every batch scoring against the FULL broadcast matrix
+    (O(n²/p) in ``embedding_dup_pairs``), vectors are assigned to their
+    nearest k-means centroid in one ``map_batches`` pass and all-pairs
+    cosine runs only WITHIN each cluster (``groupby(cluster)`` — one
+    shuffle of (cluster, id, vec) rows).  Near-dups at tau>=0.95 sit far
+    inside a cluster, so cross-cluster recall loss is small; the exact
+    variant stays the oracle.  Output schema matches
+    ``embedding_dup_pairs``; recall is asserted in tests, not the oracle.
+    """
+    from realtime_clickstream_lakehouse_ray.pipelines.ann import kmeans_fit
+
+    tune_context()
+    centroids = kmeans_fit(sf_dir, n_clusters=n_clusters)
+    c_ref = ray.put(centroids)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        ids = np.asarray(t["vec_id"])
+        sub = np.asarray(t["embedding"].combine_chunks().values).reshape(
+            len(ids), -1
+        ).astype(np.float64)
+        sub /= np.maximum(np.linalg.norm(sub, axis=1, keepdims=True), 1e-12)
+        cl = np.argmax(sub @ c.T, axis=1).astype(np.int32)
+        return pa.table(
+            {
+                "cluster": pa.array(cl),
+                "vec_id": t["vec_id"],
+                "embedding": pa.array(list(sub), type=pa.list_(pa.float64())),
+            }
+        )
+
+    def pairs_in_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy()
+        mat = np.vstack(g["embedding"].to_numpy())
+        sims = mat @ mat.T
+        ai, bj = np.nonzero((sims >= tau) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bj]})
+
+    pairs = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cluster")
+        .map_groups(pairs_in_cluster, batch_format="pandas")
+    )
+    df = pairs.to_pandas()
+    if "id_a" not in df.columns:  # every cluster group came back empty
+        return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+    df = df.sort_values(["id_a", "id_b"], ignore_index=True)
+    return pa.table(
+        {
+            "id_a": pa.array(df["id_a"].astype("int64")),
+            "id_b": pa.array(df["id_b"].astype("int64")),
+        }
+    )

@@ -162,3 +162,30 @@ def test_ngram_jaccard_planted(planted_dir):
     assert row03["inter_size"] == row03["union_size"]
     assert (0, 1) in pairs  # 2 swapped words out of 40 -> high jaccard
     assert not any(2 in p for p in pairs)  # unrelated doc pairs with no one
+
+
+def test_embedding_dup_pairs_ivf_recall(tmp_path_factory):
+    """The shared test embeddings have no near-dups (max cosine ~0.48), so
+    plant some: 30 base vectors each with a tiny-perturbation copy."""
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(30, 16))
+    near = base + rng.normal(scale=0.02, size=base.shape)
+    noise = rng.normal(size=(140, 16))
+    mat = np.vstack([base, near, noise])
+    d = tmp_path_factory.mktemp("emb")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(mat)), pa.int64()),
+                "embedding": pa.array(list(mat), pa.list_(pa.float64())),
+            }
+        ),
+        d / "embeddings.parquet",
+    )
+    exact = dedup.embedding_dup_pairs(str(d)).to_pandas()
+    approx = dedup.embedding_dup_pairs_ivf(str(d), n_clusters=8).to_pandas()
+    e = set(zip(exact["id_a"], exact["id_b"]))
+    a = set(zip(approx["id_a"], approx["id_b"]))
+    assert len(e) >= 25  # the planted copies are found by the exact op
+    assert a <= e  # no false pairs: within-cluster cosine is exact
+    assert len(e & a) / len(e) >= 0.8, (len(e & a), len(e))
