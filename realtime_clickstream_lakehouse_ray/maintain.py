@@ -25,7 +25,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--ops",
         default="compact,zorder",
-        help="comma list: compact,zorder,merge,delete,rewrite-manifests,expire,vacuum",
+        help="comma list: compact,zorder,merge,delete,restore,rewrite-manifests,expire,vacuum",
     )
     p.add_argument("--target-file-mb", type=int, default=128)
     p.add_argument("--merge-source", help="parquet file/dir with the MERGE source rows")
@@ -33,6 +33,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--delete-min-n-tok", type=int, default=None)
     p.add_argument("--delete-max-n-tok", type=int, default=None)
     p.add_argument("--keep-last", type=int, default=3, help="snapshots kept by expire")
+    p.add_argument("--restore-version", type=int, default=None, help="target for the restore op")
     p.add_argument("--num-cpus", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -79,6 +80,10 @@ def main(argv: list[str] | None = None) -> int:
                 min_n_tok=args.delete_min_n_tok,
                 max_n_tok=args.delete_max_n_tok,
             )
+        elif op == "restore":
+            if args.restore_version is None:
+                p.error("--restore-version required for the restore op")
+            results[op] = table.restore(args.restore_version)
         elif op == "rewrite-manifests":
             table.rewrite_manifests()
             results[op] = table.version()

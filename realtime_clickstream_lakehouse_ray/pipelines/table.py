@@ -833,6 +833,32 @@ class Table:
         JobCheckpoint(self.root, job_id).mark_committed(version)
         return version
 
+    # ---- RESTORE --------------------------------------------------------
+    def restore(self, version: int) -> int:
+        """Roll the table back to ``version`` as a NEW commit (Delta
+        RESTORE semantics): the restored state becomes the latest snapshot
+        while history is preserved — time travel to the undone versions
+        still works until they expire.  Purely a manifest operation: adds
+        = the target version's file set, removes = files live now but not
+        then; no data is read or written (restored files still exist
+        unless vacuumed — a vacuumed version cannot be restored)."""
+        target = {f.path: f for f in self.files(version)}
+        missing = [p for p in target if not (self.root / p).is_file()]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore v{version}: {len(missing)} files vacuumed, "
+                f"e.g. {missing[0]}"
+            )
+        current = {f.path for f in self.files()}
+        adds = [f.to_action() for p, f in sorted(target.items()) if p not in current]
+        removes = [p for p in sorted(current) if p not in target]
+        return self.log.commit(
+            adds + [{"op": "remove", "path": p} for p in removes],
+            "restore",
+            job_id=f"restore-to-v{version}-from-v{self.version()}",
+            extra={"restored_version": version},
+        )
+
     # ---- retention ------------------------------------------------------
     def rewrite_manifests(self, version: int | None = None) -> None:
         """Consolidate a version's manifest into base form (no replay)."""

@@ -299,3 +299,35 @@ class TestDelete:
 
     def test_delete_nothing_matches(self, table):
         assert table.delete(min_n_tok=10**9) is None
+
+
+class TestRestore:
+    """RESTORE (Delta parity): roll back to an old snapshot as a new
+    commit, manifest-only, history preserved."""
+
+    def test_restore_round_trip(self, tmp_path_factory):
+        from realtime_clickstream_lakehouse_ray.util import to_arrow_table
+
+        root = str(tmp_path_factory.mktemp("restore") / "tokens")
+        t = build_synthetic_table(root, 5_000, rows_per_file=500)
+        v0 = t.version()
+        before = to_arrow_table(t.scan()).sort_by("doc_id")
+        part = t.files()[0].partition
+        t.delete(partitions=[part])
+        assert t.stats()["rows"] < before.num_rows
+        v_restore = t.restore(v0)
+        assert v_restore == t.version()
+        after = to_arrow_table(t.scan()).sort_by("doc_id")
+        assert after.equals(before)  # bit-exact token arrays included
+        # history preserved: the deleted state is still time-travelable
+        assert t.log.read_version(v_restore)["restored_version"] == v0
+
+    def test_restore_vacuumed_version_fails(self, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("restore2") / "tokens")
+        t = build_synthetic_table(root, 2_000, rows_per_file=500)
+        v0 = t.version()
+        t.compact(target_file_bytes=1 << 20)
+        t.expire_snapshots(keep_last=1)
+        t.vacuum()
+        with pytest.raises(FileNotFoundError):
+            t.restore(v0)
