@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_revenue_join": relational.order_revenue_join,
         "top_orders": relational.top_orders,
         "distinct_mktsegments": relational.distinct_mktsegments,
+        "part_price_bands": relational.part_price_bands,
         # --- maintenance engine (SURVEY.md §2.12, the north rule) -------
         "maintenance_compact": maintenance.maintenance_compact,
         "maintenance_zorder": maintenance.maintenance_zorder,
@@ -217,6 +218,15 @@ def oracle_sql() -> dict[str, str]:
                        epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap
                 FROM events
             ) GROUP BY user_id
+        """,
+        "part_price_bands": """
+            WITH bands AS (
+                SELECT 900.0 + 10.0 * i AS band_lo, 910.0 + 10.0 * i AS band_hi
+                FROM (SELECT unnest(range(0, 10)) AS i)
+            )
+            SELECT p.p_partkey, b.band_lo, b.band_hi, p.p_retailprice
+            FROM part p JOIN bands b
+              ON p.p_retailprice >= b.band_lo AND p.p_retailprice < b.band_hi
         """,
         "events_asof_join": """
             SELECT l.event_id, r.event_id AS prev_event_id, r.value AS prev_value

@@ -442,3 +442,34 @@ def distinct_mktsegments(sf_dir: str) -> pa.Table:
     """Set op: distinct values (``Dataset.unique`` -> tiny table)."""
     vals = _read(sf_dir, "customer", columns=["c_mktsegment"]).unique("c_mktsegment")
     return pa.table({"c_mktsegment": pa.array(sorted(vals))})
+
+
+# ---------------------------------------------------------------------------
+def part_price_bands(sf_dir: str) -> ray.data.Dataset:
+    """Range join (custom operator Ray Data lacks; task-list item alongside
+    as-of join): each part matched to the price band whose
+    [lo, hi) interval contains its retail price.
+
+    The band table is tiny (the usual shape for range joins against
+    dimension intervals), so this is the broadcast regime: bands ship once
+    via the closure, and each batch resolves every row with ONE
+    ``np.searchsorted`` over the sorted interval starts — no shuffle at
+    all.  The DuckDB oracle is the equivalent non-equi ``BETWEEN`` join."""
+    # deterministic 10-band grid over [900, 1000): lo = 900 + 10*i
+    lo = np.arange(900.0, 1000.0, 10.0)
+
+    def band(t: pa.Table) -> pa.Table:
+        price = np.asarray(t["p_retailprice"]).astype(np.float64)
+        idx = np.searchsorted(lo, price, side="right") - 1
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"],
+                "band_lo": pa.array(lo[idx]),
+                "band_hi": pa.array(lo[idx] + 10.0),
+                "p_retailprice": t["p_retailprice"],
+            }
+        )
+
+    return _read(sf_dir, "part", columns=["p_partkey", "p_retailprice"]).map_batches(
+        band, batch_format="pyarrow", zero_copy_batch=True
+    )
