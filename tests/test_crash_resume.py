@@ -95,3 +95,104 @@ def test_sigkill_mid_compact_then_resume(tmp_path):
         str(p.relative_to(table.root)) for p in table.root.glob("source=*/*.parquet")
     }
     assert on_disk == referenced
+
+
+@pytest.mark.timeout(600)
+def test_sigkill_mid_merge_then_resume(tmp_path):
+    """Crash-resume for MERGE: kill the CLI once at least one rewrite
+    unit's lineage landed; the resumed run must produce the same table a
+    never-crashed merge yields on a pristine copy."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from realtime_clickstream_lakehouse_ray.sources.synth import gen_updates_chunk
+
+    root_a = str(tmp_path / "a" / "tokens")
+    table_a = build_synthetic_table(root_a, N_ROWS, ROWS_PER_FILE)
+    root_b = str(tmp_path / "b" / "tokens")
+    shutil.copytree(root_a, root_b)
+
+    updates = gen_updates_chunk(N_ROWS, n_updates=N_ROWS // 10, n_inserts=N_ROWS // 20)
+    src_path = str(tmp_path / "updates.parquet")
+    pq.write_table(updates, src_path)
+
+    job_id = f"merge-v{table_a.version()}"
+    ckpt = JobCheckpoint(root_a, job_id)
+
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "realtime_clickstream_lakehouse_ray.maintain",
+            "--table", root_a, "--ops", "merge", "--merge-source", src_path,
+            "--target-file-mb", "1",
+        ],
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        env=dict(os.environ, RAY_ADDRESS="local"), start_new_session=True,
+    )
+    deadline = time.time() + 240
+    while time.time() < deadline:
+        if ckpt.list_units() or proc.poll() is not None:
+            break
+        time.sleep(0.2)
+    if proc.poll() is None:
+        os.killpg(proc.pid, signal.SIGKILL)
+    proc.wait()
+
+    subprocess.run(
+        [
+            sys.executable, "-m", "realtime_clickstream_lakehouse_ray.maintain",
+            "--table", root_a, "--ops", "merge", "--merge-source", src_path,
+            "--target-file-mb", "1",
+        ],
+        cwd=REPO, capture_output=True, text=True, check=True,
+    )
+
+    # never-crashed reference merge on the pristine copy, in-process
+    table_b = Table.load(root_b)
+    table_b.merge(updates, target_file_bytes=1 << 20)
+
+    got = collect_sorted(Table.load(root_a).scan())
+    expect = collect_sorted(table_b.scan())
+    assert_tokens_equal(got, expect)
+
+
+@pytest.mark.timeout(600)
+def test_sigkill_mid_zorder_then_rerun(tmp_path):
+    """Z-order has no per-unit checkpoints (single all-to-all); a killed
+    job must leave only vacuumable orphans and a rerun must converge to
+    the same committed state."""
+    root = str(tmp_path / "tokens")
+    table = build_synthetic_table(root, N_ROWS, ROWS_PER_FILE)
+    v0 = table.version()
+
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "realtime_clickstream_lakehouse_ray.maintain",
+            "--table", root, "--ops", "zorder", "--target-file-mb", "1",
+        ],
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        env=dict(os.environ, RAY_ADDRESS="local"), start_new_session=True,
+    )
+    time.sleep(6)  # mid-flight for this table size; harmless if already done
+    if proc.poll() is None:
+        os.killpg(proc.pid, signal.SIGKILL)
+    proc.wait()
+
+    subprocess.run(
+        [
+            sys.executable, "-m", "realtime_clickstream_lakehouse_ray.maintain",
+            "--table", root, "--ops", "zorder", "--target-file-mb", "1",
+        ],
+        cwd=REPO, capture_output=True, text=True, check=True,
+    )
+    table = Table.load(root)
+    assert table.version() == v0 + 1  # exactly one zorder commit
+    got = collect_sorted(table.scan())
+    expect = expected_tokens_table(N_ROWS, ROWS_PER_FILE).sort_by("doc_id").combine_chunks()
+    assert_tokens_equal(got, expect)
+    table.vacuum()  # killed run's orphans removable
+    referenced = {f.path for v in table.log.versions() for f in table.files(v)}
+    on_disk = {
+        str(p.relative_to(table.root)) for p in table.root.glob("source=*/*.parquet")
+    }
+    assert on_disk == referenced
