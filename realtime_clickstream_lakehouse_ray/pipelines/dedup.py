@@ -415,47 +415,67 @@ def ngram_jaccard_dedup(
         mask[in_r] = keys[idx[in_r]] == b[in_r]
         return t.filter(pa.array(mask))
 
+    # grams are bucketed (g % B) before the shuffle so pair expansion costs
+    # B vectorized group calls, not one Python call per multi-member gram —
+    # the same no-per-bucket-Python rule the LSH candidate path follows
+    n_gbuckets = 64
+
+    def add_gbucket(t: pa.Table) -> pa.Table:
+        gb = (np.asarray(t["g"]) % n_gbuckets).astype(np.int32)
+        return t.append_column("__gb", pa.array(gb))
+
     def emit_pairs(gdf: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(gdf["doc_id"].to_numpy().astype(np.int64))
-        if len(ids) < 2:
-            return pd.DataFrame({"pk": np.empty(0, dtype=np.int64)})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"pk": (ids[a] << np.int64(32)) | ids[b]})
+        order = np.lexsort((gdf["doc_id"].to_numpy(), gdf["g"].to_numpy()))
+        g = gdf["g"].to_numpy()[order]
+        ids = gdf["doc_id"].to_numpy().astype(np.int64)[order]
+        change = np.nonzero(np.diff(g))[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(g)]])
+        out = []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            grp = ids[s:e]  # distinct within a gram by construction
+            a, b = np.triu_indices(len(grp), k=1)
+            out.append((grp[a] << np.int64(32)) | grp[b])
+        pk = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+        return pd.DataFrame({"pk": pk})
 
-    pair_counts = (
+    pairs_ds = (
         exploded.map_batches(filter_hot, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("g")
+        .map_batches(add_gbucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__gb")
         .map_groups(emit_pairs, batch_format="pandas")
-        .groupby("pk")
-        .aggregate(Count(alias_name="inter_size"))
     )
-
-    def finalize(t: pa.Table) -> pa.Table:
-        cids, cns = ray.get(counts_ref)
-        pk = np.asarray(t["pk"]).astype(np.int64)
-        ia = pk >> np.int64(32)
-        ib = pk & np.int64(0xFFFFFFFF)
-        inter = np.asarray(t["inter_size"]).astype(np.int64)
-        na = cns[np.searchsorted(cids, ia)]
-        nb = cns[np.searchsorted(cids, ib)]
-        union = na + nb - inter
-        ok = inter * den >= num * union
-        return pa.table(
-            {
-                "id_a": pa.array(ia[ok]),
-                "id_b": pa.array(ib[ok]),
-                "inter_size": pa.array(inter[ok]),
-                "union_size": pa.array(union[ok]),
-            }
-        )
-
-    out = pair_counts.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
-    parts = [t for t in ray.get(out.to_arrow_refs()) if len(t)]
+    # The pair multiset is O(near-dup pairs x shared grams) — orders of
+    # magnitude smaller than the corpus (and bounded when max_df is set),
+    # so the intersection count is a driver-side np.unique like any other
+    # collected aggregate.  (A distributed ``groupby("pk").aggregate(Count)``
+    # is the drop-in scale form, but Ray's groupby costs ~4.5s of fixed
+    # overhead even on 14k rows — 1/3 of this operator's wall time at test
+    # scale.)
+    parts = [t for t in ray.get(pairs_ds.to_arrow_refs()) if t.num_rows and "pk" in t.column_names]
     if not parts:
         return empty
-    return pa.concat_tables(parts).sort_by(
-        [("id_a", "ascending"), ("id_b", "ascending")]
+    pk_all = np.concatenate([np.asarray(t["pk"]) for t in parts]).astype(np.int64)
+    pk, inter = np.unique(pk_all, return_counts=True)
+
+    cids, cns = ray.get(counts_ref)
+    ia = pk >> np.int64(32)
+    ib = pk & np.int64(0xFFFFFFFF)
+    na = cns[np.searchsorted(cids, ia)]
+    nb = cns[np.searchsorted(cids, ib)]
+    union = na + nb - inter
+    ok = inter * den >= num * union
+    result = pa.table(
+        {
+            "id_a": pa.array(ia[ok]),
+            "id_b": pa.array(ib[ok]),
+            "inter_size": pa.array(inter[ok].astype(np.int64)),
+            "union_size": pa.array(union[ok]),
+        }
     )
+    return result.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
 
 
 def embedding_dup_pairs_ivf(
