@@ -48,7 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis / training-data prep -------------------------
         "text_stats": text.text_stats,
         "token_counts": text.token_counts,
-        "lang_id": text.lang_id,  # heuristic -> rows-only
+        "lang_id": text.lang_id,
         "doc_fingerprints": text.fingerprints,  # rolling fp -> rows-only
         "fingerprint_md5": lambda sf: text.fingerprints(sf).select_columns(
             ["doc_id", "fp_md5"]
@@ -134,6 +134,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "fingerprint_md5": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+        "lang_id": f"""
+            SELECT doc_id,
+                   CASE WHEN len(list_filter({words}, w -> w IN ('the','a','of','and','to','in','is','was','for','on','as','with','that','it','by','this'))) > 0
+                        THEN 'en' ELSE 'unknown' END AS lang_pred,
+                   CAST(len(list_filter({words}, w -> w IN ('the','a','of','and','to','in','is','was','for','on','as','with','that','it','by','this'))) AS BIGINT) AS en_hits,
+                   CAST(len({words}) AS BIGINT) AS n_words
+            FROM documents
+        """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, md5(text) AS fp
             FROM documents GROUP BY text

@@ -93,17 +93,24 @@ def token_counts(sf_dir: str) -> ray.data.Dataset:
 
 
 def lang_id(sf_dir: str, threshold: float = 0.0) -> ray.data.Dataset:
-    """Heuristic language id (hint-word ratio; rows-only checked)."""
+    """Heuristic language id (hint-word ratio).  Output carries the exact
+    integer numerator/denominator (en_hits, n_words) instead of a rounded
+    float score, so the DuckDB oracle comparison is integer-exact (float
+    rounding at the 6th decimal can tie-break differently across
+    engines)."""
 
     def fn(t: pa.Table) -> pa.Table:
         words = split_words(t["text"])
+        n_words = word_counts(words)
         score = language_scores(words)
+        en_hits = np.rint(score * np.maximum(n_words, 1)).astype(np.int64)
         pred = np.where(score > threshold, "en", "unknown")
         return pa.table(
             {
                 "doc_id": t["doc_id"],
                 "lang_pred": pa.array(pred),
-                "en_score": pa.array(np.round(score, 6)),
+                "en_hits": pa.array(en_hits),
+                "n_words": pa.array(n_words),
             }
         )
 
