@@ -73,17 +73,20 @@ def events_normalized(sf_dir: str) -> ray.data.Dataset:
 
 def events_partition_counts(sf_dir: str) -> ray.data.Dataset:
     """M4 partition-key routing stats: rows per partition key (the
-    reference's per-shard distribution; shard key = element/event_type)."""
-    return (
-        read_events(sf_dir, columns=["event_type"])
-        .map_batches(
-            lambda t: pa.table({"event_type": pc.fill_null(t["event_type"], "unknown")}),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        .groupby("event_type")
-        .aggregate(Count(alias_name="n"))
+    reference's per-shard distribution; shard key = element/event_type).
+
+    The key is low-cardinality and hot by design (the reference defaults
+    missing keys to "unknown", click_handler.py:164), so the count uses
+    SALTED repartitioning (functions/skew.py): the shuffle fans out over
+    (key, salt) reducers instead of concentrating each hot key on one."""
+    from realtime_clickstream_lakehouse_ray.functions.skew import salted_counts
+
+    normalized = read_events(sf_dir, columns=["event_type"]).map_batches(
+        lambda t: pa.table({"event_type": pc.fill_null(t["event_type"], "unknown")}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
+    return salted_counts(normalized, "event_type")
 
 
 def events_daily_summary(sf_dir: str) -> ray.data.Dataset:

@@ -94,3 +94,31 @@ def test_conform_table_tokens_zero_copy_type():
     tbl = pa.table({"doc_id": ["a", "b"], "tokens": tokens, "n_tok": pa.array([2, 1], pa.int32()), "source": ["web", "web"]})
     out = conform_table(tbl, TOKENS_SCHEMA)
     assert out.column("tokens").combine_chunks().equals(tokens)
+
+
+def test_salted_counts_match_plain_groupby():
+    """Salted repartitioning must be a pure execution-plan change: counts
+    identical to the naive hot-key groupby, key sharded across salts."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from realtime_clickstream_lakehouse_ray.functions.skew import add_salt, salted_counts
+
+    rng = np.random.default_rng(2)
+    # Zipf-hot key distribution: one key holds most rows
+    keys = np.where(rng.random(20_000) < 0.8, "hot", rng.choice(["a", "b", "c"], 20_000))
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(keys)}))
+    got = dict(
+        (r["k"], r["n"]) for r in salted_counts(ds, "k").to_pandas().to_dict("records")
+    )
+    exp = dict(
+        (r["k"], r["count()"])
+        for r in ds.groupby("k").aggregate(Count()).to_pandas().to_dict("records")
+    )
+    assert got == exp
+    # the hot key's rows really are spread across many salts
+    salted = add_salt(ds).to_pandas()
+    hot_salts = salted[salted["k"] == "hot"]["__salt"].nunique()
+    assert hot_salts >= 16
