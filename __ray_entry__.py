@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": relational.top_orders,
         "distinct_mktsegments": relational.distinct_mktsegments,
         "part_price_bands": relational.part_price_bands,
+        "q3_shipping_priority": relational.q3_shipping_priority,
         # --- maintenance engine (SURVEY.md §2.12, the north rule) -------
         "maintenance_compact": maintenance.maintenance_compact,
         "maintenance_zorder": maintenance.maintenance_zorder,
@@ -226,6 +227,21 @@ def oracle_sql() -> dict[str, str]:
                        epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap
                 FROM events
             ) GROUP BY user_id
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+                       / 10000.0 AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                          JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < DATE '1995-03-15'
+              AND l_shipdate  > DATE '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderdate, l_orderkey
+            LIMIT 10
         """,
         "part_price_bands": """
             WITH bands AS (

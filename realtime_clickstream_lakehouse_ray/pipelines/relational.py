@@ -473,3 +473,100 @@ def part_price_bands(sf_dir: str) -> ray.data.Dataset:
     return _read(sf_dir, "part", columns=["p_partkey", "p_retailprice"]).map_batches(
         band, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+def q3_shipping_priority(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    """TPC-H Q3 shape: 3-table join (customer ⋈ orders ⋈ lineitem) with
+    selective filters, rollup, top-k.
+
+    Composition of the engine's join regimes: the customer side collapses
+    to a broadcast KEY SET after its segment filter (semi-join), the
+    filtered orders (small fraction) broadcast as a lookup, and lineitem —
+    the big side — streams through one partial-rollup ``map_batches`` and
+    a single groupby on ``l_orderkey``.  Measures ride the exact integer
+    grid (see ``_e``) so the oracle comparison is bit-identical."""
+    cutoff = pa.scalar(np.datetime64("1995-03-15", "us"))
+
+    cust = pa.concat_tables(
+        ray.get(
+            _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_arrow_refs()
+        )
+    )
+    building = set(
+        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_pylist()
+    )
+
+    orders = pa.concat_tables(
+        ray.get(
+            _read(
+                sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+            ).to_arrow_refs()
+        )
+    )
+    orders = orders.filter(pc.less(orders["o_orderdate"], cutoff))
+    orders = orders.filter(
+        pa.array(np.isin(np.asarray(orders["o_custkey"]), np.fromiter(building, dtype=np.int64)))
+    )
+    okeys = np.asarray(orders["o_orderkey"])
+    order_ref = ray.put(
+        (
+            np.sort(okeys),
+            np.asarray(orders["o_orderdate"])[np.argsort(okeys)],
+            np.asarray(orders["o_orderpriority"])[np.argsort(okeys)],
+        )
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], cutoff))
+        keys, dates, prios = ray.get(order_ref)
+        lk = np.asarray(t["l_orderkey"])
+        idx = np.searchsorted(keys, lk)
+        ok = (idx < len(keys)) & (keys[np.minimum(idx, len(keys) - 1)] == lk)
+        t = t.filter(pa.array(ok))
+        if not t.num_rows:
+            return pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "rev_e4": pa.array([], pa.int64()),
+                }
+            )
+        dp_e4 = np.asarray(_e(t["l_extendedprice"], 100)) * (
+            100 - np.asarray(_e(t["l_discount"], 100))
+        )
+        return (
+            pa.table({"l_orderkey": t["l_orderkey"], "rev_e4": pa.array(dp_e4)})
+            .group_by("l_orderkey")
+            .aggregate([("rev_e4", "sum")])
+            .rename_columns(["l_orderkey", "rev_e4"])
+        )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        keys, dates, prios = ray.get(order_ref)
+        lk = np.asarray(t["l_orderkey"])
+        idx = np.searchsorted(keys, lk)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "revenue": pa.array(np.asarray(t["s"]).astype(np.float64) / 10000.0),
+                "o_orderdate": pa.array(dates[idx]),
+                "o_orderpriority": pa.array(prios[idx]),
+            }
+        )
+
+    rolled = (
+        _read(
+            sf_dir,
+            "lineitem",
+            columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_e4", alias_name="s"))
+        .map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return topk(
+        rolled,
+        [("revenue", "descending"), ("o_orderdate", "ascending"), ("l_orderkey", "ascending")],
+        k,
+    )
