@@ -175,13 +175,20 @@ class Table:
         _os.replace(tmp, d / f"v{version:06d}.parquet")
 
     def blooms(self, version: int | None = None) -> dict[str, bytes]:
-        """path -> Bloom bitset for the live files that have one."""
+        """path -> Bloom bitset for the live files that have one.  Reads
+        both version-level sidecars (driver-collected commits) and per-unit
+        sidecars written by the checkpointed rewrite path; entries for
+        non-live paths (rewritten files, uncommitted units) are filtered
+        out and eventually garbage-collected by ``rewrite_manifests``."""
         import pyarrow.parquet as pq
 
         d = self.root / "_blooms"
         out: dict[str, bytes] = {}
         if d.is_dir():
-            for f in sorted(d.glob("v*.parquet")):
+            sidecars = sorted(d.glob("v*.parquet")) + sorted(
+                d.glob("units/*/unit-*.parquet")
+            )
+            for f in sidecars:
                 t = pq.read_table(f)
                 out.update(zip(t["path"].to_pylist(), t["bloom"].to_pylist()))
         live = {f.path for f in self.files(version)}
@@ -637,6 +644,7 @@ class Table:
         # append the (deduped) source rows — the update + insert branches.
         # Driver-side write is fine here: broadcast regime == small source.
         src_unit = ckpt.read_unit("src-append")
+        src_entries: list[FileEntry] = []
         if src_unit is None or not all(
             (self.root / a["path"]).is_file() for a in src_unit["adds"]
         ):
@@ -647,6 +655,7 @@ class Table:
                 self.partition_col,
                 name_fn=lambda part: f"{job_id}-src{next(seq):04d}.parquet",
             )
+            src_entries = entries
             src_unit = {
                 "unit": "src-append",
                 "partition": "*",
@@ -662,6 +671,10 @@ class Table:
             adds, removes, "merge", parent, job_id,
             extra={"lineage": self._lineage_summary({**records, "src": src_unit})},
         )
+        # the src-append files' blooms (rewrite units persist theirs from
+        # inside the actors; a resumed src-append skips this — safe, just
+        # fewer skippable files until the next zorder)
+        self._write_bloom_sidecar(version, src_entries)
         ckpt.mark_committed(version)
         return version
 
@@ -861,8 +874,39 @@ class Table:
 
     # ---- retention ------------------------------------------------------
     def rewrite_manifests(self, version: int | None = None) -> None:
-        """Consolidate a version's manifest into base form (no replay)."""
-        self.log.materialize_version(version if version is not None else self.version())
+        """Consolidate a version's manifest into base form (no replay) and
+        collapse the Bloom sidecars to one file covering only live paths
+        (stale entries for rewritten files otherwise accumulate forever)."""
+        v = version if version is not None else self.version()
+        self.log.materialize_version(v)
+        live = self.blooms(v)
+        d = self.root / "_blooms"
+        if not d.is_dir():
+            return
+        old = sorted(d.glob("v*.parquet"))
+        import shutil as _shutil
+
+        units_dir = d / "units"
+        if live:
+            import os as _os
+            import uuid as _uuid
+
+            import pyarrow.parquet as pq
+
+            tbl = pa.table(
+                {
+                    "path": pa.array(sorted(live), pa.string()),
+                    "bloom": pa.array([live[p] for p in sorted(live)], pa.binary()),
+                }
+            )
+            tmp = d / f".tmp-{_uuid.uuid4().hex}.parquet"
+            pq.write_table(tbl, tmp, compression="zstd")
+            _os.replace(tmp, d / f"v{v:06d}.parquet")
+        for f in old:
+            if f.name != f"v{v:06d}.parquet":
+                f.unlink(missing_ok=True)
+        if units_dir.is_dir():
+            _shutil.rmtree(units_dir, ignore_errors=True)
 
     def expire_snapshots(self, keep_last: int) -> list[int]:
         return self.log.expire(keep_last)

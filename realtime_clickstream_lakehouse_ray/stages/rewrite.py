@@ -86,6 +86,22 @@ class BinRewriter:
 
     # -- helpers ----------------------------------------------------------
 
+    def _write_unit_bloom(self, unit, path: str, bloom: bytes) -> None:
+        import os
+        import uuid
+
+        d = self.root / "_blooms" / "units" / self.ckpt.job_id
+        d.mkdir(parents=True, exist_ok=True)
+        tbl = pa.table(
+            {
+                "path": pa.array([path], pa.string()),
+                "bloom": pa.array([bloom], pa.binary()),
+            }
+        )
+        tmp = d / f".tmp-{uuid.uuid4().hex}.parquet"
+        pq.write_table(tbl, tmp, compression="zstd")
+        os.replace(tmp, d / f"unit-{unit}.parquet")
+
     def _read_bin(self, files: list[str]) -> pa.Table:
         tables = [pq.read_table(self.root / f) for f in files]
         tbl = pa.concat_tables(tables, promote_options="default")
@@ -140,7 +156,13 @@ class BinRewriter:
             adds = []
         else:
             nbytes = write_file_atomic(tbl, self.root / out_rel)
-            adds = [file_stats(tbl, out_rel, spec["partition"], nbytes).to_action()]
+            fe = file_stats(tbl, out_rel, spec["partition"], nbytes)
+            adds = [fe.to_action()]
+            if fe.bloom is not None:
+                # per-unit Bloom sidecar: the lineage record is JSON and
+                # must stay small, so the bitset rides a parquet next to
+                # the version-level sidecars (Table.blooms reads both)
+                self._write_unit_bloom(unit, fe.path, fe.bloom)
         record = {
             "unit": unit,
             "partition": spec["partition"],

@@ -109,3 +109,21 @@ def test_merge_without_blooms_still_correct(zordered_table, tmp_path_factory):
     idx = {d: i for i, d in enumerate(out["doc_id"].to_pylist())}
     for row, d in enumerate(sample["doc_id"].to_pylist()):
         assert out["tokens"][idx[d]].as_py() == src["tokens"][row].as_py()
+
+
+def test_rewrite_manifests_consolidates_sidecars(zordered_table, tmp_path_factory):
+    import shutil
+
+    from realtime_clickstream_lakehouse_ray.pipelines.table import Table
+
+    clone = str(tmp_path_factory.mktemp("bloomrw") / "tokens")
+    shutil.copytree(str(zordered_table.root), clone)
+    t = Table.load(clone)
+    t.compact(target_file_bytes=4 << 20)  # obsoletes the zorder files' blooms
+    before = t.blooms()
+    n_sidecars = len(list((t.root / "_blooms").glob("v*.parquet")))
+    t.rewrite_manifests()
+    after_files = list((t.root / "_blooms").glob("v*.parquet"))
+    # one consolidated sidecar (or none if no live blooms), same mapping
+    assert len(after_files) <= 1
+    assert t.blooms() == before
