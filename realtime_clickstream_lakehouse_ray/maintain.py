@@ -34,6 +34,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--delete-max-n-tok", type=int, default=None)
     p.add_argument("--keep-last", type=int, default=3, help="snapshots kept by expire")
     p.add_argument("--restore-version", type=int, default=None, help="target for the restore op")
+    p.add_argument(
+        "--vacuum-min-age-seconds",
+        type=float,
+        default=None,
+        help="age guard for vacuum (default: the table's 24h safety guard)",
+    )
     p.add_argument("--num-cpus", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -90,7 +96,9 @@ def main(argv: list[str] | None = None) -> int:
         elif op == "expire":
             results[op] = table.expire_snapshots(keep_last=args.keep_last)
         elif op == "vacuum":
-            results[op] = len(table.vacuum())
+            results[op] = len(
+                table.vacuum(min_age_seconds=args.vacuum_min_age_seconds)
+            )
         else:
             p.error(f"unknown op: {op}")
 

@@ -42,20 +42,24 @@ from realtime_clickstream_lakehouse_ray.functions.textstats import (
 
 # ---- exact dedup ---------------------------------------------------------
 def exact_dedup(sf_dir: str) -> ray.data.Dataset:
-    """Keep the min doc_id per distinct text (hash-partitioned)."""
+    """Keep the min doc_id per distinct text (hash-partitioned).
+
+    The keep-first reduction is ``aggregate(Min(doc_id))`` — a fully
+    vectorized grouped aggregate — NOT ``map_groups``, which would pay one
+    Python call per distinct document (pathological when nearly every
+    document is unique)."""
+    from ray.data.aggregate import Min
+
     tune_context()
 
     def fp(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t["doc_id"], "fp": md5_fingerprints(t["text"])})
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nsmallest(1, "doc_id")
-
     return (
         ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         .map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("fp")
-        .map_groups(keep_first, batch_format="pandas")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
     )
 
 
@@ -363,6 +367,15 @@ def ngram_jaccard_dedup(
         words = split_words(t["text"])
         g, d, _ = ngram_hashes_distinct(words, n=n)
         ids = np.asarray(t["doc_id"])
+        # candidate pairs are packed as (id_a << 32) | id_b in int64
+        # downstream; ids outside [0, 2^31) would silently corrupt the
+        # pack/unpack, so reject them loudly (documented scale limit — use
+        # a surrogate dense id for wider key spaces)
+        if len(ids) and (int(ids.min()) < 0 or int(ids.max()) >= (1 << 31)):
+            raise ValueError(
+                "ngram_jaccard_dedup requires doc_id in [0, 2^31) for "
+                "int64 pair packing; re-key the corpus with dense ids"
+            )
         return pa.table(
             {
                 "g": pa.array((g >> np.uint64(1)).astype(np.int64)),

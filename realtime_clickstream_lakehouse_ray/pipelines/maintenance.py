@@ -171,7 +171,7 @@ def maintenance_full_lifecycle(sf_dir: str) -> pa.Table:
     t.merge(updates_from_documents(sf_dir))
     t.rewrite_manifests()
     t.expire_snapshots(keep_last=2)
-    t.vacuum()
+    t.vacuum(min_age_seconds=0.0)  # scratch table: reclaim immediately
     return _scan_projected(t)
 
 

@@ -460,6 +460,13 @@ def part_price_bands(sf_dir: str) -> ray.data.Dataset:
 
     def band(t: pa.Table) -> pa.Table:
         price = np.asarray(t["p_retailprice"]).astype(np.float64)
+        # inner-join semantics: rows outside [lo[0], lo[-1]+10) match no
+        # band interval and are DROPPED (mirrors the oracle's BETWEEN join;
+        # without the mask, searchsorted would silently clamp out-of-range
+        # prices into the edge bands)
+        in_range = (price >= lo[0]) & (price < lo[-1] + 10.0)
+        t = t.filter(pa.array(in_range))
+        price = price[in_range]
         idx = np.searchsorted(lo, price, side="right") - 1
         return pa.table(
             {
@@ -484,30 +491,71 @@ def q3_shipping_priority(sf_dir: str, k: int = 10) -> ray.data.Dataset:
     to a broadcast KEY SET after its segment filter (semi-join), the
     filtered orders (small fraction) broadcast as a lookup, and lineitem —
     the big side — streams through one partial-rollup ``map_batches`` and
-    a single groupby on ``l_orderkey``.  Measures ride the exact integer
-    grid (see ``_e``) so the oracle comparison is bit-identical."""
+    a single groupby on ``l_orderkey``.  Both build sides run their
+    filters DISTRIBUTED (``map_batches``) and only the surviving keys are
+    collected for broadcast — the driver never holds an unfiltered table.
+    Measures ride the exact integer grid (see ``_e``) so the oracle
+    comparison is bit-identical."""
     cutoff = pa.scalar(np.datetime64("1995-03-15", "us"))
 
-    cust = pa.concat_tables(
-        ray.get(
-            _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_arrow_refs()
+    # build side 1: BUILDING-segment customer keys (distributed filter,
+    # collect the small surviving key column only)
+    cust_keys = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(
+                ["c_custkey"]
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
     )
-    building = set(
-        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_pylist()
+    building = np.sort(
+        np.concatenate(
+            [np.asarray(t["c_custkey"]) for t in ray.get(cust_keys.to_arrow_refs())]
+            or [np.array([], dtype=np.int64)]
+        )
     )
+    bld_ref = ray.put(building)
+
+    # build side 2: pre-cutoff orders of those customers (distributed
+    # date filter + broadcast semi-join; collect only the survivors)
+    def filter_orders(t: pa.Table) -> pa.Table:
+        keys = ray.get(bld_ref)
+        t = t.filter(pc.less(t["o_orderdate"], cutoff))
+        ck = np.asarray(t["o_custkey"])
+        idx = np.searchsorted(keys, ck)
+        ok = np.zeros(len(t), dtype=bool)
+        in_r = idx < len(keys)
+        ok[in_r] = keys[idx[in_r]] == ck[in_r]
+        return t.filter(pa.array(ok)).select(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        )
 
     orders = pa.concat_tables(
         ray.get(
             _read(
-                sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
-            ).to_arrow_refs()
+                sf_dir,
+                "orders",
+                columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+            )
+            .map_batches(filter_orders, batch_format="pyarrow", zero_copy_batch=True)
+            .to_arrow_refs()
         )
     )
-    orders = orders.filter(pc.less(orders["o_orderdate"], cutoff))
-    orders = orders.filter(
-        pa.array(np.isin(np.asarray(orders["o_custkey"]), np.fromiter(building, dtype=np.int64)))
-    )
+    if orders.num_rows == 0:
+        # empty-guard: no qualifying orders -> empty result (searchsorted
+        # over an empty key array would otherwise index at -1)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "revenue": pa.array([], pa.float64()),
+                    "o_orderdate": pa.array([], pa.timestamp("us")),
+                    "o_orderpriority": pa.array([], pa.string()),
+                }
+            )
+        )
     okeys = np.asarray(orders["o_orderkey"])
     order_ref = ray.put(
         (

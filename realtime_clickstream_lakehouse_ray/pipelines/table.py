@@ -911,10 +911,20 @@ class Table:
     def expire_snapshots(self, keep_last: int) -> list[int]:
         return self.log.expire(keep_last)
 
-    def vacuum(self, dry_run: bool = False, min_age_seconds: float = 0.0) -> list[str]:
+    DEFAULT_VACUUM_MIN_AGE = 24 * 3600.0
+
+    def vacuum(
+        self, dry_run: bool = False, min_age_seconds: float | None = None
+    ) -> list[str]:
         """Delete data files referenced by NO retained snapshot (post-expire
         garbage + crashed-job orphans).  ``min_age_seconds`` guards files an
-        in-flight job may be about to commit."""
+        in-flight job may be about to commit; the default (24 h, mirroring
+        Delta's retention-guard stance) means a vacuum run concurrent with
+        an in-flight maintenance job can never delete that job's
+        not-yet-committed output — pass ``0.0`` explicitly for scratch
+        tables where immediate reclamation is wanted."""
+        if min_age_seconds is None:
+            min_age_seconds = self.DEFAULT_VACUUM_MIN_AGE
         referenced: set[str] = set()
         for v in self.log.versions():
             try:

@@ -88,7 +88,7 @@ def test_sigkill_mid_compact_then_resume(tmp_path):
     # no torn outputs left behind: on-disk files == union of snapshots
     # (modulo .tmp-* leftovers of the kill itself, which vacuum removes)
     torn = [p for p in table.root.glob("source=*/.tmp-*") ]
-    removed = table.vacuum()
+    removed = table.vacuum(min_age_seconds=0.0)
     assert {p.name for p in torn} <= {r.rsplit("/", 1)[-1] for r in removed} | set()
     referenced = {f.path for v in table.log.versions() for f in table.files(v)}
     on_disk = {
@@ -190,7 +190,7 @@ def test_sigkill_mid_zorder_then_rerun(tmp_path):
     got = collect_sorted(table.scan())
     expect = expected_tokens_table(N_ROWS, ROWS_PER_FILE).sort_by("doc_id").combine_chunks()
     assert_tokens_equal(got, expect)
-    table.vacuum()  # killed run's orphans removable
+    table.vacuum(min_age_seconds=0.0)  # killed run's orphans removable
     referenced = {f.path for v in table.log.versions() for f in table.files(v)}
     on_disk = {
         str(p.relative_to(table.root)) for p in table.root.glob("source=*/*.parquet")

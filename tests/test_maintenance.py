@@ -208,7 +208,7 @@ class TestRetention:
         assert expired == [1]
         with pytest.raises(FileNotFoundError):
             table.scan(version=1)
-        removed = table.vacuum()
+        removed = table.vacuum(min_age_seconds=0.0)
         assert removed  # v1's small files are gone
         n_disk_after = len(list(table.root.glob("source=*/*.parquet")))
         assert n_disk_after == n_disk_before - len(removed)
@@ -219,6 +219,20 @@ class TestRetention:
         referenced = {f.path for v in table.log.versions() for f in table.files(v)}
         on_disk = {str(p.relative_to(table.root)) for p in table.root.glob("source=*/*.parquet")}
         assert on_disk == referenced
+
+    def test_vacuum_default_age_guard_spares_young_files(self, tmp_path_factory):
+        """Default vacuum must NOT delete just-written unreferenced files
+        (an in-flight job's about-to-commit output looks exactly like
+        this); only an explicit min_age_seconds=0.0 reclaims them."""
+        table = _fresh(tmp_path_factory, "vacuum_guard")
+        table.compact(target_file_bytes=TARGET)
+        table.expire_snapshots(keep_last=1)
+        # the pre-compaction files are now unreferenced but seconds old
+        assert table.vacuum() == []  # default 24h guard: nothing deleted
+        candidates = table.vacuum(dry_run=True, min_age_seconds=0.0)
+        assert candidates  # they ARE reclaimable once the guard is waived
+        assert table.vacuum(min_age_seconds=0.0) == candidates
+        assert_tokens_equal(collect_sorted(table.scan()), _expected())
 
     def test_snapshot_isolation_reader_unaffected_by_commit(self, tmp_path_factory):
         table = _fresh(tmp_path_factory, "isolation")
@@ -328,6 +342,6 @@ class TestRestore:
         v0 = t.version()
         t.compact(target_file_bytes=1 << 20)
         t.expire_snapshots(keep_last=1)
-        t.vacuum()
+        t.vacuum(min_age_seconds=0.0)
         with pytest.raises(FileNotFoundError):
             t.restore(v0)
