@@ -138,23 +138,52 @@ def events_sessionize(sf_dir: str, gap_seconds: int = 1800) -> ray.data.Dataset:
     the previous event exceeds ``gap_seconds``.
 
     Ray Data has no event-time windowing; the engine's windowed-aggregate
-    operator is ``groupby(user).map_groups`` over ts-sorted groups (the
-    partitioning assumption: one user's events fit in one group — holds
-    because sessions are per-user state, the reference's per-shard
-    ordering guarantee restated)."""
+    operator is a BUCKETED shuffle (``bucket = hash(user_id) % B``, same
+    template as ``events_asof_join``): all users in a bucket are
+    sessionized with ONE vectorized sort + diff + reduceat — B Python
+    calls total, not one per user.  Partitioning assumption: all rows of
+    one user land in one bucket group (guaranteed by hashing the key);
+    a hot user only skews its own bucket."""
+    import numpy as np
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values()
-        gaps = ts.diff().dt.total_seconds()
-        n_sessions = int((gaps > gap_seconds).sum()) + 1
+    from realtime_clickstream_lakehouse_ray.functions.hashing import hash64
+
+    ncpu = int(ray.available_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    num_buckets = max(4, ncpu)
+
+    def tag(t: pa.Table) -> pa.Table:
+        bucket = (hash64(t["user_id"]) % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table(
+            {"user_id": t["user_id"], "ts": t["ts"], "__bucket": pa.array(bucket)}
+        )
+
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort", ignore_index=True)
+        uid = g["user_id"].to_numpy()
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        n = len(g)
+        new_user = np.ones(n, dtype=bool)
+        new_session = np.ones(n, dtype=np.int64)
+        if n > 1:
+            new_user[1:] = uid[1:] != uid[:-1]
+            gap_s = (ts_us[1:] - ts_us[:-1]) / 1e6
+            new_session[1:] = (new_user[1:] | (gap_s > gap_seconds)).astype(np.int64)
+        starts = np.nonzero(new_user)[0]
+        n_events = np.diff(np.append(starts, n))
+        n_sessions = np.add.reduceat(new_session, starts) if n else np.array([], dtype=np.int64)
         return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_events": [len(g)], "n_sessions": [n_sessions]}
+            {
+                "user_id": uid[starts],
+                "n_events": n_events.astype(np.int64),
+                "n_sessions": n_sessions.astype(np.int64),
+            }
         )
 
     return (
         read_events(sf_dir, columns=["user_id", "ts"])
-        .groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
+        .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(sessions_bucket, batch_format="pandas")
     )
 
 

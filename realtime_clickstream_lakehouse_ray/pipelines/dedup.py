@@ -302,22 +302,20 @@ def embedding_dup_pairs(sf_dir: str, tau: float = 0.95) -> pa.Table:
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     ref = ray.put((ids, mat))
 
-    class PairFinder:
-        def __init__(self):
-            self.ids, self.mat = ray.get(ref)
+    def pair_finder(t: pa.Table) -> pa.Table:
+        # stateless task; the broadcast matrix is fetched once per worker
+        from realtime_clickstream_lakehouse_ray.functions.broadcast import get_broadcast
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            bids = np.asarray(t["vec_id"])
-            sub = np.asarray(t["embedding"].combine_chunks().values).reshape(len(bids), -1).astype(np.float64)
-            sub /= np.maximum(np.linalg.norm(sub, axis=1, keepdims=True), 1e-12)
-            sims = sub @ self.mat.T
-            bi, gj = np.nonzero((sims >= tau) & (bids[:, None] < self.ids[None, :]))
-            return pa.table(
-                {"id_a": pa.array(bids[bi]), "id_b": pa.array(self.ids[gj])}
-            )
+        ids_g, mat_g = get_broadcast(ref)
+        bids = np.asarray(t["vec_id"])
+        sub = np.asarray(t["embedding"].combine_chunks().values).reshape(len(bids), -1).astype(np.float64)
+        sub /= np.maximum(np.linalg.norm(sub, axis=1, keepdims=True), 1e-12)
+        sims = sub @ mat_g.T
+        bi, gj = np.nonzero((sims >= tau) & (bids[:, None] < ids_g[None, :]))
+        return pa.table({"id_a": pa.array(bids[bi]), "id_b": pa.array(ids_g[gj])})
 
     pairs = emb_ds.map_batches(
-        PairFinder, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+        pair_finder, batch_format="pyarrow", zero_copy_batch=True
     )
     out = pa.concat_tables(ray.get(pairs.to_arrow_refs()))
     return out.sort_by([("id_a", "ascending"), ("id_b", "ascending")])

@@ -8,9 +8,18 @@ from __future__ import annotations
 
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data
 
 from realtime_clickstream_lakehouse_ray.stages.multimodal import FrameSampler, ImageFeatures
+
+
+def _pool_size() -> tuple[int, int]:
+    """Actor-pool bounds sized to the cluster, not a hard cap (round 1's
+    fixed ``(1, 4)`` starved these stages at 32 CPUs); the pool still
+    autoscales down for tiny inputs."""
+    ncpu = int(ray.available_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return (1, max(4, ncpu))
 
 
 def _payload_ds(sf_dir: str) -> ray.data.Dataset:
@@ -32,7 +41,7 @@ def image_features(sf_dir: str) -> ray.data.Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=256,
-        concurrency=(1, 4),
+        concurrency=_pool_size(),
     )
 
 
@@ -56,5 +65,5 @@ def frame_samples(sf_dir: str) -> ray.data.Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=512,
-        concurrency=(1, 4),
+        concurrency=_pool_size(),
     )

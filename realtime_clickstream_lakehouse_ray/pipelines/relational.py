@@ -173,20 +173,24 @@ def region_supplier_rollup(sf_dir: str) -> ray.data.Dataset:
         {int(nk): r2name[rk] for nk, rk in n2r.items()}
     )
 
-    class JoinDims:
-        def __init__(self):
-            lut = ray.get(lookup_ref)  # fetched once per actor
-            size = max(lut) + 1
-            self.names = np.array([lut.get(i, "") for i in range(size)], dtype=object)
+    def _dense_names(lut: dict) -> np.ndarray:
+        size = max(lut) + 1
+        return np.array([lut.get(i, "") for i in range(size)], dtype=object)
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            nk = np.asarray(t["s_nationkey"])
-            return pa.table(
-                {
-                    "r_name": pa.array(self.names[nk]),
-                    "acct_e2": _e(t["s_acctbal"], 100),
-                }
-            )
+    def join_dims(t: pa.Table) -> pa.Table:
+        # stateless task; the lookup is fetched + densified once per
+        # worker process (functions/broadcast.py), so parallelism is not
+        # capped by an actor-pool size
+        from realtime_clickstream_lakehouse_ray.functions.broadcast import get_broadcast
+
+        names = get_broadcast(lookup_ref, _dense_names)
+        nk = np.asarray(t["s_nationkey"])
+        return pa.table(
+            {
+                "r_name": pa.array(names[nk]),
+                "acct_e2": _e(t["s_acctbal"], 100),
+            }
+        )
 
     def finalize(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -199,7 +203,7 @@ def region_supplier_rollup(sf_dir: str) -> ray.data.Dataset:
 
     return (
         _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
-        .map_batches(JoinDims, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4))
+        .map_batches(join_dims, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("r_name")
         .aggregate(
             Count(alias_name="n_suppliers"),
@@ -254,28 +258,27 @@ def top_customers_by_revenue(sf_dir: str, k: int = 10) -> ray.data.Dataset:
     )
     cust_ref = ray.put(cust)
 
-    class AddName:
-        def __init__(self):
-            c = ray.get(cust_ref)
-            keys = np.asarray(c["c_custkey"])
-            order = np.argsort(keys)
-            self.keys = keys[order]
-            self.names = np.asarray(c["c_name"])[order]
+    def _sorted_lookup(c: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        keys = np.asarray(c["c_custkey"])
+        order = np.argsort(keys)
+        return keys[order], np.asarray(c["c_name"])[order]
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            idx = np.searchsorted(self.keys, np.asarray(t["o_custkey"]))
-            return pa.table(
-                {
-                    "o_custkey": t["o_custkey"],
-                    "revenue": pa.array(np.asarray(t["rev_e2"]).astype(np.float64) / 100.0),
-                    "n_orders": t["n_orders"],
-                    "c_name": pa.array(self.names[idx]),
-                }
-            )
+    def add_name(t: pa.Table) -> pa.Table:
+        # stateless task; broadcast lookup fetched + sorted once per worker
+        from realtime_clickstream_lakehouse_ray.functions.broadcast import get_broadcast
 
-    named = agg.map_batches(
-        AddName, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
-    )
+        keys, names = get_broadcast(cust_ref, _sorted_lookup)
+        idx = np.searchsorted(keys, np.asarray(t["o_custkey"]))
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "revenue": pa.array(np.asarray(t["rev_e2"]).astype(np.float64) / 100.0),
+                "n_orders": t["n_orders"],
+                "c_name": pa.array(names[idx]),
+            }
+        )
+
+    named = agg.map_batches(add_name, batch_format="pyarrow", zero_copy_batch=True)
     return topk(named, [("revenue", "descending"), ("o_custkey", "ascending")], k)
 
 

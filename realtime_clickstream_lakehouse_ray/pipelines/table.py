@@ -685,12 +685,20 @@ class Table:
         job_id: str | None,
         concurrency: int | tuple[int, int],
     ) -> int:
-        """Hash-shuffle MERGE for large sources: tag priority, union, group
-        by key, keep the highest-priority row per key, rewrite the table."""
+        """Hash-shuffle MERGE for large sources: tag priority + bucket,
+        union, group by BUCKET (not key), keep the highest-priority row per
+        key with one vectorized Arrow sort per bucket, rewrite the table.
+
+        Grouping on ``hash(key) % B`` instead of the key itself costs B
+        Python calls total rather than one per key (pathological over a
+        full table) — the same shape as ``bucket_hash_join``
+        (pipelines/relational.py)."""
         job_id = job_id or f"merge-v{parent}"
         done = self.log.find_commit_by_job(job_id)
         if done is not None:
             return done
+        from realtime_clickstream_lakehouse_ray.functions.hashing import hash64
+
         tune_context()  # groupby shuffle uses the sort path
         if isinstance(source, pa.Table):
             # keep-latest is well-defined driver-side; inside the shuffle the
@@ -698,10 +706,17 @@ class Table:
             source = _dedup_keep_latest(conform_table(source, self.schema), self.key_col)
             source = ray.data.from_arrow(source)
 
+        ncpu = int(ray.available_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        num_buckets = max(8, ncpu * 2)
+        key_col = self.key_col
+
         def _tag(prio: int):
             def fn(t: pa.Table) -> pa.Table:
                 t = conform_table(t, self.schema)
-                return t.append_column("__prio", pa.array(np.full(t.num_rows, prio, dtype=np.int8)))
+                bucket = (hash64(t[key_col]) % np.uint64(num_buckets)).astype(np.int32)
+                return t.append_column(
+                    "__prio", pa.array(np.full(t.num_rows, prio, dtype=np.int8))
+                ).append_column("__bucket", pa.array(bucket))
             return fn
 
         target = self.scan(version=parent).map_batches(
@@ -709,16 +724,18 @@ class Table:
         )
         src = source.map_batches(_tag(1), batch_format="pyarrow", zero_copy_batch=True)
 
-        def keep_winner(group: pa.Table) -> pa.Table:
-            # one key per group; source (prio=1) beats target, last source
-            # row wins among duplicates
-            prio = group.column("__prio")
-            mx = pc.max(prio).as_py()
-            winners = group.filter(pc.equal(prio, mx))
-            return winners.slice(winners.num_rows - 1, 1).drop_columns(["__prio"])
+        def keep_winner_bucket(group: pa.Table) -> pa.Table:
+            # all keys of a bucket at once: Arrow C++ sort by (key, prio),
+            # then keep each key's LAST row (max prio; source beats target)
+            g = group.sort_by([(key_col, "ascending"), ("__prio", "ascending")])
+            k = np.asarray(g[key_col])
+            last = np.ones(len(k), dtype=bool)
+            if len(k) > 1:
+                last[:-1] = k[1:] != k[:-1]
+            return g.filter(pa.array(last)).drop_columns(["__prio", "__bucket"])
 
-        merged = target.union(src).groupby(self.key_col).map_groups(
-            keep_winner, batch_format="pyarrow"
+        merged = target.union(src).groupby("__bucket").map_groups(
+            keep_winner_bucket, batch_format="pyarrow"
         )
         stats_ds = merged.map_batches(
             make_file_writer(str(self.root), self.schema, self.partition_col),

@@ -60,35 +60,28 @@ def text_stats(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-class BpeishTokenCounter:
-    """Stateful stage: the tokenizer regex is compiled once per actor
-    (reference pattern: module-level client at Lambda cold start,
-    click_handler.py:14-23); per batch it's one vectorized RE2 scan."""
-
-    def __init__(self):
-        self.pattern = BPE_PATTERN
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        words = split_words(t["text"])
-        n_ws = word_counts(words)
-        n_bpe = np.asarray(
-            pc.count_substring_regex(t["text"], self.pattern)
-        ).astype(np.int64)
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "n_tok_ws": pa.array(n_ws),
-                "n_tok_bpe": pa.array(n_bpe),
-            }
-        )
+def _bpeish_token_counts(t: pa.Table) -> pa.Table:
+    """Per batch: one vectorized RE2 scan (Arrow caches the compiled
+    pattern per process, so this is a stateless task — no actor-pool cap
+    on parallelism; round 1's fixed 4-actor pool starved this stage at
+    32 CPUs)."""
+    words = split_words(t["text"])
+    n_ws = word_counts(words)
+    n_bpe = np.asarray(
+        pc.count_substring_regex(t["text"], BPE_PATTERN)
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_tok_ws": pa.array(n_ws),
+            "n_tok_bpe": pa.array(n_bpe),
+        }
+    )
 
 
 def token_counts(sf_dir: str) -> ray.data.Dataset:
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        BpeishTokenCounter,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(1, 4),
+        _bpeish_token_counts, batch_format="pyarrow", zero_copy_batch=True
     )
 
 
