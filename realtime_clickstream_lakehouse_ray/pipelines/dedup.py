@@ -64,11 +64,12 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
 
 
 # ---- connected components (driver-side over the verified pair set) ------
-def _union_find_groups(ids: np.ndarray, pairs: list[tuple[int, int]]) -> dict[int, int]:
-    """Map doc_id -> group representative (min member).  The pair set is
-    the *verified* candidate output — tiny relative to the corpus — so a
-    driver-side union-find is the right tool (same role as collecting an
-    aggregate)."""
+def _union_find_groups(pairs: Iterable[tuple[int, int]]) -> dict[int, int]:
+    """Map doc_id -> group representative (min member) for every id that
+    appears in a verified pair.  The pair set is the *verified* candidate
+    output — tiny relative to the corpus — so a driver-side union-find is
+    the right tool (same role as collecting an aggregate); ids not in any
+    pair are their own representative and never enter this dict."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -81,7 +82,123 @@ def _union_find_groups(ids: np.ndarray, pairs: list[tuple[int, int]]) -> dict[in
         ra, rb = find(int(a)), find(int(b))
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    return {int(i): find(int(i)) for i in ids}
+    return {x: find(x) for x in parent}
+
+
+# ---- distributed pair machinery (shared by the LSH dedup family) ---------
+_PACK_MASK = np.int64(0xFFFFFFFF)
+
+
+def _check_pack_ids(ids: np.ndarray) -> None:
+    """Pairs are packed as (id_a << 32) | id_b in int64; ids outside
+    [0, 2^31) would silently corrupt the pack — reject them loudly
+    (documented scale limit; re-key wider spaces with dense ids)."""
+    if len(ids) and (int(ids.min()) < 0 or int(ids.max()) >= (1 << 31)):
+        raise ValueError(
+            "dedup pair packing requires doc_id in [0, 2^31); "
+            "re-key the corpus with dense ids"
+        )
+
+
+def _bucket_candidate_pairs(bands: ray.data.Dataset, cap: int = 200) -> np.ndarray:
+    """Candidate pairs from co-bucketed (doc_id, bkey) rows, DISTRIBUTED:
+    rows are grouped by ``bkey % B`` (one shuffle, B vectorized Python
+    calls — never one per bucket, and never a driver-side expansion loop);
+    inside each group every multi-member bucket emits its pairs packed as
+    int64.  Only the packed pair set — candidate-proportional, the size of
+    any collected aggregate — returns to the driver, deduplicated.
+
+    ``cap`` skips degenerate mega-buckets (an adversarial constant column
+    would otherwise cost O(cap'²) per bucket)."""
+    ncpu = int(ray.available_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    n_buckets = max(16, ncpu)
+
+    def tag(t: pa.Table) -> pa.Table:
+        gb = (np.asarray(t["bkey"]) % n_buckets).astype(np.int32)
+        return t.append_column("__gb", pa.array(gb))
+
+    def emit(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("bkey", "ascending"), ("doc_id", "ascending")])
+        bk = np.asarray(g["bkey"])
+        ids = np.asarray(g["doc_id"]).astype(np.int64)
+        _check_pack_ids(ids)
+        change = np.nonzero(np.diff(bk))[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(bk)]])
+        out = []
+        for s, e in zip(starts, ends):
+            if not (2 <= e - s <= cap):
+                continue
+            grp = np.unique(ids[s:e])
+            if len(grp) < 2:
+                continue
+            a, b = np.triu_indices(len(grp), k=1)
+            out.append((grp[a] << np.int64(32)) | grp[b])
+        pk = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+        return pa.table({"pk": pa.array(np.unique(pk))})
+
+    parts = (
+        bands.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__gb")
+        .map_groups(emit, batch_format="pyarrow")
+    )
+    chunks = [
+        np.asarray(t["pk"])
+        for t in ray.get(parts.to_arrow_refs())
+        if t.num_rows and "pk" in t.column_names
+    ]
+    return np.unique(np.concatenate(chunks)) if chunks else np.empty(0, dtype=np.int64)
+
+
+def _filter_to_ids(ids_ref):
+    """Batch filter keeping rows whose doc_id is in the broadcast sorted
+    id array (fetched once per worker)."""
+    from realtime_clickstream_lakehouse_ray.functions.broadcast import get_broadcast
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys = get_broadcast(ids_ref)
+        d = np.asarray(t["doc_id"])
+        idx = np.searchsorted(keys, d)
+        mask = np.zeros(len(t), dtype=bool)
+        in_r = idx < len(keys)
+        mask[in_r] = keys[idx[in_r]] == d[in_r]
+        return t.filter(pa.array(mask))
+
+    return fn
+
+
+def _assign_groups(sf_dir: str, groups: dict[int, int]) -> ray.data.Dataset:
+    """(doc_id, group, keep) for EVERY document, assigned distributed: the
+    verified group map (candidate ids only) is broadcast as two sorted
+    arrays; each batch resolves membership with one searchsorted — the
+    corpus-sized output never exists on the driver."""
+    from realtime_clickstream_lakehouse_ray.functions.broadcast import get_broadcast
+
+    keys = np.fromiter(sorted(groups), dtype=np.int64, count=len(groups))
+    reps = np.array([groups[int(k)] for k in keys], dtype=np.int64)
+    ref = ray.put((keys, reps))
+
+    def assign(t: pa.Table) -> pa.Table:
+        k, r = get_broadcast(ref)
+        ids = np.asarray(t["doc_id"]).astype(np.int64)
+        grp = ids.copy()
+        if len(k):
+            idx = np.searchsorted(k, ids)
+            in_r = idx < len(k)
+            found = np.zeros(len(ids), dtype=bool)
+            found[in_r] = k[idx[in_r]] == ids[in_r]
+            grp[found] = r[idx[found]]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "group": pa.array(grp),
+                "keep": pa.array(grp == ids),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---- MinHash + LSH -------------------------------------------------------
@@ -108,53 +225,20 @@ def _minhash_bands_stage(n_perm: int, n_bands: int, k: int):
     return fn
 
 
-def _bucket_candidate_pairs(bands: ray.data.Dataset, cap: int = 200) -> set[tuple[int, int]]:
-    """Candidate pairs from co-bucketed rows WITHOUT per-group Python:
-    1) aggregate bucket counts (shuffle of tiny (bkey, n) rows),
-    2) broadcast the >1 bucket key set,
-    3) vectorized filter of the bands rows to just those buckets (tiny),
-    4) driver-side pair expansion per hot bucket.
-    Replaces groupby().map_groups(), which pays a Python call per bucket —
-    pathological when nearly every bucket has exactly one member."""
-    from ray.data.aggregate import Count
-
-    counts = bands.groupby("bkey").aggregate(Count(alias_name="n"))
-    hot = counts.map_batches(
-        lambda t: t.filter(pc.greater(t["n"], 1)),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).to_pandas()
-    if not len(hot):
-        return set()
-    hot_keys = np.sort(hot["bkey"].to_numpy())
-    ref = ray.put(hot_keys)
-
-    def only_hot(t: pa.Table) -> pa.Table:
-        keys = ray.get(ref)
-        mask = np.zeros(len(t), dtype=bool)
-        b = np.asarray(t["bkey"])
-        idx = np.searchsorted(keys, b)
-        in_range = idx < len(keys)
-        mask[in_range] = keys[idx[in_range]] == b[in_range]
-        return t.filter(pa.array(mask))
-
-    rows = bands.map_batches(only_hot, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-    rows = rows.sort_values(["bkey", "doc_id"], ignore_index=True)
-    bk = rows["bkey"].to_numpy()
-    ids = rows["doc_id"].to_numpy()
-    change = np.nonzero(np.diff(bk))[0] + 1
-    starts = np.concatenate([[0], change])
-    ends = np.concatenate([change, [len(bk)]])
-    out: set[tuple[int, int]] = set()
-    for s, e in zip(starts, ends):
-        m = e - s
-        if 2 <= m <= cap:
-            grp = np.unique(ids[s:e])
-            if len(grp) < 2:
-                continue
-            a, b = np.triu_indices(len(grp), k=1)
-            out.update(zip(grp[a].tolist(), grp[b].tolist()))
-    return out
+def _distinct_shingles(t: pa.Table, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc DISTINCT shingle hashes for a batch: (flat sorted-unique
+    hashes, doc positions).  Same shingle definition as the banding stage
+    and the exact-Jaccard verifier."""
+    words = split_words(t["text"])
+    flat, n_sh = shingle_hashes(words, k=k)
+    doc_idx = np.repeat(np.arange(len(n_sh), dtype=np.int64), n_sh)
+    order = np.lexsort((flat, doc_idx))
+    g, d = flat[order], doc_idx[order]
+    if len(g):
+        keep = np.ones(len(g), dtype=bool)
+        keep[1:] = (d[1:] != d[:-1]) | (g[1:] != g[:-1])
+        g, d = g[keep], d[keep]
+    return g, d
 
 
 def minhash_lsh_dedup(
@@ -163,10 +247,16 @@ def minhash_lsh_dedup(
     n_perm: int = 128,
     n_bands: int = 32,
     k: int = 3,
-) -> pa.Table:
-    """Near-dup dedup: shingle -> minhash -> LSH bucket aggregate ->
-    candidate pairs -> exact-Jaccard verify -> connected components.
-    Returns (doc_id, group, keep) for every document."""
+) -> ray.data.Dataset:
+    """Near-dup dedup: shingle -> minhash -> LSH banding -> DISTRIBUTED
+    candidate pairs -> DISTRIBUTED exact-Jaccard verify (inverted-index
+    intersection counts, the ``ngram_jaccard_dedup`` shape) -> driver
+    union-find over the verified pairs only -> distributed group
+    assignment.  Returns (doc_id, group, keep) for every document.
+
+    Nothing corpus-proportional ever reaches the driver: the driver holds
+    the candidate pair set, per-candidate gram counts, and the verified
+    pairs — all aggregates of the (small by LSH design) candidate set."""
     tune_context()
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     bands = docs.map_batches(
@@ -174,47 +264,130 @@ def minhash_lsh_dedup(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    cand_pairs = _bucket_candidate_pairs(bands)
+    cand_pk = _bucket_candidate_pairs(bands)
 
-    # exact verification of the candidate docs' shingle sets (broadcast the
-    # candidate subset only — tiny)
-    all_ids_tbl = pa.concat_tables(ray.get(docs.to_arrow_refs()))
-    cand_ids = sorted({x for p in cand_pairs for x in p})
     verified: list[tuple[int, int]] = []
-    if cand_ids:
-        id_arr = np.asarray(all_ids_tbl["doc_id"])
-        sel = np.isin(id_arr, np.asarray(cand_ids))
-        sub = all_ids_tbl.filter(pa.array(sel))
-        words = split_words(sub["text"])
-        flat, n_sh = shingle_hashes(words, k=k)
-        starts = np.zeros(len(n_sh), dtype=np.int64)
-        np.cumsum(n_sh[:-1], out=starts[1:])
-        sets = {
-            int(d): flat[s : s + int(n)]
-            for d, s, n in zip(np.asarray(sub["doc_id"]), starts, n_sh)
-        }
-        for a, b in sorted(cand_pairs):
-            if exact_jaccard(sets[a], sets[b]) >= threshold:
-                verified.append((a, b))
+    if len(cand_pk):
+        ia = cand_pk >> np.int64(32)
+        ib = cand_pk & _PACK_MASK
+        cand_ids = np.unique(np.concatenate([ia, ib]))
+        ids_ref = ray.put(cand_ids)
+        pk_ref = ray.put(cand_pk)
 
-    ids = np.asarray(all_ids_tbl["doc_id"])
-    groups = _union_find_groups(ids, verified)
-    group_arr = np.array([groups[int(i)] for i in ids], dtype=np.int64)
-    return pa.table(
-        {
-            "doc_id": pa.array(ids),
-            "group": pa.array(group_arr),
-            "keep": pa.array(group_arr == ids),
-        }
-    ).sort_by("doc_id")
+        # candidate docs' distinct shingles, exploded to (g, doc_id) rows
+        # in a distributed map_batches over the pruned read
+        def explode(t: pa.Table) -> pa.Table:
+            g, d = _distinct_shingles(t, k)
+            ids = np.asarray(t["doc_id"]).astype(np.int64)
+            return pa.table(
+                {
+                    "g": pa.array((g >> np.uint64(1)).astype(np.int64)),
+                    "doc_id": pa.array(ids[d]),
+                }
+            )
+
+        sub = docs.map_batches(
+            _filter_to_ids(ids_ref), batch_format="pyarrow", zero_copy_batch=True
+        )
+        exploded = sub.map_batches(
+            explode, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+
+        # per-candidate distinct-gram counts: per-batch partials (docs never
+        # split across batches), tiny driver reduce
+        def count_rows(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t["doc_id"]).astype(np.int64)
+            u, c = np.unique(ids, return_counts=True)
+            return pa.table(
+                {"doc_id": pa.array(u, pa.int64()), "n": pa.array(c.astype(np.int64), pa.int64())}
+            )
+
+        cnt_parts = pa.concat_tables(
+            [
+                t
+                for t in ray.get(
+                    exploded.map_batches(
+                        count_rows, batch_format="pyarrow", zero_copy_batch=True
+                    ).to_arrow_refs()
+                )
+                if t.num_rows and "doc_id" in t.column_names
+            ]
+        )
+        cids = np.asarray(cnt_parts["doc_id"])
+        cns_raw = np.asarray(cnt_parts["n"])
+        order = np.argsort(cids)
+        cids, cns = cids[order], cns_raw[order]
+
+        # intersection sizes via the pair-keyed shuffle: grams bucketed by
+        # g % B, each bucket group emits packed pairs RESTRICTED to the
+        # candidate pair set; |A ∩ B| = multiplicity of the pair
+        ncpu = int(ray.available_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        n_gbuckets = max(16, ncpu)
+
+        def add_gb(t: pa.Table) -> pa.Table:
+            gb = (np.asarray(t["g"]) % n_gbuckets).astype(np.int32)
+            return t.append_column("__gb", pa.array(gb))
+
+        def emit_cand_pairs(g: pa.Table) -> pa.Table:
+            from realtime_clickstream_lakehouse_ray.functions.broadcast import get_broadcast
+
+            pk_keys = get_broadcast(pk_ref)
+            g = g.sort_by([("g", "ascending"), ("doc_id", "ascending")])
+            gv = np.asarray(g["g"])
+            ids = np.asarray(g["doc_id"]).astype(np.int64)
+            change = np.nonzero(np.diff(gv))[0] + 1
+            starts = np.concatenate([[0], change])
+            ends = np.concatenate([change, [len(gv)]])
+            out = []
+            for s, e in zip(starts, ends):
+                if e - s < 2:
+                    continue
+                grp = ids[s:e]  # distinct within a gram by construction
+                a, b = np.triu_indices(len(grp), k=1)
+                out.append((grp[a] << np.int64(32)) | grp[b])
+            pk = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+            if len(pk):
+                idx = np.searchsorted(pk_keys, pk)
+                in_r = idx < len(pk_keys)
+                keep = np.zeros(len(pk), dtype=bool)
+                keep[in_r] = pk_keys[idx[in_r]] == pk[in_r]
+                pk = pk[keep]
+            return pa.table({"pk": pa.array(pk)})
+
+        pair_parts = (
+            exploded.map_batches(add_gb, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("__gb")
+            .map_groups(emit_cand_pairs, batch_format="pyarrow")
+        )
+        chunks = [
+            np.asarray(t["pk"])
+            for t in ray.get(pair_parts.to_arrow_refs())
+            if t.num_rows and "pk" in t.column_names
+        ]
+        if chunks:
+            pk_all = np.concatenate(chunks)
+            pk_u, inter = np.unique(pk_all, return_counts=True)
+            pa_ = pk_u >> np.int64(32)
+            pb_ = pk_u & _PACK_MASK
+            na = cns[np.searchsorted(cids, pa_)]
+            nb = cns[np.searchsorted(cids, pb_)]
+            union = na + nb - inter
+            # same expression shape as functions.minhash.exact_jaccard
+            ok = inter / np.maximum(union, 1) >= threshold
+            verified = list(zip(pa_[ok].tolist(), pb_[ok].tolist()))
+
+    return _assign_groups(sf_dir, _union_find_groups(verified))
 
 
 # ---- SimHash -------------------------------------------------------------
-def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> pa.Table:
+def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
     """SimHash near-dup: 64-bit signature, 4x16-bit LSH bands (pigeonhole:
-    any pair within Hamming distance 3 shares a band), verify Hamming.
-    Candidate generation uses the same aggregate->broadcast-filter shape as
-    MinHash (no per-bucket Python)."""
+    any pair within Hamming distance 3 shares a band), DISTRIBUTED verify:
+    the signature travels with each band row, so every bucket group checks
+    Hamming in place and emits only CONFIRMED pairs — the driver receives
+    the verified pair set alone (the union-find input, candidate-
+    proportional), never signatures or corpus rows.  Group assignment is a
+    distributed searchsorted over the broadcast group map."""
     from realtime_clickstream_lakehouse_ray.functions.hashing import splitmix64
 
     tune_context()
@@ -229,6 +402,8 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> pa.Table:
         for b in range(4):
             band_key[:, b] = (sig >> np.uint64(16 * b)) & np.uint64(0xFFFF)
         bkey = splitmix64(band_key.reshape(-1) ^ (band_id << np.uint64(48))) >> np.uint64(1)
+        # NOTE: sig column carries sig>>1 (Arrow int64-safe); Hamming on the
+        # 63 kept bits — bit 0's loss is absorbed by the distance threshold
         return pa.table(
             {
                 "doc_id": pa.array(np.repeat(np.asarray(t["doc_id"]), 4)),
@@ -238,55 +413,61 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> pa.Table:
         )
 
     bands = docs.map_batches(sig_stage, batch_format="pyarrow", zero_copy_batch=True)
-    cand_pairs = _bucket_candidate_pairs(bands.select_columns(["doc_id", "bkey"]))
+    pk = _bucket_verified_pairs_hamming(bands, max_hamming)
+    verified = list(zip((pk >> np.int64(32)).tolist(), (pk & _PACK_MASK).tolist()))
+    return _assign_groups(sf_dir, _union_find_groups(verified))
 
-    verified: list[tuple[int, int]] = []
-    if cand_pairs:
-        cand_ids = np.sort(np.array(sorted({x for p in cand_pairs for x in p})))
-        ref = ray.put(cand_ids)
 
-        def only_cand(t: pa.Table) -> pa.Table:
-            keys = ray.get(ref)
-            d = np.asarray(t["doc_id"])
-            idx = np.searchsorted(keys, d)
-            in_r = idx < len(keys)
-            mask = np.zeros(len(t), dtype=bool)
-            mask[in_r] = keys[idx[in_r]] == d[in_r]
-            return t.filter(pa.array(mask))
+def _bucket_verified_pairs_hamming(
+    bands: ray.data.Dataset, max_hamming: int, cap: int = 200
+) -> np.ndarray:
+    """Hamming-verified pairs from co-bucketed (doc_id, bkey, sig) rows,
+    one shuffle: group by ``bkey % B``, and inside each bucket compute the
+    pairwise Hamming distance on the co-located signatures — candidate
+    generation and verification fused into the same distributed stage.
+    Returns the deduplicated packed (a<<32|b) pair array."""
+    ncpu = int(ray.available_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    n_buckets = max(16, ncpu)
 
-        sig_rows = (
-            bands.map_batches(only_cand, batch_format="pyarrow", zero_copy_batch=True)
-            .to_pandas()
-            .drop_duplicates("doc_id")
-        )
-        # NOTE: sig column carries sig>>1; hamming on shifted sigs only
-        # loses bit 0 — compensate by comparing at (max_hamming) on 63 bits
-        # plus re-deriving bit 0 is unnecessary for near-dup semantics
-        sigmap = dict(zip(sig_rows["doc_id"], sig_rows["sig"]))
-        a = np.array([p[0] for p in sorted(cand_pairs)], dtype=np.int64)
-        b = np.array([p[1] for p in sorted(cand_pairs)], dtype=np.int64)
-        sa = np.array([sigmap[int(x)] for x in a], dtype=np.uint64)
-        sb = np.array([sigmap[int(x)] for x in b], dtype=np.uint64)
-        d = hamming64(sa, sb)
-        ok = d <= max_hamming
-        verified = list(zip(a[ok].tolist(), b[ok].tolist()))
+    def tag(t: pa.Table) -> pa.Table:
+        gb = (np.asarray(t["bkey"]) % n_buckets).astype(np.int32)
+        return t.append_column("__gb", pa.array(gb))
 
-    ids = np.asarray(
-        pa.concat_tables(
-            ray.get(
-                ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).to_arrow_refs()
-            )
-        )["doc_id"]
+    def emit(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("bkey", "ascending"), ("doc_id", "ascending")])
+        bk = np.asarray(g["bkey"])
+        ids = np.asarray(g["doc_id"]).astype(np.int64)
+        sig = np.asarray(g["sig"]).astype(np.uint64)
+        _check_pack_ids(ids)
+        change = np.nonzero(np.diff(bk))[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(bk)]])
+        out = []
+        for s, e in zip(starts, ends):
+            if not (2 <= e - s <= cap):
+                continue
+            grp, first = np.unique(ids[s:e], return_index=True)
+            if len(grp) < 2:
+                continue
+            gs = sig[s:e][first]
+            a, b = np.triu_indices(len(grp), k=1)
+            ok = hamming64(gs[a], gs[b]) <= max_hamming
+            if ok.any():
+                out.append((grp[a[ok]] << np.int64(32)) | grp[b[ok]])
+        pk = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+        return pa.table({"pk": pa.array(np.unique(pk))})
+
+    parts = (
+        bands.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__gb")
+        .map_groups(emit, batch_format="pyarrow")
     )
-    groups = _union_find_groups(ids, verified)
-    group_arr = np.array([groups[int(i)] for i in ids], dtype=np.int64)
-    return pa.table(
-        {
-            "doc_id": pa.array(ids),
-            "group": pa.array(group_arr),
-            "keep": pa.array(group_arr == ids),
-        }
-    ).sort_by("doc_id")
+    chunks = [
+        np.asarray(t["pk"])
+        for t in ray.get(parts.to_arrow_refs())
+        if t.num_rows and "pk" in t.column_names
+    ]
+    return np.unique(np.concatenate(chunks)) if chunks else np.empty(0, dtype=np.int64)
 
 
 # ---- embedding cosine near-dup ------------------------------------------

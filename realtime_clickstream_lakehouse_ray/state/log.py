@@ -196,9 +196,18 @@ class SnapshotLog:
 
     def materialize_version(self, version: int) -> None:
         """Manifest rewrite: consolidate ``version`` in place into a base
-        snapshot (identical state, full ``add`` list, no replay needed)."""
+        snapshot (identical state, full ``add`` list, no replay needed).
+
+        The ingest bookmark (``source_files``, see ``pipelines/ingest.py``)
+        is folded in as the union over every retained version up to
+        ``version`` — snapshot expiry deletes those payloads, and without
+        the fold a rerun would re-ingest their files (duplicate rows)."""
         snap = self.snapshot(version)
         old = self.read_version(version)
+        src: set[str] = set()
+        for v in self.versions():
+            if v <= version:
+                src.update(self.read_version(v).get("source_files", []))
         payload = {
             "version": version,
             "parent": old.get("parent", version - 1),
@@ -208,6 +217,8 @@ class SnapshotLog:
             "consolidated": True,
             "actions": [dict(a, op="add") for a in snap["files"]],
         }
+        if src:
+            payload["source_files"] = sorted(src)
         atomic_replace(self._path(version), json.dumps(payload))
 
     def expire(self, keep_last: int) -> list[int]:

@@ -131,3 +131,36 @@ def test_composed_ingest_job_bookmark_and_partitioning(tmp_path_factory):
     # snapshot commit carries the bookmark + reject lineage
     v1 = table.log.read_version(r1["version"])
     assert v1["source_files"] == [str(f1)] and v1["rejects"] == 1
+
+
+def test_ingest_bookmark_survives_snapshot_expiry(tmp_path_factory):
+    """Snapshot expiry consolidates the oldest retained version; the fold
+    in ``SnapshotLog.materialize_version`` must carry every expired
+    version's ``source_files`` so a rerun stays a no-op (no duplicate
+    ingestion after retention maintenance)."""
+    from realtime_clickstream_lakehouse_ray.pipelines import ingest
+
+    d = tmp_path_factory.mktemp("ingestexp")
+    files = []
+    for i in range(3):
+        f = d / f"part{i}.jsonl"
+        f.write_text(json.dumps({**CANONICAL, "timestamp": f"2023-09-1{5 + i}T00:00:00Z"}))
+        files.append(str(f))
+    root = str(d / "clicks_table")
+
+    for f in files:  # three separate ingest commits
+        assert ingest.ingest_clicks([f], root)["files"] == 1
+
+    table = ingest.clicks_table(root)
+    expired = table.expire_snapshots(keep_last=1)
+    assert expired  # the first two ingest commits' payloads are gone
+
+    # bookmark survives the consolidation: full rerun is a no-op
+    r = ingest.ingest_clicks(files, root)
+    assert r == {"version": None, "files": 0, "rows": 0, "rejects": 0}
+    assert ingest.clicks_table(root).stats()["rows"] == 3
+
+    # and a rewrite_manifests on its own also keeps it
+    table.rewrite_manifests()
+    r2 = ingest.ingest_clicks(files, root)
+    assert r2["files"] == 0
