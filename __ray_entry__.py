@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maintenance_merge": maintenance.maintenance_merge,
         "maintenance_delete": maintenance.maintenance_delete,
         "maintenance_time_travel": maintenance.maintenance_time_travel,
+        "maintenance_time_travel_ts": maintenance.maintenance_time_travel_ts,
         "maintenance_full_lifecycle": maintenance.maintenance_full_lifecycle,
     }
 
@@ -348,6 +349,7 @@ def oracle_sql() -> dict[str, str]:
             f"FROM base WHERE nt < 60"
         ),
         "maintenance_time_travel": docs_scan,
+        "maintenance_time_travel_ts": docs_scan,
         "maintenance_merge": f"""
             WITH base AS ({_DOCS_BASE})
             SELECT {_DOC_KEY} AS doc_id, CAST(nt AS BIGINT) AS n_tok, source FROM (

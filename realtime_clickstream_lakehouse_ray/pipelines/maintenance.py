@@ -162,6 +162,29 @@ def maintenance_time_travel(sf_dir: str) -> pa.Table:
     return _scan_projected(t, version=v_ingest)
 
 
+def maintenance_time_travel_ts(sf_dir: str) -> pa.Table:
+    """Timestamp time travel (Delta ``timestampAsOf``, reference
+    README.md:176): capture a wall-clock instant after the ingest commit,
+    run compact + merge, then ``scan(as_of=that_instant)`` — it must
+    resolve to the ingest snapshot and reproduce the original relation."""
+    import time
+
+    t = build_from_documents(sf_dir, _scratch_root(sf_dir, "ttts"))
+    ts_after_ingest = time.time()
+    time.sleep(0.02)  # commit timestamps are wall-clock; keep them distinct
+    t.compact(target_file_bytes=8 << 20)
+    t.merge(updates_from_documents(sf_dir))
+    got = pa.concat_tables(
+        ray.get(
+            t.scan(as_of=ts_after_ingest, columns=["doc_id", "n_tok", "source"]).to_arrow_refs()
+        )
+    )
+    got = got.set_column(
+        got.column_names.index("n_tok"), "n_tok", got["n_tok"].cast(pa.int64())
+    )
+    return got.sort_by("doc_id").combine_chunks()
+
+
 def maintenance_full_lifecycle(sf_dir: str) -> pa.Table:
     """compact + zorder + merge + manifest rewrite + expire + vacuum, then
     scan latest — the flagship maintenance pipeline (bench headline)."""

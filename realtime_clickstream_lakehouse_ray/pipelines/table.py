@@ -121,7 +121,7 @@ class Table:
         return [
             {
                 k: self.log.read_version(v).get(k)
-                for k in ("version", "parent", "operation", "job_id", "base")
+                for k in ("version", "parent", "operation", "job_id", "base", "timestamp")
             }
             for v in self.log.versions()
         ]
@@ -201,12 +201,21 @@ class Table:
         partitions: Sequence[str] | None = None,
         min_n_tok: int | None = None,
         max_n_tok: int | None = None,
+        as_of: float | None = None,
         **read_kwargs: Any,
     ) -> ray.data.Dataset:
         """Snapshot-pinned scan: plan ``read_parquet`` over exactly the files
         of ``version``; prune files by partition value and n_tok stats
         before any data is read (the engine's answer to the reference's
-        ``parquet.filterPushdown`` at glue_stream.py:295-301)."""
+        ``parquet.filterPushdown`` at glue_stream.py:295-301).
+
+        ``as_of`` is timestamp time travel (Delta ``timestampAsOf``,
+        reference README.md:176): resolve the latest commit at or before
+        the given UNIX timestamp.  Mutually exclusive with ``version``."""
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass either version= or as_of=, not both")
+            version = self.log.version_at(as_of)
         files = self.files(version)
         if partitions is not None:
             parts = set(partitions)
@@ -317,9 +326,18 @@ class Table:
             batch_size=rows_per_file,
         )
         entries = self._collect_stats(stats_ds)
-        version = self.log.commit(
-            [e.to_action() for e in entries], "append", job_id=None, extra=extra
-        )
+        # append-only commits remove nothing, so losing the optimistic race
+        # is ALWAYS rebase-safe: retry against the new latest (Delta's
+        # append conflict resolution; lets concurrent writer processes
+        # interleave without coordination)
+        actions = [e.to_action() for e in entries]
+        for attempt in range(64):
+            try:
+                version = self.log.commit(actions, "append", job_id=None, extra=extra)
+                break
+            except CommitConflict:
+                if attempt == 63:
+                    raise
         self._write_bloom_sidecar(version, entries)
         return version
 

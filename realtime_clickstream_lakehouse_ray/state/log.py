@@ -145,6 +145,23 @@ class SnapshotLog:
     def files(self, version: int | None = None) -> list[FileEntry]:
         return [FileEntry.from_action(a) for a in self.snapshot(version)["files"]]
 
+    def version_at(self, timestamp: float) -> int:
+        """Timestamp time travel (Delta ``timestampAsOf``,
+        /root/reference/README.md:176): the latest retained version whose
+        commit timestamp is <= ``timestamp``.  Raises if the timestamp
+        precedes every retained commit (matching Delta's behavior for a
+        timestamp before table creation / outside retention)."""
+        best: int | None = None
+        for v in self.versions():
+            ts = self.read_version(v).get("timestamp")
+            if ts is not None and ts <= timestamp:
+                best = v
+        if best is None:
+            raise FileNotFoundError(
+                f"no retained commit at or before timestamp {timestamp}"
+            )
+        return best
+
     def find_commit_by_job(self, job_id: str) -> int | None:
         """Scan the retained log for a commit tagged with ``job_id`` (idempotence)."""
         for v in reversed(self.versions()):
@@ -162,13 +179,19 @@ class SnapshotLog:
         job_id: str | None = None,
         base: bool = False,
         extra: dict[str, Any] | None = None,
+        timestamp: float | None = None,
     ) -> int:
         """Publish the next version atomically; raise CommitConflict on race.
 
         ``parent`` (when given) enforces compare-and-swap semantics: the
         commit only succeeds as version ``parent + 1``, so a maintenance job
         planned against version P cannot clobber a concurrent commit.
+        ``timestamp`` (driver-suppliable for deterministic tests, wall clock
+        by default) is what ``version_at`` resolves timestamp time travel
+        against.
         """
+        import time as _time
+
         self.log_dir.mkdir(parents=True, exist_ok=True)
         latest = self.latest_version()
         if parent is None:
@@ -184,6 +207,7 @@ class SnapshotLog:
             "operation": operation,
             "job_id": job_id,
             "base": base,
+            "timestamp": timestamp if timestamp is not None else _time.time(),
             "actions": list(actions),
         }
         if extra:
@@ -215,6 +239,7 @@ class SnapshotLog:
             "job_id": old.get("job_id"),
             "base": True,
             "consolidated": True,
+            "timestamp": old.get("timestamp"),
             "actions": [dict(a, op="add") for a in snap["files"]],
         }
         if src:

@@ -345,3 +345,47 @@ class TestRestore:
         t.vacuum(min_age_seconds=0.0)
         with pytest.raises(FileNotFoundError):
             t.restore(v0)
+
+
+class TestTimestampTimeTravel:
+    """Delta ``timestampAsOf`` parity: commits carry wall-clock (or
+    driver-supplied) timestamps; ``scan(as_of=ts)`` resolves the latest
+    commit at or before ts (reference README.md:176)."""
+
+    def test_version_at_resolution(self, tmp_path_factory):
+        root = tmp_path_factory.mktemp("ttts") / "tokens"
+        t = Table.create(str(root))
+        # deterministic driver-supplied timestamps
+        t.log.commit([], "a", timestamp=100.0)
+        t.log.commit([], "b", timestamp=200.0)
+        t.log.commit([], "c", timestamp=300.0)
+        assert t.log.version_at(100.0) == 1
+        assert t.log.version_at(250.0) == 2
+        assert t.log.version_at(1e12) == 3  # after last -> latest
+        with pytest.raises(FileNotFoundError):
+            t.log.version_at(99.9)  # before table creation
+
+    def test_scan_as_of_reproduces_old_snapshot(self, tmp_path_factory):
+        import time
+
+        root = tmp_path_factory.mktemp("ttts2") / "tokens"
+        t = build_synthetic_table(str(root), 600, 100)
+        ts_ingest = time.time()
+        time.sleep(0.02)
+        t.compact(target_file_bytes=TARGET)
+        t.merge(gen_updates_chunk(600, n_updates=50, n_inserts=10, seed=9))
+        expected = expected_tokens_table(600, 100).sort_by("doc_id").combine_chunks()
+        got = collect_sorted(t.scan(as_of=ts_ingest))
+        assert_tokens_equal(got, expected)
+        # as_of and version are mutually exclusive
+        with pytest.raises(ValueError):
+            t.scan(version=1, as_of=ts_ingest)
+
+    def test_timestamp_survives_consolidation(self, tmp_path_factory):
+        root = tmp_path_factory.mktemp("ttts3") / "tokens"
+        t = Table.create(str(root))
+        t.log.commit([], "a", timestamp=100.0)
+        t.log.commit([], "b", timestamp=200.0)
+        t.log.materialize_version(2)
+        assert t.log.read_version(2)["timestamp"] == 200.0
+        assert t.log.version_at(250.0) == 2
