@@ -59,13 +59,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": dedup.simhash_dedup,  # approx -> rows-only
         "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
-        "embedding_dup_pairs_ivf": dedup.embedding_dup_pairs_ivf,  # approx -> rows-only
+        # IVF emits only exact-cosine-verified pairs (guaranteed subset of
+        # the exact result), and multi-probe assignment gives full recall on
+        # the corpus -> the exact-pairs SQL is a true oracle
+        "embedding_dup_pairs_ivf": dedup.embedding_dup_pairs_ivf,
         # --- similarity search ------------------------------------------
         "knn_bruteforce": ann.knn_bruteforce,
-        "knn_ivf": ann.knn_ivf,  # approximate -> rows-only
+        # exhaustive-probe configuration (nprobe == n_clusters) is exact by
+        # construction -> shares the brute-force oracle; the approximate
+        # regime (nprobe < n_clusters) is covered by the pytest recall test
+        "knn_ivf": lambda sf: ann.knn_ivf(sf, nprobe=16),
         # --- multimodal (stubbed codec, real plumbing) ------------------
         "image_metadata": multimodal.image_metadata,
-        "image_features": multimodal.image_features,  # stub -> rows-only
+        "image_features": multimodal.image_features_flat,
         "frame_samples": multimodal.frame_samples,
         # --- clickstream conformance (SURVEY.md §2.3 M1-M9) -------------
         "events_normalized": clickstream.events_normalized,
@@ -185,6 +191,40 @@ def oracle_sql() -> dict[str, str]:
                 LIMIT 10
             ) n
             WHERE q.vec_id < 5
+        """,
+        "knn_ivf": """
+            SELECT q.vec_id AS query_id, n.neighbor_id
+            FROM embeddings q, LATERAL (
+                SELECT e.vec_id AS neighbor_id
+                FROM embeddings e WHERE e.vec_id <> q.vec_id
+                ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
+                LIMIT 10
+            ) n
+            WHERE q.vec_id < 5
+        """,
+        "embedding_dup_pairs_ivf": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+        """,
+        "image_features": """
+            WITH b AS (
+                SELECT doc_id, text, md5(text) AS h,
+                       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                       greatest(CAST(octet_length(encode(text)) AS BIGINT), 1) AS l
+                FROM documents)
+            SELECT doc_id, n_bytes,
+                   CAST(CAST(('0x' || substr(h, 1, 8)) AS UBIGINT) % 1920 + 16 AS BIGINT) AS width,
+                   CAST(CAST(('0x' || substr(h, 9, 8)) AS UBIGINT) % 1080 + 16 AS BIGINT) AS height,
+                   CAST(len(regexp_extract_all(text, '[\\x00-\\x1f]')) AS DOUBLE) / l AS f0,
+                   CAST(len(regexp_extract_all(text, '[\\x20-\\x3f]')) AS DOUBLE) / l AS f1,
+                   CAST(len(regexp_extract_all(text, '[\\x40-\\x5f]')) AS DOUBLE) / l AS f2,
+                   CAST(len(regexp_extract_all(text, '[\\x60-\\x7f]')) AS DOUBLE) / l AS f3,
+                   CAST(len(regexp_extract_all(text, '[\\x80-\\x9f]')) AS DOUBLE) / l AS f4,
+                   CAST(len(regexp_extract_all(text, '[\\xa0-\\xbf]')) AS DOUBLE) / l AS f5,
+                   CAST(len(regexp_extract_all(text, '[\\xc0-\\xdf]')) AS DOUBLE) / l AS f6,
+                   CAST(len(regexp_extract_all(text, '[\\xe0-\\xff]')) AS DOUBLE) / l AS f7
+            FROM b
         """,
         "image_metadata": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes

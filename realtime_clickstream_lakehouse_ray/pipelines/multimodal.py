@@ -67,3 +67,28 @@ def frame_samples(sf_dir: str) -> ray.data.Dataset:
         batch_size=512,
         concurrency=_pool_size(),
     )
+
+
+def image_features_flat(sf_dir: str) -> ray.data.Dataset:
+    """``image_features`` with the feature vector flattened to scalar
+    columns (f0..f7) — the driver-oracle-checkable projection: dims come
+    from md5 hex substrings and features are the byte-bucket histogram
+    (``byte >> 5``) over the payload, both DuckDB-expressible for ASCII
+    payloads."""
+
+    def flatten(t: pa.Table) -> pa.Table:
+        feats = t["features"].combine_chunks()
+        vals = pc.list_flatten(feats).to_numpy().reshape(len(t), -1)
+        cols = {
+            "doc_id": t["doc_id"],
+            "n_bytes": t["n_bytes"],
+            "width": t["width"],
+            "height": t["height"],
+        }
+        for i in range(vals.shape[1]):
+            cols[f"f{i}"] = pa.array(vals[:, i], pa.float64())
+        return pa.table(cols)
+
+    return image_features(sf_dir).map_batches(
+        flatten, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -16,7 +16,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from realtime_clickstream_lakehouse_ray.functions.hashing import hash64
 
 try:  # pragma: no cover - PIL absent in this container by design
     from PIL import Image  # noqa: F401
@@ -47,16 +46,24 @@ class ImageFeatures:
         )
 
     def _decode_stub(self, payloads: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Deterministic fake decode: dims from the payload hash, features
-        from the true byte histogram (real vectorized compute over the
-        binary buffers — only the codec itself is faked)."""
-        h = hash64(payloads.cast(pa.string()))
-        width = (h % np.uint64(1920) + np.uint64(16)).astype(np.int64)
-        height = ((h >> np.uint64(17)) % np.uint64(1080) + np.uint64(16)).astype(np.int64)
+        """Deterministic fake decode: dims from the payload's md5 (so the
+        driver's DuckDB oracle can reproduce them: ``md5(text)`` hex
+        substrings), features from the true byte histogram (real vectorized
+        compute over the binary buffers — only the codec itself is faked)."""
+        import hashlib
+
         big = payloads.cast(pa.large_binary())
-        offsets = np.frombuffer(
+        offs = np.frombuffer(
             big.buffers()[1], dtype=np.int64, count=len(big) + 1, offset=big.offset * 8
         )
+        mv = memoryview(big.buffers()[2])
+        # md5 is per-row by nature (C call per payload; the pool amortizes)
+        hexes = [hashlib.md5(mv[offs[i]: offs[i + 1]]).hexdigest() for i in range(len(big))]
+        w = np.array([int(h[:8], 16) for h in hexes], dtype=np.uint64)
+        hh = np.array([int(h[8:16], 16) for h in hexes], dtype=np.uint64)
+        width = (w % np.uint64(1920) + np.uint64(16)).astype(np.int64)
+        height = (hh % np.uint64(1080) + np.uint64(16)).astype(np.int64)
+        offsets = offs
         data = np.frombuffer(big.buffers()[2], dtype=np.uint8)
         feats = np.zeros((len(big), self.FEATURE_DIM), dtype=np.float64)
         doc_idx = np.repeat(np.arange(len(big)), offsets[1:] - offsets[:-1])
