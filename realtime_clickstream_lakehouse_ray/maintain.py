@@ -95,6 +95,8 @@ def main(argv: list[str] | None = None) -> int:
             results[op] = table.version()
         elif op == "expire":
             results[op] = table.expire_snapshots(keep_last=args.keep_last)
+        elif op == "metrics":
+            results[op] = table.metrics()
         elif op == "vacuum":
             results[op] = len(
                 table.vacuum(min_age_seconds=args.vacuum_min_age_seconds)

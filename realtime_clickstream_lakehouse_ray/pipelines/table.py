@@ -251,6 +251,53 @@ class Table:
             "min_n_tok", "max_n_tok", "min_key", "max_key", "sum_tok", "bloom",
         )}) for r in rows]
 
+    def _start_op(self) -> None:
+        """Mark the start of a public op; the next commit computes the op's
+        wall-clock duration from this (the observability surface a user
+        alerts on — reference parity: CloudWatch job metrics, README
+        monitoring section)."""
+        import time as _time
+
+        self._op_t0 = _time.perf_counter()
+
+    def _op_metrics(self, adds: list[dict]) -> dict[str, Any]:
+        import time as _time
+
+        t0 = self.__dict__.pop("_op_t0", None)
+        m: dict[str, Any] = {
+            "rows_written": sum(a.get("rows") or 0 for a in adds),
+            "bytes_written": sum(a.get("bytes") or 0 for a in adds),
+        }
+        if t0 is not None:
+            m["duration_sec"] = round(_time.perf_counter() - t0, 3)
+            if m["duration_sec"] > 0:
+                m["rows_per_sec"] = round(m["rows_written"] / m["duration_sec"], 1)
+        return m
+
+    def metrics(self) -> list[dict[str, Any]]:
+        """Per-commit op metrics from the log: operation, wall-clock
+        duration, files/rows/bytes written and removed, throughput.  This
+        is the queryable per-op timing surface the reference delegates to
+        CloudWatch dashboards (README monitoring claims); alerts hang off
+        e.g. ``metrics()[-1]["duration_sec"]`` or a rows_per_sec floor."""
+        out = []
+        for v in self.log.versions():
+            p = self.log.read_version(v)
+            adds = [a for a in p.get("actions", []) if a.get("op") == "add"]
+            rems = [a for a in p.get("actions", []) if a.get("op") == "remove"]
+            row = {
+                "version": v,
+                "operation": p.get("operation"),
+                "timestamp": p.get("timestamp"),
+                "files_added": len(adds),
+                "files_removed": len(rems),
+            }
+            row.update(p.get("metrics") or {})
+            row.setdefault("rows_written", sum(a.get("rows") or 0 for a in adds))
+            row.setdefault("bytes_written", sum(a.get("bytes") or 0 for a in adds))
+            out.append(row)
+        return out
+
     def _commit_with_rebase(
         self,
         adds: list[dict],
@@ -263,6 +310,8 @@ class Table:
         """Optimistic commit; on conflict, rebase if the files we remove are
         all still live in the new latest version (append-only interleaving),
         else fail — the Ray-native form of Delta's conflict detection."""
+        extra = dict(extra or {})
+        extra.setdefault("metrics", self._op_metrics(adds))
         actions = list(adds) + [{"op": "remove", "path": p} for p in removes]
         try:
             return self.log.commit(actions, operation, parent=parent, job_id=job_id, extra=extra)
@@ -308,6 +357,7 @@ class Table:
         ``extra`` rides on the commit payload (e.g. ingest bookmarks);
         ``merge_schema=True`` widens the table schema with the data's new
         columns first (the sink's mergeSchema option, glue_stream.py:345)."""
+        self._start_op()
         if merge_schema:
             incoming = (
                 data.schema
@@ -331,6 +381,8 @@ class Table:
         # append conflict resolution; lets concurrent writer processes
         # interleave without coordination)
         actions = [e.to_action() for e in entries]
+        extra = dict(extra or {})
+        extra.setdefault("metrics", self._op_metrics(actions))
         for attempt in range(64):
             try:
                 version = self.log.commit(actions, "append", job_id=None, extra=extra)
@@ -434,6 +486,7 @@ class Table:
         rerunning after a crash skips finished bins (checkpoint manifest)
         and re-commits exactly once.  Returns the new version, or None when
         there is nothing to compact."""
+        self._start_op()
         parent = self.version()
         job_id = job_id or f"compact-v{parent}"
         done = self.log.find_commit_by_job(job_id)
@@ -484,6 +537,7 @@ class Table:
         only orphan files (vacuumable) and resumes from the last committed
         snapshot; per-partition lineage is recorded in the checkpoint
         manifest at completion."""
+        self._start_op()
         parent = self.version()
         if job_id is None:
             tag = "zorder" if curve == "z" else f"zorder-{curve}"
@@ -579,6 +633,7 @@ class Table:
         partitioned.  Shuffle regime (large source): both sides tagged and
         hash-grouped on the key (``groupby.map_groups``), full table rewrite.
         """
+        self._start_op()
         parent = self.version()
         if isinstance(source, ray.data.Dataset):
             n_src = source.count()
@@ -793,6 +848,7 @@ class Table:
         Returns the new version, or None when nothing matches."""
         import hashlib
 
+        self._start_op()
         parent = self.version()
         if job_id is None:
             sig = hashlib.md5(

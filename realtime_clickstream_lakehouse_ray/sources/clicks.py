@@ -147,3 +147,89 @@ def sample_collector(ds: ray.data.Dataset, n: int = 5) -> list[dict]:
     """M10/S4 diagnostics: first-n sample without materializing the stream
     (reference: foreachBatch collector / get_records(Limit=10))."""
     return ds.limit(n).take(n)
+
+
+# ---- S3: schema-inference fallback reader --------------------------------
+def infer_click_keys(paths: str | list[str], sample_lines: int = 2_000) -> list[str]:
+    """Distributed schema inference over a head sample: each task reports
+    its batch's sorted key union (a tiny aggregate), the driver unions.
+    The Ray-native form of the reference's ``inferSchema: "true"``
+    fallback read (glue_stream.py:150-160)."""
+
+    def keys_of(t: pa.Table) -> pa.Table:
+        seen: set[str] = set()
+        for line in t.column("text").to_pylist():
+            try:
+                obj = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if isinstance(obj, dict):
+                seen.update(obj)
+        return pa.table({"key": pa.array(sorted(seen), pa.string())})
+
+    parts = (
+        ray.data.read_text(paths)
+        .limit(sample_lines)
+        .map_batches(keys_of, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    out: set[str] = set()
+    for t in ray.get(parts.to_arrow_refs()):
+        if t.num_rows and "key" in t.column_names:
+            out.update(t.column("key").to_pylist())
+    return sorted(out)
+
+
+def read_click_json_infer(
+    paths: str | list[str],
+    ingest_ts: str = "1970-01-01T00:00:00Z",
+    keys: list[str] | None = None,
+) -> ray.data.Dataset:
+    """S3 fallback reader: accept well-formed JSON with an UNEXPECTED
+    shape.  The schema is inferred (union of observed keys, all cast to
+    string per the M9 writer normalization); known click fields still get
+    the M2/M4/M7 enrichment + timestamp chain, unknown fields ride along
+    as extra string columns (the reference's inferred ``raw_df`` keeps
+    them until projection, glue_stream.py:156-160)."""
+    inferred = keys if keys is not None else infer_click_keys(paths)
+    extra = [k for k in inferred if k not in {f.name for f in CLICK_SCHEMA}]
+
+    def parse(batch: pa.Table) -> pa.Table:
+        base = parse_click_lines(batch, ingest_ts=ingest_ts)
+        # re-parse only to pull the extra columns (payloads are tiny; the
+        # strict path already paid the JSON parse — keep them in lockstep)
+        rows = []
+        for line in batch.column("text").to_pylist():
+            try:
+                obj = json.loads(line)
+                rows.append(obj if isinstance(obj, dict) else {})
+            except json.JSONDecodeError:
+                rows.append({})
+        for k in extra:
+            vals = [
+                (v if (v is None or isinstance(v, str)) else json.dumps(v))
+                for v in (r.get(k) for r in rows)
+            ]
+            base = base.append_column(k, pa.array(vals, pa.string()))
+        return base
+
+    return ray.data.read_text(paths).map_batches(
+        parse, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def read_click_json_auto(
+    paths: str | list[str],
+    ingest_ts: str = "1970-01-01T00:00:00Z",
+    sample_lines: int = 500,
+) -> tuple[ray.data.Dataset, str]:
+    """S2-with-S3-fallback: probe a head sample against the registry
+    schema; if the lines are well-formed JSON but miss every required
+    click field (registry validation would fail), fall back to the
+    inference reader — mirroring the reference's try/except around the
+    registry-validated Kinesis read (glue_stream.py:141-160).  Returns
+    (dataset, mode) with mode in {"registry", "inferred"}."""
+    known = {f.name for f in CLICK_SCHEMA}
+    keys = infer_click_keys(paths, sample_lines=sample_lines)
+    if keys and not (set(keys) & known):
+        return read_click_json_infer(paths, ingest_ts=ingest_ts, keys=keys), "inferred"
+    return read_click_json(paths, ingest_ts=ingest_ts), "registry"

@@ -164,3 +164,49 @@ def test_ingest_bookmark_survives_snapshot_expiry(tmp_path_factory):
     table.rewrite_manifests()
     r2 = ingest.ingest_clicks(files, root)
     assert r2["files"] == 0
+
+
+def test_schema_inference_fallback_reader(tmp_path):
+    """S3 (glue_stream.py:148-160): a well-formed file with an unexpected
+    shape is read via inferred schema instead of being rejected."""
+    from realtime_clickstream_lakehouse_ray.sources.clicks import (
+        infer_click_keys,
+        read_click_json_auto,
+        read_click_json_infer,
+    )
+
+    # unexpected-but-well-formed shape: zero registry fields present
+    f = tmp_path / "odd.jsonl"
+    f.write_text(
+        "\n".join(
+            [
+                json.dumps({"evt": "click", "target": "#buy", "meta": {"x": 1}}),
+                json.dumps({"evt": "scroll", "pos": 42}),
+                "{broken",
+            ]
+        )
+    )
+    keys = infer_click_keys([str(f)])
+    assert keys == ["evt", "meta", "pos", "target"]
+
+    ds, mode = read_click_json_auto([str(f)])
+    assert mode == "inferred"
+    out = ds.to_pandas()
+    assert len(out) == 3
+    # inferred extras ride as string columns (M9 normalization for nested)
+    assert out.loc[0, "evt"] == "click" and out.loc[0, "meta"] == '{"x": 1}'
+    assert out.loc[1, "pos"] == "42"
+    # malformed line still hits the reject path, enrichment still applies
+    assert list(out["status"]) == ["valid", "valid", "malformed"]
+    assert out["request_id"].notna().all()
+
+    # a registry-shaped file keeps the strict reader
+    g = tmp_path / "ok.jsonl"
+    g.write_text(json.dumps(CANONICAL))
+    _, mode2 = read_click_json_auto([str(g)])
+    assert mode2 == "registry"
+
+    # explicit inferred read of a registry-shaped file: no extra columns,
+    # same enrichment
+    out2 = read_click_json_infer([str(g)]).to_pandas()
+    assert out2.loc[0, "status"] == "valid"

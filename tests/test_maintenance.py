@@ -389,3 +389,29 @@ class TestTimestampTimeTravel:
         t.log.materialize_version(2)
         assert t.log.read_version(2)["timestamp"] == 200.0
         assert t.log.version_at(250.0) == 2
+
+
+class TestMetrics:
+    """Observability surface: per-op timing/throughput recorded on commit
+    payloads, queryable via Table.metrics() (the engine-native form of the
+    reference's CloudWatch job dashboards)."""
+
+    def test_ops_record_metrics(self, tmp_path_factory):
+        root = tmp_path_factory.mktemp("metrics") / "tokens"
+        t = build_synthetic_table(str(root), 600, 100)
+        t.compact(target_file_bytes=TARGET)
+        t.merge(gen_updates_chunk(600, n_updates=50, n_inserts=10, seed=5))
+        m = t.metrics()
+        by_op = {r["operation"]: r for r in m}
+        assert {"append", "compact", "merge"} <= set(by_op)
+        for op in ("compact", "merge"):
+            r = by_op[op]
+            assert r["duration_sec"] > 0
+            assert r["rows_written"] > 0 and r["bytes_written"] > 0
+            assert r["rows_per_sec"] > 0
+            assert r["files_added"] >= 1
+        # compact rewrites: it must remove what it packed
+        assert by_op["compact"]["files_removed"] >= 2
+        # timestamps present and non-decreasing
+        ts = [r["timestamp"] for r in m]
+        assert all(a <= b for a, b in zip(ts, ts[1:]))
