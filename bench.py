@@ -206,6 +206,20 @@ def run_scaling() -> dict:
     hi = min(runs[hi_n], key=lambda r: r["value"])
     thr_lo, thr_hi = lo["tokens_per_sec"], hi["tokens_per_sec"]
     eff = (thr_hi / thr_lo) / (hi_n / lo_n)
+    # per-op efficiency: min-of-runs per op at each level, so one stolen-CPU
+    # window in a single op doesn't poison the composite diagnosis
+    ops = sorted(lo["queries"])
+    per_op = {
+        op: round(
+            (
+                min(r["queries"][op] for r in runs[lo_n])
+                / min(r["queries"][op] for r in runs[hi_n])
+            )
+            / (hi_n / lo_n),
+            3,
+        )
+        for op in ops
+    }
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -218,6 +232,9 @@ def run_scaling() -> dict:
         "tokens_per_sec_hi": thr_hi,
         "all_sec_lo": [r["value"] for r in runs[lo_n]],
         "all_sec_hi": [r["value"] for r in runs[hi_n]],
+        "queries_lo": lo["queries"],
+        "queries_hi": hi["queries"],
+        "per_op_efficiency": per_op,
         "sf": lo["sf"],
         "bench_rows": lo["bench_rows"],
     }

@@ -272,7 +272,19 @@ class Table:
             m["duration_sec"] = round(_time.perf_counter() - t0, 3)
             if m["duration_sec"] > 0:
                 m["rows_per_sec"] = round(m["rows_written"] / m["duration_sec"], 1)
+        phases = self.__dict__.pop("_op_phases", None)
+        if phases:
+            m["phases"] = {k: round(v, 3) for k, v in phases.items()}
         return m
+
+    def _phase(self, name: str, t0: float) -> float:
+        """Record a named phase duration (seconds since ``t0``) into the
+        next commit's metrics; returns a fresh timestamp for chaining."""
+        import time as _time
+
+        now = _time.perf_counter()
+        self.__dict__.setdefault("_op_phases", {})[name] = now - t0
+        return now
 
     def metrics(self) -> list[dict[str, Any]]:
         """Per-commit op metrics from the log: operation, wall-clock
@@ -492,10 +504,13 @@ class Table:
         done = self.log.find_commit_by_job(job_id)
         if done is not None:
             return done
+        t = __import__("time").perf_counter()
         bins = self.plan_compaction_bins(self.files(parent), target_file_bytes, job_id)
         if not bins:
             return None
+        t = self._phase("plan", t)
         records = self._run_rewrite_units(bins, job_id, mode="compact", concurrency=concurrency)
+        t = self._phase("rewrite_units", t)
         adds = [a for r in records.values() for a in r["adds"]]
         removes = [p for r in records.values() for p in r["removes"]]
         version = self._commit_with_rebase(
@@ -564,13 +579,29 @@ class Table:
         # sorted batch and re-creates the small-file problem at write time
         # (measured: 24 MB target -> 3.5 MB mean files).
         zdims = tuple(d for d in dims if d != self.partition_col)
-        sort_keys = (
-            [self.partition_col, "zkey"] if len(zdims) < len(dims) else ["zkey"]
-        )
+        # The partition leads the sort (Delta semantics: ZORDER clusters
+        # WITHIN partitions), but as a rank folded into the HIGH bits of
+        # the single uint64 key rather than a composite [string, zkey]
+        # sort: the range shuffle's boundary sampler has full resolution
+        # over one numeric column, where a leading low-cardinality string
+        # collapses many sampled boundaries onto equal keys and skews the
+        # reduce blocks (measured 5 MB-233 MB at 16 CPUs -> write straggler).
+        part_rank: dict[str, int] | None = None
+        if len(zdims) < len(dims):
+            part_rank = {
+                p: i
+                for i, p in enumerate(sorted({f.partition for f in stat_files}))
+            }
         ds = self.scan(version=parent)
         ds = ds.map_batches(
             add_zkey,
-            fn_kwargs=dict(dims=zdims, bounds=bounds, curve=curve),
+            fn_kwargs=dict(
+                dims=zdims,
+                bounds=bounds,
+                curve=curve,
+                part_rank=part_rank,
+                partition_col=self.partition_col,
+            ),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
@@ -584,7 +615,8 @@ class Table:
         total_bytes = sum(f.bytes for f in stat_files) or 1
         total_rows = sum(f.rows for f in stat_files) or 1
         rows_per_file = max(1, int(total_rows * target_file_bytes / total_bytes))
-        ds = ds.sort(sort_keys)
+        t = __import__("time").perf_counter()
+        ds = ds.sort("zkey")
         stats_ds = ds.map_batches(
             make_file_writer(str(self.root), self.schema, self.partition_col),
             batch_format="pyarrow",
@@ -592,6 +624,7 @@ class Table:
             batch_size=rows_per_file,
         )
         entries = self._collect_stats(stats_ds)
+        t = self._phase("sort_write", t)
         removes = [f.path for f in self.files(parent)]
         version = self._commit_with_rebase(
             [e.to_action() for e in entries], removes, "zorder", parent, job_id
@@ -667,11 +700,13 @@ class Table:
         from realtime_clickstream_lakehouse_ray.functions.bloom import bloom_any_match
         from realtime_clickstream_lakehouse_ray.functions.hashing import hash64
 
+        t = __import__("time").perf_counter()
         source = conform_table(source, self.schema)
         source = _dedup_keep_latest(source, self.key_col)
         keys = np.sort(np.asarray(source.column(self.key_col)))
         key_hashes = hash64(source.column(self.key_col).combine_chunks())
         blooms = self.blooms(parent)
+        t = self._phase("source_prep", t)
         # stats-based file pruning: a file can contain a match only if some
         # source key falls inside its [min_key, max_key] range AND (when the
         # file has a Bloom sidecar) some key probes positive — the bloom is
@@ -706,6 +741,7 @@ class Table:
                 cur_bytes += f.bytes
             if cur:
                 bins.append(self._bin_spec(len(bins), part, cur, job_id))
+        t = self._phase("prune_plan", t)
         ckpt = JobCheckpoint(self.root, job_id)
         records: dict[str, dict] = {}
         if bins:
@@ -714,6 +750,7 @@ class Table:
                 bins, job_id, mode="delete_keys", keys_ref=keys_ref,
                 concurrency=concurrency,
             )
+        t = self._phase("rewrite_units", t)
         # append the (deduped) source rows — the update + insert branches.
         # Driver-side write is fine here: broadcast regime == small source.
         src_unit = ckpt.read_unit("src-append")
@@ -738,6 +775,7 @@ class Table:
                 "rows": source.num_rows,
             }
             ckpt.write_unit("src-append", src_unit)
+        t = self._phase("src_append", t)
         adds = [a for r in records.values() for a in r["adds"]] + src_unit["adds"]
         removes = [p for r in records.values() for p in r["removes"]]
         version = self._commit_with_rebase(
