@@ -40,8 +40,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup,
         maintenance,
         multimodal,
+        quantile,
         relational,
         text,
+        window,
     )
 
     return {
@@ -53,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_md5": lambda sf: text.fingerprints(sf).select_columns(
             ["doc_id", "fp_md5"]
         ),
+        "text_normalized": text.text_normalized,
         # --- deduplication ----------------------------------------------
         "exact_dedup": dedup.exact_dedup,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,  # approx -> rows-only
@@ -80,6 +83,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": clickstream.events_sessionize,
         "events_reject_path": clickstream.events_reject_path,
         "events_asof_join": clickstream.events_asof_join,
+        # --- window functions (bucketed one-shuffle template) -----------
+        "events_user_rank": window.events_user_rank,
+        "customer_order_lag": window.customer_order_lag,
+        "top_lineitems_per_supplier": window.top_lineitems_per_supplier,
+        "daily_distinct_users": window.daily_distinct_users,
+        # exact distributed quantiles (two-pass histogram selection)
+        "order_price_quantiles": quantile.order_price_quantiles,
         # --- relational surface (SURVEY.md §2.5-§2.7) -------------------
         "q1_pricing_summary": relational.q1_pricing_summary,
         "revenue_filter_project": relational.revenue_filter_project,
@@ -304,6 +314,49 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'valid' ELSE 'malformed' END AS status,
                    count(*) AS n
             FROM events GROUP BY 1
+        """,
+        "events_user_rank": """
+            SELECT event_id, user_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events
+        """,
+        "customer_order_lag": """
+            SELECT o_orderkey, o_custkey, days_since_prev FROM (
+                SELECT o_orderkey, o_custkey,
+                       date_diff('day',
+                                 lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                        ORDER BY o_orderdate, o_orderkey),
+                                 o_orderdate) AS days_since_prev
+                FROM orders
+            ) WHERE days_since_prev IS NOT NULL
+        """,
+        "top_lineitems_per_supplier": """
+            SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (
+                SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+                       ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                          ORDER BY l_extendedprice DESC,
+                                                   l_orderkey, l_linenumber) AS rn
+                FROM lineitem
+            ) WHERE rn <= 2
+        """,
+        "daily_distinct_users": """
+            SELECT CAST(ts AS DATE) AS event_date,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1
+        """,
+        "order_price_quantiles": """
+            SELECT o_orderpriority,
+                   quantile_disc(o_totalprice, 0.5)  AS p50,
+                   quantile_disc(o_totalprice, 0.9)  AS p90,
+                   quantile_disc(o_totalprice, 0.99) AS p99
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "text_normalized": """
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text_norm,
+                   CAST(length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS BIGINT)
+                       AS n_chars_norm
+            FROM documents
         """,
         # exact integer-grid arithmetic mirroring the Ray pipelines: lift
         # 2-decimal columns onto int64 grids, sum exactly, divide at the end

@@ -131,3 +131,26 @@ def fingerprints(sf_dir: str) -> ray.data.Dataset:
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def text_normalized(sf_dir: str) -> ray.data.Dataset:
+    """Training-corpus text normalization: lowercase, collapse runs of
+    whitespace to single spaces, strip the ends — all Arrow C++ string
+    kernels (both regex engines are RE2, so the oracle's
+    ``regexp_replace(..., 'g')`` matches byte-for-byte)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(t["text"])
+        s = pc.replace_substring_regex(s, r"\s+", " ")
+        s = pc.utf8_trim_whitespace(s)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text_norm": s,
+                "n_chars_norm": pc.utf8_length(s).cast(pa.int64()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -1,0 +1,80 @@
+"""Window-function family + exact distributed quantiles: property checks
+against pandas/numpy on randomized in-memory data (oracle parity vs
+DuckDB is covered by test_oracle_parity.py; these pin the operator
+semantics independent of the test tables)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from realtime_clickstream_lakehouse_ray.pipelines.quantile import quantile_disc_by
+from realtime_clickstream_lakehouse_ray.pipelines.window import grouped_topk
+
+
+def _rand_df(seed: int, n: int = 5_000) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "key": rng.integers(0, 97, n),
+            "val": np.round(rng.normal(1000.0, 250.0, n), 2),
+            "tie1": rng.integers(0, 1_000_000, n),
+            "tie2": np.arange(n),
+        }
+    )
+
+
+class TestGroupedTopK:
+    def test_matches_pandas_reference(self, ray_session):
+        df = _rand_df(7)
+        ds = ray.data.from_pandas(df).repartition(8)
+        got = (
+            grouped_topk(
+                ds, key="key", order_by=["val", "tie1", "tie2"],
+                ascending=[False, True, True], k=3,
+            )
+            .to_pandas()
+            .sort_values(["key", "val", "tie1", "tie2"],
+                         ascending=[True, False, True, True], ignore_index=True)
+        )
+        exp = (
+            df.sort_values(["key", "val", "tie1", "tie2"],
+                           ascending=[True, False, True, True])
+            .groupby("key", sort=True)
+            .head(3)
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)
+
+    def test_partial_stage_bounds_shuffle_rows(self, ray_session):
+        # every key appears in every batch -> shuffle input is <= k * keys * batches
+        df = _rand_df(11)
+        ds = ray.data.from_pandas(df).repartition(4)
+        out = grouped_topk(
+            ds, key="key", order_by=["val", "tie1", "tie2"],
+            ascending=[False, True, True], k=1,
+        ).to_pandas()
+        assert len(out) == df["key"].nunique()
+
+
+class TestQuantileDisc:
+    def test_matches_numpy_rank_convention(self, ray_session):
+        df = _rand_df(13)
+        df["grp"] = np.where(df["key"] % 3 == 0, "a", np.where(df["key"] % 3 == 1, "b", "c"))
+        ds = ray.data.from_pandas(df[["grp", "val"]]).repartition(8)
+        got = quantile_disc_by(
+            ds, value_col="val", group_col="grp", qs={"p50": 0.5, "p99": 0.99}
+        ).to_pandas().set_index("grp")
+        for g, sub in df.groupby("grp"):
+            v = np.sort(sub["val"].to_numpy())
+            for name, q in (("p50", 0.5), ("p99", 0.99)):
+                exp = v[max(1, int(np.ceil(q * len(v)))) - 1]  # ceil(q*n), 1-based
+                assert got.loc[g, name] == exp, (g, name)
+
+    def test_handles_nulls_and_negatives(self, ray_session):
+        vals = [None, -5.0, -1.5, 0.0, 2.5, float("nan"), 7.0]
+        t = pa.table({"grp": ["g"] * len(vals), "val": pa.array(vals, type=pa.float64())})
+        ds = ray.data.from_arrow(t)
+        got = quantile_disc_by(ds, "val", "grp", {"p50": 0.5}).to_pandas()
+        # non-null/non-nan: [-5.0, -1.5, 0.0, 2.5, 7.0]; rank ceil(0.5*5)=3 -> 0.0
+        assert got["p50"].iloc[0] == 0.0
