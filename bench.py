@@ -39,6 +39,51 @@ def _sf_of(sf_dir: str) -> float:
         return 0.1
 
 
+def _shuffle_probe() -> dict:
+    """~15 s in-band calibration, run (untimed) before the headline ops:
+    (a) aggregate object-store read bandwidth via parallel zero-copy gets
+    (one byte touched per page, so it measures mapping/transfer, not CPU);
+    (b) wall time of a fixed 256 MB Dataset.random_shuffle — the same
+    end-to-end all-to-all path the Z-order sort uses."""
+    import numpy as np
+    import ray
+    import ray.data
+
+    blob = np.ones(16 << 20, dtype=np.uint8)
+    refs = [ray.put(blob) for _ in range(2 * NUM_CPUS)]
+
+    @ray.remote
+    def _read(rs):
+        s = 0
+        for r in rs:
+            s += int(ray.get(r)[::4096].sum())
+        return s
+
+    t0 = time.perf_counter()
+    ray.get([_read.remote(refs[i::NUM_CPUS]) for i in range(NUM_CPUS)])
+    get_mbps = round(16 * len(refs) / (time.perf_counter() - t0), 1)
+    del refs
+
+    n = 2_000_000  # x 128 B payload = 256 MB
+    ds = (
+        ray.data.range(n, override_num_blocks=4 * NUM_CPUS)
+        .map_batches(
+            lambda b: {
+                "id": b["id"],
+                "pad": np.zeros((len(b["id"]), 128), dtype=np.uint8),
+            },
+            batch_format="numpy",
+        )
+        .materialize()
+    )
+    t0 = time.perf_counter()
+    ds.random_shuffle().materialize()
+    return {
+        "get_mbps": get_mbps,
+        "shuffle_256mb_sec": round(time.perf_counter() - t0, 2),
+    }
+
+
 def run_bench() -> dict:
     import ray
 
@@ -67,6 +112,14 @@ def run_bench() -> dict:
     n_rows = int(os.environ.get("RCL_BENCH_ROWS", "0")) or max(
         int(10_000_000 * sf), 20_000
     )
+    build_only = os.environ.get("RCL_BENCH_BUILD_ONLY")
+    if build_only:
+        build_synthetic_table(
+            build_only, n_rows, rows_per_file=5_000, files_per_task=2,
+            concurrency=(1, NUM_CPUS // 2),
+        )
+        ray.shutdown()
+        return {"metric": "build_only", "value": n_rows}
     # RCL_BENCH_ROOT=/dev/shm/rcl_bench puts the table on tmpfs: at the
     # 100 TB design point storage bandwidth (S3/HDFS) scales with nodes,
     # but this VM's single virtual disk does not — measuring CPU scaling
@@ -76,10 +129,29 @@ def run_bench() -> dict:
     shutil.rmtree(Path(root).parent, ignore_errors=True)
 
     # ---- build (untimed): deliberately small files --------------------
-    table = build_synthetic_table(
-        root, n_rows, rows_per_file=5_000, files_per_task=2, concurrency=(1, NUM_CPUS // 2)
-    )
+    prebuilt = os.environ.get("RCL_BENCH_PREBUILT")
+    if prebuilt:
+        # scaling mode: the table was built ONCE at full parallelism by the
+        # parent; each timed run works on a private copy (cheap on tmpfs)
+        from realtime_clickstream_lakehouse_ray.pipelines.table import Table
+
+        shutil.copytree(prebuilt, root)
+        table = Table.load(root)
+    else:
+        table = build_synthetic_table(
+            root, n_rows, rows_per_file=5_000, files_per_task=2,
+            concurrency=(1, NUM_CPUS // 2),
+        )
     sum_tok = table.stats()["sum_tok"]
+
+    # ---- in-band environment calibration (untimed in the headline) ----
+    # The maintenance all-to-all is bound by object-store/shuffle bandwidth,
+    # a SHARED per-box resource that does not grow with num_cpus here but
+    # grows linearly with nodes on a real cluster.  Recording the probe at
+    # each level turns that decomposition into a measurement, not a claim.
+    probes: dict[str, float] = {}
+    if os.environ.get("RCL_BENCH_PROBE") == "1":
+        probes = _shuffle_probe()
 
     timings: dict[str, float] = {}
 
@@ -133,6 +205,7 @@ def run_bench() -> dict:
             "value": round(maintenance_sec, 3),
             "unit": "sec",
             "queries": dict(timings),
+            "probes": probes,
             "sf": sf,
             "num_cpus": NUM_CPUS,
             "bench_rows": n_rows,
@@ -178,12 +251,37 @@ def run_scaling() -> dict:
     lo_n, hi_n = (
         int(x) for x in os.environ.get("RCL_SCALING_LEVELS", "4,16").split(",")
     )
+    # default job size for the scaling comparison: 2M rows (~4.8 GB through
+    # the three rewrite passes) so per-op fixed costs (pipeline startup,
+    # actor-pool spawn, commit) are amortized at BOTH levels — at 1M rows
+    # they are ~23% of the hi-level wall time, a ~0.2 hit on the measured
+    # ratio that has nothing to do with engine structure
+    n_rows = int(os.environ.get("RCL_SCALING_ROWS", "2000000"))
+    bench_root = os.environ.get("RCL_BENCH_ROOT", "/dev/shm/rcl_bench")
+    master = f"{bench_root}/master/tokens"
+
+    # ---- build the input ONCE at full parallelism (untimed) -----------
+    shutil.rmtree(bench_root, ignore_errors=True)
+    build_env = dict(
+        os.environ,
+        RAY_GRAFT_CPUS=str(os.cpu_count() or 32),
+        RCL_BENCH_ROWS=str(n_rows),
+        RCL_BENCH_BUILD_ONLY=master,
+        RCL_BENCH_ROOT=bench_root,
+    )
+    subprocess.run(
+        [sys.executable, __file__], env=build_env, capture_output=True,
+        text=True, check=True, cwd=REPO,
+    )
 
     def run(ncpu: int) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             RCL_BENCH_SKIP_QUERIES="1",
+            RCL_BENCH_ROWS=str(n_rows),
+            RCL_BENCH_PREBUILT=master,
+            RCL_BENCH_PROBE="1",
             # units >> cpus at both levels (see run_bench); identical job
             # at both levels so the comparison stays apples-to-apples
             RCL_BENCH_TARGET_MB=os.environ.get("RCL_BENCH_TARGET_MB", "24"),
@@ -191,7 +289,7 @@ def run_scaling() -> dict:
             # shared serial resource, while at the design point (S3/HDFS on
             # N nodes) storage bandwidth scales with the cluster — tmpfs is
             # the single-box stand-in for storage-that-scales
-            RCL_BENCH_ROOT=os.environ.get("RCL_BENCH_ROOT", "/dev/shm/rcl_bench"),
+            RCL_BENCH_ROOT=bench_root,
         )
         out = subprocess.run(
             [sys.executable, __file__], env=env, capture_output=True, text=True,
@@ -202,6 +300,7 @@ def run_scaling() -> dict:
     runs: dict[int, list[dict]] = {lo_n: [], hi_n: []}
     for ncpu in (lo_n, hi_n, lo_n, hi_n):
         runs[ncpu].append(run(ncpu))
+    shutil.rmtree(bench_root, ignore_errors=True)
     lo = min(runs[lo_n], key=lambda r: r["value"])
     hi = min(runs[hi_n], key=lambda r: r["value"])
     thr_lo, thr_hi = lo["tokens_per_sec"], hi["tokens_per_sec"]
@@ -235,6 +334,11 @@ def run_scaling() -> dict:
         "queries_lo": lo["queries"],
         "queries_hi": hi["queries"],
         "per_op_efficiency": per_op,
+        # in-band calibration at each level: if get_mbps / the 256 MB
+        # shuffle wall DON'T improve lo->hi, the box's shared shuffle
+        # bandwidth — not the engine — is what caps the composite ratio
+        "probes_lo": [r.get("probes", {}) for r in runs[lo_n]],
+        "probes_hi": [r.get("probes", {}) for r in runs[hi_n]],
         "sf": lo["sf"],
         "bench_rows": lo["bench_rows"],
     }
