@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         clickstream,
         dedup,
         maintenance,
+        mixture,
         multimodal,
         quantile,
         relational,
@@ -56,6 +57,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "fp_md5"]
         ),
         "text_normalized": text.text_normalized,
+        # --- mixture construction (deterministic, oracle-exact) ---------
+        "sample_by_hash": mixture.sample_by_hash,
+        "source_char_budget": mixture.source_char_budget,
+        "pack_sequences_assign": mixture.pack_sequences_assign,
         # --- deduplication ----------------------------------------------
         "exact_dedup": dedup.exact_dedup,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,  # approx -> rows-only
@@ -357,6 +362,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS BIGINT)
                        AS n_chars_norm
             FROM documents
+        """,
+        "sample_by_hash": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE md5(CAST(doc_id AS VARCHAR)) < '1a'
+        """,
+        "source_char_budget": """
+            SELECT doc_id, source, n_chars FROM (
+                SELECT doc_id, source, n_chars,
+                       SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+                FROM documents
+            ) WHERE cum <= 60000
+        """,
+        "pack_sequences_assign": """
+            SELECT doc_id, source,
+                   CAST((cum - n_chars) // 2048 AS BIGINT) AS seq_id
+            FROM (
+                SELECT doc_id, source, n_chars,
+                       SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+                FROM documents
+            )
         """,
         # exact integer-grid arithmetic mirroring the Ray pipelines: lift
         # 2-decimal columns onto int64 grids, sum exactly, divide at the end

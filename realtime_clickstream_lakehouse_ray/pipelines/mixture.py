@@ -1,0 +1,89 @@
+"""Training-data mixture construction over the ``documents`` corpus:
+deterministic sampling, per-source budget selection, and sequence-chunk
+assignment — the operators that turn a deduped corpus into a training
+mix at 100 TB.
+
+All three are oracle-exact (no RNG): sampling keys off a content hash,
+and the two windowed ops ride the distributed ordered-prefix-sum
+primitive (``functions/prefix.py``) whose only shuffle is a NARROW sort
+(order/value/group columns; the text never moves).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from realtime_clickstream_lakehouse_ray.config import tune_context
+from realtime_clickstream_lakehouse_ray.functions.prefix import ordered_prefix_sum
+from realtime_clickstream_lakehouse_ray.functions.textstats import md5_fingerprints
+
+
+def _read_docs(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
+    tune_context()
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def sample_by_hash(sf_dir: str, threshold_hex: str = "1a") -> ray.data.Dataset:
+    """Deterministic Bernoulli sample: keep a document iff
+    ``md5(str(doc_id)) < threshold_hex`` (hex-string comparison, so the
+    SQL oracle is the identical expression).  ``"1a"`` ≈ 10.2%.
+
+    This is how a 100-TB pipeline samples reproducibly: no RNG state, no
+    seed coordination across workers, membership decidable per row from
+    the key alone — re-running any partition yields the same sample."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        fp = md5_fingerprints(pc.cast(t["doc_id"], pa.string()).combine_chunks())
+        keep = pc.less(fp, threshold_hex)
+        return t.filter(keep)
+
+    return _read_docs(sf_dir, ["doc_id", "source", "n_chars"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def source_char_budget(sf_dir: str, budget: int = 60_000) -> ray.data.Dataset:
+    """Per-source budget selection: walk each source's documents in
+    doc_id order and keep rows while the running char total stays within
+    ``budget`` — the greedy mixture-construction step ("take the first
+    N tokens of each source")."""
+    ds = _read_docs(sf_dir, ["doc_id", "source", "n_chars"])
+    with_cum = ordered_prefix_sum(
+        ds, order_col="doc_id", value_col="n_chars", by_col="source"
+    )
+    return with_cum.map_batches(
+        lambda t: t.filter(pc.less_equal(t["cum"], budget)).select(
+            ["doc_id", "source", "n_chars"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def pack_sequences_assign(sf_dir: str, seq_len: int = 2048) -> ray.data.Dataset:
+    """Concat-and-chunk sequence packing (the standard LLM-pretraining
+    layout): per source, documents concatenate in doc_id order into one
+    stream that is cut into fixed ``seq_len`` chunks; each document is
+    assigned the chunk its FIRST char lands in:
+    ``seq_id = (running_total_before_doc) // seq_len``."""
+    ds = _read_docs(sf_dir, ["doc_id", "source", "n_chars"])
+    with_cum = ordered_prefix_sum(
+        ds, order_col="doc_id", value_col="n_chars", by_col="source"
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        before = np.asarray(t["cum"]) - np.asarray(t["n_chars"])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "source": t["source"],
+                "seq_id": pa.array((before // seq_len).astype(np.int64)),
+            }
+        )
+
+    return with_cum.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -57,6 +57,34 @@ class TestGroupedTopK:
         assert len(out) == df["key"].nunique()
 
 
+class TestOrderedPrefixSum:
+    def test_matches_pandas_window(self, ray_session):
+        from realtime_clickstream_lakehouse_ray.functions.prefix import (
+            ordered_prefix_sum,
+        )
+
+        rng = np.random.default_rng(23)
+        n = 4_000
+        df = pd.DataFrame(
+            {
+                "oid": rng.permutation(n),  # unique, unsorted order keys
+                "grp": rng.choice(["a", "b", "c", "d"], n),
+                "v": rng.integers(1, 500, n),
+            }
+        )
+        ds = ray.data.from_pandas(df).repartition(16)
+        got = (
+            ordered_prefix_sum(ds, "oid", "v", "grp")
+            .to_pandas()
+            .sort_values("oid", ignore_index=True)
+        )
+        exp = df.sort_values("oid", ignore_index=True)
+        exp["cum"] = exp.groupby("grp")["v"].cumsum()
+        pd.testing.assert_series_equal(
+            got["cum"].astype("int64"), exp["cum"].astype("int64"), check_names=False
+        )
+
+
 class TestQuantileDisc:
     def test_matches_numpy_rank_convention(self, ray_session):
         df = _rand_df(13)
