@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from realtime_clickstream_lakehouse_ray.pipelines import (
         ann,
         clickstream,
+        corpus,
         dedup,
         maintenance,
         mixture,
@@ -61,6 +62,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_by_hash": mixture.sample_by_hash,
         "source_char_budget": mixture.source_char_budget,
         "pack_sequences_assign": mixture.pack_sequences_assign,
+        # --- corpus statistics (explode/flat-map family) ----------------
+        "word_freq_topk": corpus.word_freq_topk,
+        "doc_rarity": corpus.doc_rarity,
         # --- deduplication ----------------------------------------------
         "exact_dedup": dedup.exact_dedup,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,  # approx -> rows-only
@@ -89,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_reject_path": clickstream.events_reject_path,
         "events_asof_join": clickstream.events_asof_join,
         # --- window functions (bucketed one-shuffle template) -----------
+        "events_funnel": clickstream.events_funnel,
         "events_user_rank": window.events_user_rank,
         "customer_order_lag": window.customer_order_lag,
         "top_lineitems_per_supplier": window.top_lineitems_per_supplier,
@@ -366,6 +371,36 @@ def oracle_sql() -> dict[str, str]:
         "sample_by_hash": """
             SELECT doc_id, source, n_chars FROM documents
             WHERE md5(CAST(doc_id AS VARCHAR)) < '1a'
+        """,
+        "word_freq_topk": f"""
+            SELECT word, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest({words}) AS word FROM documents)
+            GROUP BY word ORDER BY n DESC, word LIMIT 100
+        """,
+        "doc_rarity": f"""
+            WITH w AS (SELECT doc_id, unnest({words}) AS word FROM documents),
+                 freq AS (SELECT word, count(*) AS n FROM w GROUP BY word)
+            SELECT w.doc_id,
+                   CAST(min(freq.n) AS BIGINT) AS min_df,
+                   CAST(count(*) FILTER (WHERE freq.n = 1) AS BIGINT) AS n_hapax
+            FROM w JOIN freq USING (word) GROUP BY w.doc_id
+        """,
+        "events_funnel": """
+            WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                       WHERE event_type = 'view' GROUP BY user_id),
+                 c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                       JOIN v USING (user_id)
+                       WHERE e.event_type = 'click' AND e.ts > v.t1
+                       GROUP BY e.user_id),
+                 p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                       JOIN c USING (user_id)
+                       WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                       GROUP BY e.user_id)
+            SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+            UNION ALL
+            SELECT 'click', CAST(count(*) AS BIGINT) FROM c
+            UNION ALL
+            SELECT 'purchase', CAST(count(*) AS BIGINT) FROM p
         """,
         "source_char_budget": """
             SELECT doc_id, source, n_chars FROM (

@@ -277,3 +277,65 @@ def events_asof_join(sf_dir: str) -> ray.data.Dataset:
         .groupby("__bucket")
         .map_groups(asof_bucket, batch_format="pandas")
     )
+
+
+def events_funnel(sf_dir: str) -> ray.data.Dataset:
+    """Ordered funnel analysis (view -> click -> purchase): how many
+    users reach each stage, where a stage counts only if it happens
+    STRICTLY AFTER the user's qualifying time for the previous stage
+    (first view, then first click after that view, then first purchase
+    after that click).
+
+    Same bucketed one-shuffle template as sessionize/as-of: users are
+    co-located by ``hash(user_id) % B``; inside each bucket the whole
+    chain is computed with pandas C groupby-min + merges — no per-user
+    Python.  Each bucket emits 3 partial counts; a tiny Sum finalizes."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from realtime_clickstream_lakehouse_ray.functions.hashing import hash64
+
+    ncpu = int(ray.available_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    num_buckets = max(4, ncpu)
+
+    def tag(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            t["event_type"], value_set=pa.array(["view", "click", "purchase"])
+        )
+        t = t.filter(keep)
+        bucket = (hash64(t["user_id"]) % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "event_type": t["event_type"],
+                "__bucket": pa.array(bucket),
+            }
+        )
+
+    def funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        t1 = g[g["event_type"] == "view"].groupby("user_id")["ts"].min()
+        c = g[g["event_type"] == "click"].merge(
+            t1.rename("t1"), left_on="user_id", right_index=True
+        )
+        t2 = c[c["ts"] > c["t1"]].groupby("user_id")["ts"].min()
+        p = g[g["event_type"] == "purchase"].merge(
+            t2.rename("t2"), left_on="user_id", right_index=True
+        )
+        t3 = p[p["ts"] > p["t2"]].groupby("user_id")["ts"].min()
+        return pd.DataFrame(
+            {
+                "stage": ["view", "click", "purchase"],
+                "n_part": np.array([len(t1), len(t2), len(t3)], dtype=np.int64),
+            }
+        )
+
+    return (
+        read_events(sf_dir, columns=["user_id", "ts", "event_type"])
+        .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(funnel_bucket, batch_format="pandas")
+        .groupby("stage")
+        .aggregate(Sum("n_part", alias_name="n_users"))
+    )
