@@ -59,6 +59,10 @@ from realtime_clickstream_lakehouse_ray.state.log import (
 )
 
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
+# broadcast-MERGE sources at or above this row count append through the
+# distributed writer stage instead of a driver-side write (which is
+# CPU-count-independent and drags the op's scaling)
+SRC_DISTRIBUTED_APPEND_ROWS = 50_000
 
 
 def _dedup_keep_latest(tbl: pa.Table, key_col: str) -> pa.Table:
@@ -752,19 +756,38 @@ class Table:
             )
         t = self._phase("rewrite_units", t)
         # append the (deduped) source rows — the update + insert branches.
-        # Driver-side write is fine here: broadcast regime == small source.
+        # Small sources write on the driver (one tiny file per partition);
+        # larger ones go through the distributed stats-emitting writer
+        # stage — a serial driver write here is CPU-count-independent and
+        # was measurably the op's scaling drag at bench size.
         src_unit = ckpt.read_unit("src-append")
         src_entries: list[FileEntry] = []
         if src_unit is None or not all(
             (self.root / a["path"]).is_file() for a in src_unit["adds"]
         ):
-            seq = iter(range(10**6))
-            entries = write_partitioned(
-                source,
-                self.root,
-                self.partition_col,
-                name_fn=lambda part: f"{job_id}-src{next(seq):04d}.parquet",
-            )
+            if source.num_rows >= SRC_DISTRIBUTED_APPEND_ROWS:
+                n_units = max(1, int(source.nbytes / max(1, target_file_bytes)))
+                stats_ds = (
+                    ray.data.from_arrow(source)
+                    .repartition(n_units)
+                    .map_batches(
+                        make_file_writer(
+                            str(self.root), self.schema, self.partition_col
+                        ),
+                        batch_format="pyarrow",
+                        zero_copy_batch=True,
+                        batch_size=None,
+                    )
+                )
+                entries = self._collect_stats(stats_ds)
+            else:
+                seq = iter(range(10**6))
+                entries = write_partitioned(
+                    source,
+                    self.root,
+                    self.partition_col,
+                    name_fn=lambda part: f"{job_id}-src{next(seq):04d}.parquet",
+                )
             src_entries = entries
             src_unit = {
                 "unit": "src-append",

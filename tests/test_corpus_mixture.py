@@ -1,0 +1,110 @@
+"""Corpus/mixture/funnel semantics pinned on hand-crafted inputs
+(oracle parity on the shared tables is covered by test_oracle_parity.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from realtime_clickstream_lakehouse_ray.pipelines import clickstream, corpus, mixture
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture
+def events_dir(tmp_path):
+    """Tiny events table with every funnel edge case."""
+    ts = lambda s: np.datetime64(f"2024-01-01T00:00:{s:02d}", "us")
+    rows = [
+        # user 1: full ordered chain
+        (1, ts(1), "view"), (1, ts(2), "click"), (1, ts(3), "purchase"),
+        # user 2: click BEFORE first view only -> stops at view stage
+        (2, ts(2), "view"), (2, ts(1), "click"),
+        # user 3: no click at all -> purchase must NOT count
+        (3, ts(1), "view"), (3, ts(2), "purchase"),
+        # user 4: click at the SAME ts as view (not strictly after)
+        (4, ts(1), "view"), (4, ts(1), "click"),
+        # user 5: purchase before the qualifying click
+        (5, ts(1), "view"), (5, ts(3), "click"), (5, ts(2), "purchase"),
+        # user 6: never viewed
+        (6, ts(1), "click"), (6, ts(2), "purchase"),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(['{"k": 1}'] * len(rows)),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    return str(tmp_path)
+
+
+def test_funnel_strict_ordering(ray_session, events_dir):
+    got = (
+        clickstream.events_funnel(events_dir)
+        .to_pandas()
+        .set_index("stage")["n_users"]
+    )
+    assert got["view"] == 5          # users 1-5
+    assert got["click"] == 2         # users 1 and 5 (click strictly after view)
+    assert got["purchase"] == 1      # user 1 only
+
+
+def test_sample_by_hash_deterministic(ray_session):
+    a = mixture.sample_by_hash(SF).to_pandas().sort_values("doc_id", ignore_index=True)
+    b = mixture.sample_by_hash(SF).to_pandas().sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+    n_total = 500
+    assert 0.03 * n_total < len(a) < 0.25 * n_total  # ~10% nominal
+
+
+def test_source_budget_monotone(ray_session):
+    small = mixture.source_char_budget(SF, budget=10_000).to_pandas()
+    big = mixture.source_char_budget(SF, budget=50_000).to_pandas()
+    assert set(small["doc_id"]) <= set(big["doc_id"])
+    # within each source, kept docs are a doc_id prefix of the big set
+    for src, sub in big.groupby("source"):
+        s = small[small["source"] == src]
+        if len(s):
+            assert s["doc_id"].max() <= sub["doc_id"].max()
+
+
+def test_pack_sequences_chunks_are_contiguous(ray_session):
+    out = (
+        mixture.pack_sequences_assign(SF, seq_len=4096)
+        .to_pandas()
+        .sort_values(["source", "doc_id"], ignore_index=True)
+    )
+    for _, sub in out.groupby("source"):
+        seq = sub["seq_id"].to_numpy()
+        assert (np.diff(seq) >= 0).all()  # nondecreasing along doc order
+        assert seq[0] == 0
+
+
+def test_doc_rarity_marker_word(ray_session, tmp_path):
+    # a document containing a word that appears nowhere else must have
+    # min_df == 1 and at least one hapax
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta gamma uniqz9",
+                    "alpha beta gamma",
+                    "alpha beta gamma",
+                ]
+            ),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["t"] * 3),
+            "n_chars": pa.array([10, 10, 10], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = corpus.doc_rarity(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert got.loc[1, "min_df"] == 1 and got.loc[1, "n_hapax"] == 1
+    assert got.loc[2, "min_df"] == 3 and got.loc[2, "n_hapax"] == 0

@@ -194,6 +194,18 @@ class TestMerge:
         v = table.merge(updates, strategy="broadcast", job_id="m1")
         assert table.merge(updates, strategy="broadcast", job_id="m1") == v
 
+    def test_distributed_src_append_matches(self, tmp_path_factory, updates, monkeypatch):
+        # force the large-source branch (distributed writer stage) and
+        # check it produces the identical post-merge table
+        from realtime_clickstream_lakehouse_ray.pipelines import table as table_mod
+
+        monkeypatch.setattr(table_mod, "SRC_DISTRIBUTED_APPEND_ROWS", 1)
+        table = _fresh(tmp_path_factory, "merge_dist_src")
+        v = table.merge(updates, strategy="broadcast")
+        assert v == 2
+        got = collect_sorted(table.scan())
+        assert_tokens_equal(got, self._expected_after_merge(updates))
+
 
 # ---- expire / vacuum / isolation ---------------------------------------
 
