@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         clickstream,
         corpus,
         dedup,
+        filters,
         maintenance,
         mixture,
         multimodal,
@@ -58,13 +59,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "fp_md5"]
         ),
         "text_normalized": text.text_normalized,
+        # --- corpus filtering (quality gate + decontamination) ----------
+        "quality_filter": filters.quality_filter,
+        "decontaminate": filters.decontaminate,
+        "embedding_outliers": filters.embedding_outliers,
+        "repetition_stats": filters.repetition_stats,
         # --- mixture construction (deterministic, oracle-exact) ---------
         "sample_by_hash": mixture.sample_by_hash,
         "source_char_budget": mixture.source_char_budget,
         "pack_sequences_assign": mixture.pack_sequences_assign,
+        "stratified_sample": mixture.stratified_sample,
         # --- corpus statistics (explode/flat-map family) ----------------
         "word_freq_topk": corpus.word_freq_topk,
         "doc_rarity": corpus.doc_rarity,
+        "chunk_documents": corpus.chunk_documents,
+        "token_histogram": corpus.token_histogram,
+        "corpus_rollup": corpus.corpus_rollup,
         # --- deduplication ----------------------------------------------
         "exact_dedup": dedup.exact_dedup,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,  # approx -> rows-only
@@ -92,9 +102,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": clickstream.events_sessionize,
         "events_reject_path": clickstream.events_reject_path,
         "events_asof_join": clickstream.events_asof_join,
+        "events_pivot": clickstream.events_pivot,
         # --- window functions (bucketed one-shuffle template) -----------
         "events_funnel": clickstream.events_funnel,
         "events_user_rank": window.events_user_rank,
+        "events_sliding_counts": window.events_sliding_counts,
         "customer_order_lag": window.customer_order_lag,
         "top_lineitems_per_supplier": window.top_lineitems_per_supplier,
         "daily_distinct_users": window.daily_distinct_users,
@@ -111,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_mktsegments": relational.distinct_mktsegments,
         "part_price_bands": relational.part_price_bands,
         "q3_shipping_priority": relational.q3_shipping_priority,
+        "customers_without_orders": relational.customers_without_orders,
         # --- maintenance engine (SURVEY.md §2.12, the north rule) -------
         "maintenance_compact": maintenance.maintenance_compact,
         "maintenance_zorder": maintenance.maintenance_zorder,
@@ -330,6 +343,54 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
             FROM events
         """,
+        "events_sliding_counts": """
+            SELECT event_id, user_id,
+                   CAST(count(*) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS n_win
+            FROM events
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+                   count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+                   count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+                   count(*) AS n_total
+            FROM events GROUP BY user_id
+        """,
+        "token_histogram": """
+            SELECT source, (n_chars // 50) * 50 AS bin_lo,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1, 2
+        """,
+        "corpus_rollup": """
+            SELECT coalesce(source, '<all>') AS source,
+                   coalesce(lang, '<all>') AS lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents
+            GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+        """,
+        "repetition_stats": f"""
+            WITH wrds AS (SELECT doc_id, {words} AS w FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 3
+                       THEN list_transform(generate_series(1, len(w) - 2),
+                                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                       ELSE [array_to_string(w, ' ')] END AS g
+              FROM wrds
+            )
+            SELECT doc_id,
+                   CAST(len(g) AS BIGINT) AS n_grams,
+                   CAST(len(list_distinct(g)) AS BIGINT) AS n_uniq_grams,
+                   CAST(len(g) - len(list_distinct(g)) AS DOUBLE)
+                       / greatest(len(g), 1) AS dup_gram_ratio
+            FROM grams
+        """,
         "customer_order_lag": """
             SELECT o_orderkey, o_custkey, days_since_prev FROM (
                 SELECT o_orderkey, o_custkey,
@@ -371,6 +432,86 @@ def oracle_sql() -> dict[str, str]:
         "sample_by_hash": """
             SELECT doc_id, source, n_chars FROM documents
             WHERE md5(CAST(doc_id AS VARCHAR)) < '1a'
+        """,
+        "stratified_sample": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY ((doc_id % 100000007) * 2654435761) % 4294967296,
+                                    doc_id) AS rn
+                FROM documents
+            ) WHERE rn <= 40
+        """,
+        "quality_filter": f"""
+            SELECT doc_id, n_words, mean_word_len, top_word_ratio, uniq_ratio,
+                   (n_words BETWEEN 20 AND 400)
+                       AND (mean_word_len BETWEEN 2.0 AND 12.0)
+                       AND top_word_ratio <= 0.2
+                       AND uniq_ratio >= 0.3 AS "keep"
+            FROM (
+                SELECT doc_id,
+                       CAST(len(w) AS BIGINT) AS n_words,
+                       CASE WHEN len(w) = 0 THEN 0.0
+                            ELSE CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+                       END AS mean_word_len,
+                       CASE WHEN len(w) = 0 THEN 0.0
+                            ELSE CAST(list_max(list_transform(list_distinct(w),
+                                     x -> len(list_filter(w, y -> y = x)))) AS DOUBLE) / len(w)
+                       END AS top_word_ratio,
+                       CASE WHEN len(w) = 0 THEN 0.0
+                            ELSE CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+                       END AS uniq_ratio
+                FROM (SELECT doc_id, {words} AS w FROM documents)
+            )
+        """,
+        "decontaminate": f"""
+            WITH w AS (SELECT doc_id, {words} AS w FROM documents),
+            g AS (
+              SELECT doc_id, unnest(
+                CASE WHEN len(w) >= 5
+                  THEN list_transform(generate_series(1, len(w) - 4),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])
+                  ELSE [array_to_string(w, ' ')] END) AS g
+              FROM w
+            ),
+            dg AS (SELECT DISTINCT doc_id, g FROM g),
+            bench AS (SELECT DISTINCT g FROM dg WHERE doc_id % 17 = 0)
+            SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+            FROM dg d JOIN bench b USING (g)
+            WHERE d.doc_id % 17 <> 0
+            GROUP BY 1
+        """,
+        "embedding_outliers": """
+            WITH u AS (
+              SELECT vec_id, label, unnest(embedding) AS v,
+                     unnest(range(1, len(embedding) + 1)) AS pos
+              FROM embeddings
+            ), c AS (
+              SELECT label, pos, avg(CAST(v AS DOUBLE)) AS cv FROM u GROUP BY 1, 2
+            ), s AS (
+              SELECT u.vec_id, u.label,
+                     sum(CAST(u.v AS DOUBLE) * c.cv) AS dot,
+                     sum(CAST(u.v AS DOUBLE) * CAST(u.v AS DOUBLE)) AS n2v,
+                     sum(c.cv * c.cv) AS n2c
+              FROM u JOIN c ON u.label = c.label AND u.pos = c.pos
+              GROUP BY 1, 2
+            )
+            SELECT label, vec_id FROM (
+              SELECT vec_id, label,
+                     row_number() OVER (PARTITION BY label
+                                        ORDER BY dot / sqrt(n2v * n2c), vec_id) AS rn
+              FROM s
+            ) WHERE rn <= 5
+        """,
+        "chunk_documents": """
+            SELECT d.doc_id, CAST(f.i AS BIGINT) AS chunk_idx,
+                   substr(d.text, CAST(f.i * 48 + 1 AS BIGINT), 64) AS chunk
+            FROM documents d, LATERAL (
+                SELECT unnest(range(0,
+                    CAST((length(d.text) - 1) // 48 + 1 AS BIGINT))) AS i
+            ) f
+            WHERE length(d.text) > 0
         """,
         "word_freq_topk": f"""
             SELECT word, CAST(count(*) AS BIGINT) AS n
@@ -493,6 +634,13 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 100
         """,
         "distinct_mktsegments": "SELECT DISTINCT c_mktsegment FROM customer",
+        "customers_without_orders": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0
+            )
+        """,
         # --- maintenance: post-op scans as SQL-checkable relations ------
         "maintenance_compact": docs_scan,
         "maintenance_zorder": docs_scan,

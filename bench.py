@@ -101,6 +101,7 @@ def run_bench() -> dict:
         ann,
         clickstream,
         dedup,
+        filters,
         relational,
     )
     from realtime_clickstream_lakehouse_ray.sources.synth import (
@@ -219,6 +220,8 @@ def run_bench() -> dict:
     timed("exact_dedup", lambda: consume(dedup.exact_dedup(SF_DIR)))
     timed("minhash_lsh", lambda: consume(dedup.minhash_lsh_dedup(SF_DIR)))
     timed("knn", lambda: consume(ann.knn_bruteforce(SF_DIR)))
+    timed("quality_filter", lambda: consume(filters.quality_filter(SF_DIR)))
+    timed("decontaminate", lambda: consume(filters.decontaminate(SF_DIR)))
 
     ray.shutdown()
     shutil.rmtree(Path(root).parent, ignore_errors=True)
@@ -297,9 +300,14 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    # RCL_SCALING_REPS: interleaved (lo, hi) cycles; min-of-N per level.
+    # On this VM identical runs vary up to 3.9x with hypervisor weather, so
+    # more cycles = more chances to sample a calm window at BOTH levels.
+    reps = int(os.environ.get("RCL_SCALING_REPS", "2"))
     runs: dict[int, list[dict]] = {lo_n: [], hi_n: []}
-    for ncpu in (lo_n, hi_n, lo_n, hi_n):
-        runs[ncpu].append(run(ncpu))
+    for _ in range(reps):
+        for ncpu in (lo_n, hi_n):
+            runs[ncpu].append(run(ncpu))
     shutil.rmtree(bench_root, ignore_errors=True)
     lo = min(runs[lo_n], key=lambda r: r["value"])
     hi = min(runs[hi_n], key=lambda r: r["value"])

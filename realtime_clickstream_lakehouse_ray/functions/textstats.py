@@ -108,3 +108,44 @@ def rolling_fingerprint(words: pa.ListArray, window: int = 8) -> np.ndarray:
     if not len(mixed):
         return np.zeros(len(lengths), dtype=np.uint64)
     return np.minimum.reduceat(mixed, starts)
+
+
+def word_char_totals(words: pa.ListArray) -> np.ndarray:
+    """Total characters across a document's words (excludes whitespace) —
+    the numerator of Gopher's mean-word-length rule.  One segment-sum over
+    the flat word-length array."""
+    starts, lengths = _segments(words)
+    wl = np.asarray(pc.utf8_length(words.values)).astype(np.int64)
+    out = np.zeros(len(lengths), dtype=np.int64)
+    if len(wl):
+        doc_idx = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+        np.add.at(out, doc_idx, wl)
+    return out
+
+
+def top_word_counts(words: pa.ListArray) -> np.ndarray:
+    """Occurrence count of each document's most frequent word — the
+    numerator of the repeated-token (Gopher "most common word") rule.
+
+    Sort (doc, word-hash) once, derive run lengths, then take the max run
+    per document — O(n log n) vectorized, no per-row Counter."""
+    starts, lengths = _segments(words)
+    n_docs = len(lengths)
+    out = np.zeros(n_docs, dtype=np.int64)
+    flat = hash64(words.values)
+    n = len(flat)
+    if n == 0:
+        return out
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
+    order = np.lexsort((flat, doc_idx))
+    dh, hh = doc_idx[order], flat[order]
+    new = np.ones(n, dtype=bool)
+    new[1:] = (dh[1:] != dh[:-1]) | (hh[1:] != hh[:-1])
+    run_starts = np.flatnonzero(new)
+    run_lengths = np.diff(np.append(run_starts, n))
+    run_doc = dh[run_starts]
+    doc_first = np.ones(len(run_starts), dtype=bool)
+    doc_first[1:] = run_doc[1:] != run_doc[:-1]
+    first = np.flatnonzero(doc_first)
+    out[run_doc[first]] = np.maximum.reduceat(run_lengths, first)
+    return out

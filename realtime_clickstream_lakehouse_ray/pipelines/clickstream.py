@@ -339,3 +339,48 @@ def events_funnel(sf_dir: str) -> ray.data.Dataset:
         .groupby("stage")
         .aggregate(Sum("n_part", alias_name="n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(sf_dir: str) -> ray.data.Dataset:
+    """Pivot: one row per user with a count column per event type (fixed
+    vocabulary) plus the total — the wide-format session feature table.
+
+    Per batch, counts build with one ``np.add.at`` scatter over
+    (user-code × type-index) — no per-row or per-type Python — and the
+    shuffle then moves only the per-batch wide partials, finalized by a
+    vectorized Sum per column (SURVEY.md §2.6 partial-then-finalize)."""
+    import numpy as np
+
+    n_types = len(EVENT_TYPES)
+    type_arr = pa.array(EVENT_TYPES)
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t["user_id"]).astype(np.int64)
+        # unseen/null types fall into a shadow column that is never emitted
+        tcode = np.asarray(
+            pc.fill_null(pc.index_in(t["event_type"], value_set=type_arr), n_types + 1)
+        ).astype(np.int64)
+        uniq, inv = np.unique(uid, return_inverse=True)
+        counts = np.zeros((len(uniq), n_types + 2), dtype=np.int64)
+        np.add.at(counts, (inv, tcode), 1)
+        counts[:, n_types] = np.bincount(inv, minlength=len(uniq))
+        out = {"user_id": pa.array(uniq)}
+        for j, ty in enumerate(EVENT_TYPES):
+            out[f"n_{ty}"] = pa.array(counts[:, j])
+        out["n_total"] = pa.array(counts[:, n_types])
+        return pa.table(out)
+
+    from ray.data.aggregate import Sum as _Sum
+
+    aggs = [_Sum(f"n_{ty}", alias_name=f"n_{ty}") for ty in EVENT_TYPES]
+    aggs.append(_Sum("n_total", alias_name="n_total"))
+    return (
+        read_events(sf_dir, columns=["user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(*aggs)
+    )

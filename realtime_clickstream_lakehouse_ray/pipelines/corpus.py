@@ -94,3 +94,150 @@ def doc_rarity(sf_dir: str) -> ray.data.Dataset:
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def chunk_documents(sf_dir: str, size: int = 64, stride: int = 48) -> ray.data.Dataset:
+    """Explode each document into fixed-size overlapping chunks (the
+    context-window splitter of an LLM data pipeline): chunk ``i`` covers
+    bytes ``[i*stride, i*stride + size)``; the last chunk may be short.
+
+    Fully vectorized row expansion over the Arrow string buffer — chunk
+    offsets are computed with ``np.repeat``/``arange`` and the output
+    StringArray is assembled with one fancy-indexed gather from the input
+    value buffer (``StringArray.from_buffers``): no Python per-row slicing.
+    Chunking is byte-based; the oracle's ``substr`` is character-based —
+    identical on this ASCII corpus (documented limitation for UTF-8, where
+    a real deployment chunks on rune boundaries in the same kernel)."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        col = t["text"].combine_chunks().cast(pa.large_string())
+        offsets = np.frombuffer(
+            col.buffers()[1], dtype=np.int64, count=len(col) + 1, offset=col.offset * 8
+        )
+        buf = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        doc_start, n_bytes = offsets[:-1], np.diff(offsets)
+        n_chunks = np.where(n_bytes > 0, (np.maximum(n_bytes, 1) - 1) // stride + 1, 0)
+        total = int(n_chunks.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk_idx": pa.array([], pa.int64()),
+                    "chunk": pa.array([], pa.string()),
+                }
+            )
+        doc_rep = np.repeat(np.arange(len(t), dtype=np.int64), n_chunks)
+        first_out = np.cumsum(n_chunks) - n_chunks
+        chunk_idx = np.arange(total, dtype=np.int64) - np.repeat(first_out, n_chunks)
+        c_start = doc_start[doc_rep] + chunk_idx * stride
+        c_len = np.minimum(size, n_bytes[doc_rep] - chunk_idx * stride)
+        out_off = np.zeros(total + 1, dtype=np.int64)
+        np.cumsum(c_len, out=out_off[1:])
+        gather = np.repeat(c_start, c_len) + (
+            np.arange(out_off[-1], dtype=np.int64) - np.repeat(out_off[:-1], c_len)
+        )
+        chunks = pa.StringArray.from_buffers(
+            total,
+            pa.py_buffer(out_off.astype(np.int32).tobytes()),
+            pa.py_buffer(buf[gather].tobytes()),
+        )
+        return pa.table(
+            {
+                "doc_id": pc.take(t["doc_id"].combine_chunks(), pa.array(doc_rep)),
+                "chunk_idx": pa.array(chunk_idx),
+                "chunk": chunks,
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def token_histogram(sf_dir: str, bin_width: int = 50) -> ray.data.Dataset:
+    """Corpus length histogram per source: documents bucketed by
+    ``n_chars // bin_width`` — the length-distribution summary every
+    mixture report starts with.  Per-batch Arrow hash-groupby partials,
+    then a tiny (sources × bins) Sum finalize: the shuffle moves per-batch
+    partial counts, never documents."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        bins = (np.asarray(t["n_chars"]).astype(np.int64) // bin_width) * bin_width
+        agg = (
+            pa.table({"source": t["source"], "bin_lo": pa.array(bins)})
+            .group_by(["source", "bin_lo"])
+            .aggregate([("bin_lo", "count")])
+        )
+        return pa.table(
+            {
+                "source": agg["source"],
+                "bin_lo": agg["bin_lo"],
+                "n_part": agg["bin_lo_count"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        _read_docs(sf_dir, ["source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "bin_lo"])
+        .aggregate(Sum("n_part", alias_name="n_docs"))
+    )
+
+
+def corpus_rollup(sf_dir: str) -> pa.Table:
+    """GROUPING-SETS rollup over (source, lang): doc counts + char totals
+    at every level — (source,lang), (source), (lang), grand total — with
+    rolled-up keys as the ``'<all>'`` sentinel (NULL-free, so the result
+    hashes identically across engines).
+
+    Scale shape: the DISTRIBUTED part is the finest-level aggregate
+    (per-batch hash-groupby partials → (source,lang) Sum); the coarser
+    levels derive from that ~(sources × langs)-row result — a classic
+    small-finalize, computed once on the collected aggregate (hundreds of
+    rows at ANY corpus size, since rollup cardinality is bounded by the
+    key domain, not the data)."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = (
+            pa.table(
+                {
+                    "source": t["source"],
+                    "lang": t["lang"],
+                    "n_chars": t["n_chars"],
+                }
+            )
+            .group_by(["source", "lang"])
+            .aggregate([("n_chars", "count"), ("n_chars", "sum")])
+        )
+        return pa.table(
+            {
+                "source": agg["source"],
+                "lang": agg["lang"],
+                "n_part": agg["n_chars_count"].cast(pa.int64()),
+                "c_part": agg["n_chars_sum"].cast(pa.int64()),
+            }
+        )
+
+    fine = (
+        _read_docs(sf_dir, ["source", "lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n_part", alias_name="n_docs"), Sum("c_part", alias_name="sum_chars"))
+        .to_pandas()
+    )
+    levels = [fine.assign()]
+    for keys in (["source"], ["lang"], []):
+        g = (
+            fine.groupby(keys, as_index=False)[["n_docs", "sum_chars"]].sum()
+            if keys
+            else fine[["n_docs", "sum_chars"]].sum().to_frame().T
+        )
+        for col in ("source", "lang"):
+            if col not in g.columns:
+                g[col] = "<all>"
+        levels.append(g[["source", "lang", "n_docs", "sum_chars"]])
+    out = pd.concat(levels, ignore_index=True)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["sum_chars"] = out["sum_chars"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -87,3 +87,43 @@ def pack_sequences_assign(sf_dir: str, seq_len: int = 2048) -> ray.data.Dataset:
     return with_cum.map_batches(
         assign, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def stratified_sample(sf_dir: str, k: int = 40) -> ray.data.Dataset:
+    """Per-source stratified sample: keep the ``k`` documents with the
+    smallest multiplicative-hash rank ``((doc_id % 100000007) * 2654435761)
+    % 2^32`` within each source — a deterministic, seedless "N docs per
+    source" draw (the inner modulus keeps the product inside int64 on BOTH
+    engines at any doc_id).
+
+    Scale shape: each batch pre-trims to its local top-k per source
+    (vectorized lexsort rank), so the final per-source selection sees at
+    most ``k × n_batches`` rows per source; the only Python-per-group call
+    runs once per SOURCE (mixtures have tens of sources, not millions)."""
+    ds = _read_docs(sf_dir, ["doc_id", "source"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"]).astype(np.int64)
+        rk = ((ids % 100000007) * 2654435761) % 4294967296
+        src = t["source"].combine_chunks().dictionary_encode()
+        codes = np.asarray(src.indices).astype(np.int64)
+        order = np.lexsort((ids, rk, codes))
+        c = codes[order]
+        first = np.ones(len(c), dtype=bool)
+        first[1:] = c[1:] != c[:-1]
+        # rank within source = position - start of the source's run
+        run_start = np.maximum.accumulate(np.where(first, np.arange(len(c)), 0))
+        rank = np.arange(len(c)) - run_start
+        keep_pos = order[rank < k]
+        out = t.take(pa.array(np.sort(keep_pos)))
+        ids_k = np.asarray(out["doc_id"]).astype(np.int64)
+        rk_k = ((ids_k % 100000007) * 2654435761) % 4294967296
+        return out.append_column("rk", pa.array(rk_k.astype(np.int64)))
+
+    trimmed = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+
+    def final_topk(g):
+        g = g.sort_values(["rk", "doc_id"], kind="mergesort").head(k)
+        return g[["doc_id", "source"]]
+
+    return trimmed.groupby("source").map_groups(final_topk, batch_format="pandas")

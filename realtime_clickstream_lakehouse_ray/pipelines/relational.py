@@ -304,10 +304,13 @@ def bucket_hash_join(
     left_on: str,
     right_on: str,
     num_buckets: int | None = None,
+    how: str = "inner",
 ) -> ray.data.Dataset:
     """Explicit partitioned hash join: add ``bucket = hash(key) % B`` to
     both sides, union, group by bucket, pandas-merge the two sides inside
-    each bucket group.
+    each bucket group.  ``how`` is ``inner`` | ``semi`` | ``anti`` (the
+    semi/anti forms emit left columns only, via a vectorized per-bucket
+    ``isin`` membership test — no row expansion).
 
     B python calls total (one per bucket), not one per key — and the only
     shuffle moves each row once, keyed by bucket.  This replaces
@@ -347,7 +350,10 @@ def bucket_hash_join(
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         l = g.loc[g["__side"] == 0, left_cols]
         r = g.loc[g["__side"] == 1, right_cols]
-        return l.merge(r, left_on=left_on, right_on=right_on, how="inner")
+        if how == "inner":
+            return l.merge(r, left_on=left_on, right_on=right_on, how="inner")
+        member = l[left_on].isin(r[right_on])
+        return l[member] if how == "semi" else l[~member]
 
     return lt.union(rt).groupby("__bucket").map_groups(
         merge_bucket, batch_format="pandas"
@@ -620,4 +626,24 @@ def q3_shipping_priority(sf_dir: str, k: int = 10) -> ray.data.Dataset:
         rolled,
         [("revenue", "descending"), ("o_orderdate", "ascending"), ("l_orderkey", "ascending")],
         k,
+    )
+
+
+def customers_without_orders(sf_dir: str, min_total: float = 400_000.0) -> ray.data.Dataset:
+    """Distributed ANTI join: customers with no order above ``min_total``
+    (TPC-H Q22 shape).  The order-side filter runs as a pruned distributed
+    read + ``map_batches`` predicate; the anti semantics ride the bucketed
+    hash join (``how="anti"``) — one shuffle, each row moved once, the
+    membership test vectorized per bucket.  No driver-side data path."""
+    customers = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
+
+    def hi_value(t: pa.Table) -> pa.Table:
+        mask = pc.greater(t["o_totalprice"], pa.scalar(min_total))
+        return t.filter(mask).select(["o_custkey"])
+
+    hi_orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        hi_value, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_hash_join(
+        customers, hi_orders, "c_custkey", "o_custkey", how="anti"
     )

@@ -214,3 +214,52 @@ def daily_distinct_users(sf_dir: str) -> ray.data.Dataset:
         .groupby("event_date")
         .aggregate(Sum("n_users", alias_name="n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+def events_sliding_counts(sf_dir: str, window_s: int = 1800) -> ray.data.Dataset:
+    """Sliding RANGE-frame window: per event, how many events the same user
+    produced in the preceding ``window_s`` seconds (inclusive of peers at
+    the same timestamp — SQL ``RANGE BETWEEN w PRECEDING AND CURRENT ROW``
+    semantics).
+
+    Same one-shuffle bucket template as the other windows; inside a bucket
+    ALL users' frames are counted with two global ``np.searchsorted`` calls
+    over a composite (segment, time) key — per-user segments are kept
+    disjoint by offsetting each segment onto its own key band, so no
+    Python loop over users exists."""
+    num_buckets = _num_buckets()
+    window_us = int(window_s) * 1_000_000
+
+    def tag(t: pa.Table) -> pa.Table:
+        return _tag_bucket(
+            t.select(["event_id", "user_id", "ts"]), "user_id", num_buckets
+        )
+
+    def win_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort", ignore_index=True)
+        uid = g["user_id"].to_numpy()
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        n = len(g)
+        starts = _group_starts(uid)
+        sizes = np.diff(np.append(starts, n))
+        seg_id = np.repeat(np.arange(len(starts), dtype=np.int64), sizes)
+        ts0 = ts_us - (ts_us.min() if n else 0)
+        band = (ts0.max() if n else 0) + window_us + 2
+        key = seg_id * band + ts0
+        lo = np.searchsorted(key, key - window_us, side="left")
+        hi = np.searchsorted(key, key, side="right")
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": uid,
+                "n_win": (hi - lo).astype(np.int64),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+        .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(win_bucket, batch_format="pandas")
+    )

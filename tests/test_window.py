@@ -106,3 +106,41 @@ class TestQuantileDisc:
         got = quantile_disc_by(ds, "val", "grp", {"p50": 0.5}).to_pandas()
         # non-null/non-nan: [-5.0, -1.5, 0.0, 2.5, 7.0]; rank ceil(0.5*5)=3 -> 0.0
         assert got["p50"].iloc[0] == 0.0
+
+
+def test_sliding_counts_peer_and_boundary(tmp_path):
+    """RANGE-frame semantics: rows at the SAME ts count each other (peers),
+    and the window is inclusive at exactly -window_s."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from realtime_clickstream_lakehouse_ray.pipelines import window as W
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = [
+        (0, 1, base),                      # t0
+        (1, 1, base),                      # peer of t0
+        (2, 1, base + np.timedelta64(1800, "s")),   # exactly window edge
+        (3, 1, base + np.timedelta64(3601, "s")),   # outside all windows
+        (4, 2, base),                      # other user
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([pd.Timestamp(r[2]) for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": ["view"] * 5,
+                "value": pa.array([0.0] * 5),
+                "props": ['{"k": 1}'] * 5,
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    out = W.events_sliding_counts(str(tmp_path)).to_pandas().set_index("event_id")
+    assert out.loc[0, "n_win"] == 2 and out.loc[1, "n_win"] == 2  # peers
+    assert out.loc[2, "n_win"] == 3  # includes both at exactly -1800s
+    assert out.loc[3, "n_win"] == 1
+    assert out.loc[4, "n_win"] == 1
