@@ -64,11 +64,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": filters.decontaminate,
         "embedding_outliers": filters.embedding_outliers,
         "repetition_stats": filters.repetition_stats,
+        "pii_redact": filters.pii_redact,
         # --- mixture construction (deterministic, oracle-exact) ---------
         "sample_by_hash": mixture.sample_by_hash,
         "source_char_budget": mixture.source_char_budget,
         "pack_sequences_assign": mixture.pack_sequences_assign,
         "stratified_sample": mixture.stratified_sample,
+        "training_shard_manifest": mixture.training_shard_manifest,
         # --- corpus statistics (explode/flat-map family) ----------------
         "word_freq_topk": corpus.word_freq_topk,
         "doc_rarity": corpus.doc_rarity,
@@ -124,6 +126,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_price_bands": relational.part_price_bands,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "customers_without_orders": relational.customers_without_orders,
+        "customer_order_counts": relational.customer_order_counts,
+        "cheapest_supplier_per_part": relational.cheapest_supplier_per_part,
+        "q5_nation_revenue": relational.q5_nation_revenue,
         # --- maintenance engine (SURVEY.md §2.12, the north rule) -------
         "maintenance_compact": maintenance.maintenance_compact,
         "maintenance_zorder": maintenance.maintenance_zorder,
@@ -634,6 +639,73 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 100
         """,
         "distinct_mktsegments": "SELECT DISTINCT c_mktsegment FROM customer",
+        "pii_redact": r"""
+            WITH s0 AS (SELECT doc_id, text AS t FROM documents),
+            s1 AS (
+              SELECT doc_id,
+                     regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                                    '<EMAIL>', 'g') AS t,
+                     len(regexp_extract_all(t,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n
+              FROM s0
+            ),
+            s2 AS (
+              SELECT doc_id, regexp_replace(t, '[0-9]{6,}', '<NUM>', 'g') AS t,
+                     n + len(regexp_extract_all(t, '[0-9]{6,}')) AS n
+              FROM s1
+            )
+            SELECT doc_id,
+                   regexp_replace(t, '\b(customer|user)\b', '<ID>', 'g') AS text_redacted,
+                   CAST(n + len(regexp_extract_all(t, '\b(customer|user)\b')) AS BIGINT)
+                       AS n_redactions
+            FROM s2
+        """,
+        "training_shard_manifest": """
+            SELECT doc_id, shard, CAST(rn - 1 AS BIGINT) AS pos FROM (
+                SELECT doc_id, shard,
+                       row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS rn
+                FROM (
+                    SELECT doc_id,
+                           ((doc_id % 100000007) * 2654435761) % 4294967296 AS h,
+                           (((doc_id % 100000007) * 2654435761) % 4294967296) % 8 AS shard
+                    FROM documents
+                )
+            )
+        """,
+        "customer_order_counts": """
+            SELECT c_custkey, c_name,
+                   CAST(count(o_custkey) AS BIGINT) AS n_orders,
+                   coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0) / 100.0
+                       AS total_spent
+            FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+            GROUP BY 1, 2
+        """,
+        "cheapest_supplier_per_part": """
+            SELECT l_partkey, l_suppkey,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) / 100.0 AS min_price
+            FROM (
+                SELECT l_partkey, l_suppkey, l_extendedprice,
+                       row_number() OVER (
+                           PARTITION BY l_partkey
+                           ORDER BY round(l_extendedprice * 100), l_suppkey
+                       ) AS rn
+                FROM lineitem
+            ) WHERE rn = 1
+        """,
+        "q5_nation_revenue": """
+            SELECT n_name,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+                       AS revenue
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            WHERE r_name = 'ASIA'
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1
+        """,
         "customers_without_orders": """
             SELECT c_custkey, c_name, c_acctbal FROM customer c
             WHERE NOT EXISTS (

@@ -84,6 +84,44 @@ def quality_filter(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# (pattern, replacement) applied in order; all RE2 — identical semantics in
+# Arrow's replace_substring_regex and DuckDB's regexp_replace.
+PII_RULES: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"[0-9]{6,}", "<NUM>"),
+    # configurable denylist terms stand in for a tenant's identifier list
+    (r"\b(customer|user)\b", "<ID>"),
+]
+
+
+def pii_redact(sf_dir: str, rules: list[tuple[str, str]] = PII_RULES) -> ray.data.Dataset:
+    """PII / denylist redaction: sequentially apply each RE2 rule to the
+    text (global replace) and count the total substitutions made —
+    the standard pre-training scrub pass (emails, long digit runs, a
+    configurable term denylist).
+
+    One stateless vectorized ``map_batches`` over a 2-column pruned read —
+    Arrow's RE2 kernels (`replace_substring_regex`, `count_substring_regex`)
+    run over the string buffer with no Python per row and no shuffle.
+    Counts are taken on the text state each rule sees (rule i counts on the
+    output of rules 0..i-1), mirroring chained ``regexp_replace`` exactly."""
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        txt = t["text"].combine_chunks()
+        n = np.zeros(len(t), dtype=np.int64)
+        for pat, repl in rules:
+            n += np.asarray(pc.count_substring_regex(txt, pat)).astype(np.int64)
+            txt = pc.replace_substring_regex(txt, pat, repl)
+        return pa.table(
+            {"doc_id": t["doc_id"], "text_redacted": txt, "n_redactions": pa.array(n)}
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def _distinct_doc_grams(
     t: pa.Table, k: int
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -127,3 +127,50 @@ def stratified_sample(sf_dir: str, k: int = 40) -> ray.data.Dataset:
         return g[["doc_id", "source"]]
 
     return trimmed.groupby("source").map_groups(final_topk, batch_format="pandas")
+
+
+def training_shard_manifest(sf_dir: str, num_shards: int = 8) -> ray.data.Dataset:
+    """Deterministic global shuffle + shard assignment — the "write the
+    training shards" step: every document gets a shard (multiplicative
+    hash, reproducible across runs/engines) and a dense position within
+    its shard in global hash order.
+
+    Positions are computed with the distributed ordered-prefix-sum
+    primitive (``functions/prefix.py``): ONE narrow range-partitioned sort
+    of (order-key, shard) — the text never moves — then two streaming
+    passes (per-block partials -> driver block offsets -> vectorized
+    block-local cumsum).  No per-shard materialization: a shard's rows can
+    span any number of blocks, so this holds when a shard is terabytes.
+
+    The order key packs (hash, doc_id) into one int64 (hash < 2^32,
+    doc_id < 2^31 asserted), giving the globally-unique order column the
+    primitive requires while preserving (hash, doc_id) order."""
+    ds = _read_docs(sf_dir, ["doc_id"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"]).astype(np.int64)
+        if len(ids) and (ids.min() < 0 or ids.max() >= (1 << 31)):
+            raise ValueError("training_shard_manifest requires doc_id in [0, 2^31)")
+        h = ((ids % 100000007) * 2654435761) % 4294967296
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "shard": pa.array((h % num_shards).astype(np.int64)),
+                "okey": pa.array(h * np.int64(1 << 31) + ids),
+                "one": pa.array(np.ones(len(ids), dtype=np.int64)),
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    ranked = ordered_prefix_sum(tagged, "okey", "one", "shard", out_col="cum")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "shard": t["shard"],
+                "pos": pa.array(np.asarray(t["cum"]).astype(np.int64) - 1),
+            }
+        )
+
+    return ranked.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)

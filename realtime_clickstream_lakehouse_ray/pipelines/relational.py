@@ -308,9 +308,10 @@ def bucket_hash_join(
 ) -> ray.data.Dataset:
     """Explicit partitioned hash join: add ``bucket = hash(key) % B`` to
     both sides, union, group by bucket, pandas-merge the two sides inside
-    each bucket group.  ``how`` is ``inner`` | ``semi`` | ``anti`` (the
-    semi/anti forms emit left columns only, via a vectorized per-bucket
-    ``isin`` membership test — no row expansion).
+    each bucket group.  ``how`` is ``inner`` | ``left`` | ``semi`` |
+    ``anti`` (the semi/anti forms emit left columns only, via a vectorized
+    per-bucket ``isin`` membership test — no row expansion; ``left`` keeps
+    unmatched left rows with the right side's columns null).
 
     B python calls total (one per bucket), not one per key — and the only
     shuffle moves each row once, keyed by bucket.  This replaces
@@ -350,8 +351,8 @@ def bucket_hash_join(
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         l = g.loc[g["__side"] == 0, left_cols]
         r = g.loc[g["__side"] == 1, right_cols]
-        if how == "inner":
-            return l.merge(r, left_on=left_on, right_on=right_on, how="inner")
+        if how in ("inner", "left"):
+            return l.merge(r, left_on=left_on, right_on=right_on, how=how)
         member = l[left_on].isin(r[right_on])
         return l[member] if how == "semi" else l[~member]
 
@@ -646,4 +647,265 @@ def customers_without_orders(sf_dir: str, min_total: float = 400_000.0) -> ray.d
     )
     return bucket_hash_join(
         customers, hi_orders, "c_custkey", "o_custkey", how="anti"
+    )
+
+
+def customer_order_counts(sf_dir: str) -> ray.data.Dataset:
+    """LEFT OUTER join + grouped rollup: every customer with their order
+    count and total spend (0 for customers with no orders) — the classic
+    left-join-aggregate the reference expresses as a Spark outer join.
+
+    Shape (the ``order_revenue_join`` fused pattern): the fact side is
+    pre-combined per key inside each batch (partial aggregate BEFORE the
+    shuffle, so at most one row per distinct custkey per batch moves),
+    both sides are tagged with ``hash(custkey) % B`` and unioned, and ONE
+    bucket-keyed shuffle delivers a key's customer row and all its
+    partials to the same group — where the residual combine, the left
+    join and the null-fill all run as vectorized kernels.  A customer is
+    finalized exactly once because its key lives in exactly one bucket.
+    Spend stays on the exact e2 integer grid until the final divide so
+    the DuckDB oracle matches bit-for-bit."""
+    from realtime_clickstream_lakehouse_ray.functions.hashing import hash64
+
+    ncpu = int(ray.available_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    num_buckets = max(4, ncpu)
+
+    def tag_cust(t: pa.Table) -> pa.Table:
+        bucket = (hash64(t["c_custkey"]) % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_name": t["c_name"],
+                "spent_e2": pa.nulls(len(t), pa.int64()),
+                "n_orders": pa.nulls(len(t), pa.int64()),
+                "__bucket": pa.array(bucket),
+            }
+        )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        part = (
+            pa.table(
+                {"c_custkey": t["o_custkey"], "spent_e2": _e(t["o_totalprice"], 100)}
+            )
+            .group_by("c_custkey")
+            .aggregate([("spent_e2", "sum"), ("spent_e2", "count")])
+            .rename_columns(["c_custkey", "spent_e2", "n_orders"])
+        )
+        bucket = (hash64(part["c_custkey"]) % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "c_custkey": part["c_custkey"],
+                "c_name": pa.nulls(len(part), pa.string()),
+                "spent_e2": part["spent_e2"],
+                "n_orders": part["n_orders"],
+                "__bucket": pa.array(bucket),
+            }
+        )
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).map_batches(
+        tag_cust, batch_format="pyarrow", zero_copy_batch=True
+    )
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        tag_orders, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        is_cust = pc.is_valid(g["c_name"])
+        c = g.filter(is_cust)
+        agg = (
+            g.filter(pc.invert(is_cust))
+            .select(["c_custkey", "spent_e2", "n_orders"])
+            .group_by("c_custkey")
+            .aggregate([("spent_e2", "sum"), ("n_orders", "sum")])
+            .rename_columns(["c_custkey", "spent_e2", "n_orders"])
+        )
+        keys = np.asarray(agg["c_custkey"]).astype(np.int64)
+        order = np.argsort(keys, kind="stable")
+        keys = keys[order]
+        spent = np.asarray(agg["spent_e2"]).astype(np.int64)[order]
+        n = np.asarray(agg["n_orders"]).astype(np.int64)[order]
+        ck = np.asarray(c["c_custkey"]).astype(np.int64)
+        if len(keys):
+            idx = np.searchsorted(keys, ck)
+            hit = (idx < len(keys)) & (keys[np.minimum(idx, len(keys) - 1)] == ck)
+            spent_c = np.where(hit, spent[np.minimum(idx, len(keys) - 1)], 0)
+            n_c = np.where(hit, n[np.minimum(idx, len(keys) - 1)], 0)
+        else:
+            spent_c = np.zeros(len(ck), dtype=np.int64)
+            n_c = np.zeros(len(ck), dtype=np.int64)
+        return pa.table(
+            {
+                "c_custkey": c["c_custkey"],
+                "c_name": c["c_name"],
+                "n_orders": pa.array(n_c.astype(np.int64)),
+                "total_spent": pa.array(spent_c.astype(np.float64) / 100.0),
+            }
+        )
+
+    return cust.union(orders).groupby("__bucket").map_groups(
+        merge_bucket, batch_format="pyarrow"
+    )
+
+
+def cheapest_supplier_per_part(sf_dir: str) -> ray.data.Dataset:
+    """Grouped ARGMIN with attribute join-back (TPC-H Q2 shape): for every
+    part, the supplier of its cheapest lineitem (ties broken by smallest
+    suppkey).  Ray Data's aggregate set has Min but no ArgMin — this is the
+    two-stage partial-argmin pattern:
+
+    1. per-batch vectorized first-per-key (lexsort by key, price, supp) —
+       at most one row per distinct partkey per batch survives;
+    2. one shuffle keyed by ``hash(partkey) % B``, then the identical
+       vectorized first-per-key per bucket (all keys of a bucket in one
+       Python call, never one per key).
+
+    Price rides the exact e2 grid; the reconstructed ``e2 / 100.0`` double
+    equals DuckDB's ``round(price*100)/100.0`` bit-for-bit."""
+    from realtime_clickstream_lakehouse_ray.functions.hashing import hash64
+
+    ncpu = int(ray.available_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    num_buckets = max(4, ncpu)
+
+    def argmin_rows(t: pa.Table) -> pa.Table:
+        part = np.asarray(t["l_partkey"]).astype(np.int64)
+        supp = np.asarray(t["l_suppkey"]).astype(np.int64)
+        price = np.asarray(_e(t["l_extendedprice"], 100))
+        order = np.lexsort((supp, price, part))
+        p = part[order]
+        first = np.ones(len(p), dtype=bool)
+        first[1:] = p[1:] != p[:-1]
+        keep = order[first]
+        return pa.table(
+            {
+                "l_partkey": pa.array(part[keep]),
+                "l_suppkey": pa.array(supp[keep]),
+                "price_e2": pa.array(price[keep]),
+            }
+        )
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = argmin_rows(t)
+        bucket = (hash64(t["l_partkey"]) % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("__bucket", pa.array(bucket))
+
+    def final_bucket(g: pa.Table) -> pa.Table:
+        out = argmin_rows(
+            pa.table(
+                {
+                    "l_partkey": g["l_partkey"],
+                    "l_suppkey": g["l_suppkey"],
+                    "l_extendedprice": pc.divide(
+                        pc.cast(g["price_e2"], pa.float64()), 100.0
+                    ),
+                }
+            )
+        )
+        return pa.table(
+            {
+                "l_partkey": out["l_partkey"],
+                "l_suppkey": out["l_suppkey"],
+                "min_price": pa.array(
+                    np.asarray(out["price_e2"]).astype(np.float64) / 100.0
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+        .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(final_bucket, batch_format="pyarrow")
+    )
+
+
+def q5_nation_revenue(
+    sf_dir: str, region: str = "ASIA", date_lo: str = "1996-01-01", date_hi: str = "1998-01-01"
+) -> ray.data.Dataset:
+    """TPC-H Q5 shape: lineitem ⋈ supplier ⋈ nation ⋈ region with a date
+    filter, revenue per nation.  The dimension chain (supplier → nation →
+    region, all small by nature) is densified on the driver and broadcast
+    ONCE — each fact batch does one vectorized gather + filter + partial
+    per-nation combine, so the final shuffle moves ≤ |nations| rows per
+    batch.  Revenue stays on the exact e4 integer grid until the divide."""
+    supplier = pa.concat_tables(
+        ray.get(_read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_arrow_refs())
+    )
+    nation = pa.concat_tables(ray.get(_read(sf_dir, "nation").to_arrow_refs()))
+    reg = pa.concat_tables(ray.get(_read(sf_dir, "region").to_arrow_refs()))
+    rk = {
+        int(k): v
+        for k, v in zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist())
+    }
+    n_name = {}
+    for nk, nrk, nm in zip(
+        nation["n_nationkey"].to_pylist(),
+        nation["n_regionkey"].to_pylist(),
+        nation["n_name"].to_pylist(),
+    ):
+        if rk[int(nrk)] == region:
+            n_name[int(nk)] = nm
+    # dense supplier -> nation-name map ('' = supplier outside the region)
+    s2n_ref = ray.put(
+        (
+            np.asarray(supplier["s_suppkey"]).astype(np.int64),
+            np.asarray(supplier["s_nationkey"]).astype(np.int64),
+            n_name,
+        )
+    )
+
+    lo = pa.scalar(np.datetime64(date_lo, "us"))
+    hi = pa.scalar(np.datetime64(date_hi, "us"))
+
+    def _dense(args) -> np.ndarray:
+        skeys, snations, names = args
+        size = int(skeys.max()) + 1
+        out = np.full(size, "", dtype=object)
+        out[skeys] = [names.get(int(nk), "") for nk in snations]
+        return out
+
+    def partial(t: pa.Table) -> pa.Table:
+        from realtime_clickstream_lakehouse_ray.functions.broadcast import get_broadcast
+
+        names = get_broadcast(s2n_ref, _dense)
+        t = t.filter(
+            pc.and_(pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi))
+        )
+        supp = np.asarray(t["l_suppkey"]).astype(np.int64)
+        nname = names[supp]
+        keep = nname != ""
+        rev_e4 = (
+            np.asarray(_e(t["l_extendedprice"], 100))
+            * (100 - np.asarray(_e(t["l_discount"], 100)))
+        )[keep]
+        return (
+            pa.table(
+                {
+                    "n_name": pa.array(nname[keep].astype(str)),
+                    "rev_e4": pa.array(rev_e4),
+                }
+            )
+            .group_by("n_name")
+            .aggregate([("rev_e4", "sum")])
+            .rename_columns(["n_name", "rev_e4"])
+        )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": t["n_name"],
+                "revenue": pa.array(np.asarray(t["s"]).astype(np.float64) / 10000.0),
+            }
+        )
+
+    return (
+        _read(
+            sf_dir,
+            "lineitem",
+            columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_name")
+        .aggregate(Sum("rev_e4", alias_name="s"))
+        .map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("revenue", descending=True)
     )

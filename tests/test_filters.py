@@ -159,3 +159,88 @@ def test_embedding_outliers_planted(tmp_path):
     assert (out.groupby("label").size() == 3).all()
     a_rows = out[out["label"] == "a"]
     assert 13 in set(a_rows["vec_id"])  # the planted outlier is flagged
+
+
+class TestPiiRedact:
+    @pytest.fixture(scope="class")
+    def pii_dir(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("pii")
+        texts = [
+            "contact bob.smith+x@example.co.uk for the report",
+            "card 1234567890 expired and pin 123456 too",
+            "the customer met a user and another customer",
+            "nothing sensitive here",
+            "short num 12345 is kept",  # <6 digits: not redacted
+        ]
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts)}),
+            str(d / "documents.parquet"),
+        )
+        return str(d)
+
+    def test_redaction_and_counts(self, pii_dir):
+        out = filters.pii_redact(pii_dir).to_pandas().sort_values(
+            "doc_id", ignore_index=True
+        )
+        assert out.loc[0, "text_redacted"] == "contact <EMAIL> for the report"
+        assert out.loc[0, "n_redactions"] == 1
+        assert out.loc[1, "text_redacted"] == "card <NUM> expired and pin <NUM> too"
+        assert out.loc[1, "n_redactions"] == 2
+        assert (
+            out.loc[2, "text_redacted"] == "the <ID> met a <ID> and another <ID>"
+        )
+        assert out.loc[2, "n_redactions"] == 3
+        assert out.loc[3, "n_redactions"] == 0
+        assert out.loc[4, "text_redacted"] == "short num 12345 is kept"
+
+
+class TestLeftJoinAndArgmin:
+    def test_bucket_hash_join_left_matches_pandas(self):
+        left = ray.data.from_arrow(
+            pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                      "a": pa.array(["w", "x", "y", "z"])})
+        )
+        right = ray.data.from_arrow(
+            pa.table({"rk": pa.array([2, 2, 4], pa.int64()),
+                      "b": pa.array([10.0, 20.0, 30.0])})
+        )
+        got = (
+            relational.bucket_hash_join(left, right, "k", "rk", how="left")
+            .to_pandas()
+            .sort_values(["k", "b"], ignore_index=True)
+        )
+        assert len(got) == 5  # k=2 expands x2, k=1/3 survive unmatched
+        assert got.loc[got["k"] == 1, "b"].isna().all()
+        assert sorted(got.loc[got["k"] == 2, "b"]) == [10.0, 20.0]
+
+    def test_cheapest_supplier_ties_break_by_suppkey(self, tmp_path):
+        t = pa.table(
+            {
+                "l_partkey": pa.array([7, 7, 7, 8], pa.int64()),
+                "l_suppkey": pa.array([5, 3, 9, 1], pa.int64()),
+                "l_extendedprice": pa.array([10.0, 10.0, 9.5, 4.0]),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+        out = (
+            relational.cheapest_supplier_per_part(str(tmp_path))
+            .to_pandas()
+            .sort_values("l_partkey", ignore_index=True)
+        )
+        assert out["l_partkey"].tolist() == [7, 8]
+        assert out["l_suppkey"].tolist() == [9, 1]  # 9.5 beats the 10.0 tie
+        assert out["min_price"].tolist() == [9.5, 4.0]
+
+
+class TestShardManifest:
+    def test_positions_dense_and_deterministic(self):
+        out = mixture.training_shard_manifest(SF).to_pandas()
+        assert len(out) == out["doc_id"].nunique()
+        for shard, g in out.groupby("shard"):
+            pos = np.sort(g["pos"].to_numpy())
+            assert (pos == np.arange(len(g))).all()  # dense 0..n-1
+        again = mixture.training_shard_manifest(SF).to_pandas()
+        a = out.sort_values("doc_id", ignore_index=True)
+        b = again.sort_values("doc_id", ignore_index=True)
+        assert a.equals(b)
