@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": corpus.chunk_documents,
         "token_histogram": corpus.token_histogram,
         "corpus_rollup": corpus.corpus_rollup,
+        "tfidf_top_terms": corpus.tfidf_top_terms,
         # --- deduplication ----------------------------------------------
         "exact_dedup": dedup.exact_dedup,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,  # approx -> rows-only
@@ -105,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_reject_path": clickstream.events_reject_path,
         "events_asof_join": clickstream.events_asof_join,
         "events_pivot": clickstream.events_pivot,
+        "cohort_retention": clickstream.cohort_retention,
         # --- window functions (bucketed one-shuffle template) -----------
         "events_funnel": clickstream.events_funnel,
         "events_user_rank": window.events_user_rank,
@@ -395,6 +397,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(g) - len(list_distinct(g)) AS DOUBLE)
                        / greatest(len(g), 1) AS dup_gram_ratio
             FROM grams
+        """,
+        "cohort_retention": """
+            WITH uw AS (
+                SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+            ),
+            c AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1)
+            SELECT cohort_week, week, CAST(count(*) AS BIGINT) AS n_users
+            FROM uw JOIN c USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "tfidf_top_terms": f"""
+            WITH w AS (
+                SELECT doc_id, unnest({words}) AS word FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+                FROM w GROUP BY 1, 2
+            ),
+            df AS (
+                SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                FROM w GROUP BY 1
+            )
+            SELECT doc_id, word, tf, df FROM (
+                SELECT doc_id, word, tf, df,
+                       row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY CAST(tf AS DOUBLE) / df DESC, word
+                       ) AS rn
+                FROM tf JOIN df USING (word)
+            ) WHERE rn <= 3
         """,
         "customer_order_lag": """
             SELECT o_orderkey, o_custkey, days_since_prev FROM (

@@ -384,3 +384,80 @@ def events_pivot(sf_dir: str) -> ray.data.Dataset:
         .groupby("user_id")
         .aggregate(*aggs)
     )
+
+
+def cohort_retention(sf_dir: str) -> ray.data.Dataset:
+    """Weekly cohort-retention matrix: users grouped by their first-active
+    ISO week (cohort), counted in every week they return — the standard
+    clickstream retention rollup over the reference's events stream.
+
+    Shape: each batch first reduces to DISTINCT (user, week) pairs plus a
+    per-user min-week partial (vectorized lexsort dedup — weeks per user
+    per batch, not rows, cross the wire); ONE shuffle co-locates a user's
+    partials by ``hash(user_id) % B``; each bucket resolves the true
+    cohort (min over the user's weeks) and emits (cohort, week) partial
+    counts; a tiny Sum over ≤ weeks² composite keys finalizes.  Week
+    truncation is integer day arithmetic on the epoch grid (Monday-start,
+    matching DuckDB ``date_trunc('week', ts)``) — exact, no tz/float."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from realtime_clickstream_lakehouse_ray.functions.hashing import hash64
+
+    ncpu = int(ray.available_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    num_buckets = max(4, ncpu)
+    US_PER_DAY = np.int64(86_400_000_000)
+
+    def tag(t: pa.Table) -> pa.Table:
+        us = np.asarray(t["ts"].cast(pa.int64())).astype(np.int64)
+        day = us // US_PER_DAY  # events are post-1970; floor == trunc
+        week_day = day - (day + 3) % 7  # 1970-01-01 was a Thursday
+        week_us = week_day * US_PER_DAY
+        uid = np.asarray(t["user_id"]).astype(np.int64)
+        order = np.lexsort((week_us, uid))
+        u, w = uid[order], week_us[order]
+        keep = np.ones(len(u), dtype=bool)
+        keep[1:] = (u[1:] != u[:-1]) | (w[1:] != w[:-1])
+        u, w = u[keep], w[keep]
+        bucket = (
+            hash64(pa.array(u)) % np.uint64(num_buckets)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "user_id": pa.array(u),
+                "week_us": pa.array(w),
+                "__bucket": pa.array(bucket),
+            }
+        )
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        uw = g[["user_id", "week_us"]].drop_duplicates()  # across batches
+        cohort = uw.groupby("user_id")["week_us"].min().rename("cohort_us")
+        uw = uw.merge(cohort, left_on="user_id", right_index=True)
+        out = (
+            uw.groupby(["cohort_us", "week_us"], sort=False)
+            .size()
+            .reset_index(name="n_part")
+        )
+        out["n_part"] = out["n_part"].astype(np.int64)
+        return out
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_week": t["cohort_us"].cast(pa.timestamp("us")),
+                "week": t["week_us"].cast(pa.timestamp("us")),
+                "n_users": t["n_users"],
+            }
+        )
+
+    return (
+        read_events(sf_dir, columns=["user_id", "ts"])
+        .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(bucket_counts, batch_format="pandas")
+        .groupby(["cohort_us", "week_us"])
+        .aggregate(Sum("n_part", alias_name="n_users"))
+        .map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+    )

@@ -241,3 +241,93 @@ def corpus_rollup(sf_dir: str) -> pa.Table:
     out["n_docs"] = out["n_docs"].astype("int64")
     out["sum_chars"] = out["sum_chars"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _doc_word_runs(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-batch (doc_row, word_code, tf) runs + the batch's sorted
+    vocabulary: explode words, lexsort (doc, code), collapse equal pairs.
+    ``np.unique`` returns codes in lexicographic word order, so code order
+    IS word order (used for exact tie-breaks)."""
+    words = split_words(t["text"])
+    offsets = np.asarray(words.offsets, dtype=np.int64)
+    doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), np.diff(offsets))
+    flat = np.asarray(words.flatten(), dtype=object)
+    if not len(flat):
+        z = np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=object), z, z, z
+    uniq, codes = np.unique(flat, return_inverse=True)
+    order = np.lexsort((codes, doc_idx))
+    d, c = doc_idx[order], codes[order]
+    first = np.ones(len(d), dtype=bool)
+    first[1:] = (d[1:] != d[:-1]) | (c[1:] != c[:-1])
+    starts = np.flatnonzero(first)
+    tf = np.diff(np.append(starts, len(d))).astype(np.int64)
+    return uniq, d[starts], c[starts], tf
+
+
+def doc_frequencies(sf_dir: str) -> ray.data.Dataset:
+    """Global word -> number of documents containing it (DF)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        uniq, _, c, _ = _doc_word_runs(t)
+        n = np.bincount(c, minlength=len(uniq)).astype(np.int64)
+        return pa.table({"word": pa.array(uniq.astype(str)), "n_part": pa.array(n)})
+
+    return (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("word")
+        .aggregate(Sum("n_part", alias_name="df"))
+    )
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """Per-document top-``k`` TF-IDF terms — the keyword extractor of a
+    corpus-analysis pipeline.  Score = tf / df (df = document frequency);
+    both engines compute the identical IEEE division, and ties break by
+    word, so the selection is exact.
+
+    Two stages, the ``doc_rarity`` broadcast regime: the DF aggregate is
+    broadcast ONCE (vocabulary-sized — Heaps' law keeps it ≪ corpus; the
+    documented large-vocabulary fallback is the bucketed hash join on
+    ``word``), then one stateless vectorized pass computes per-doc term
+    frequencies (lexsort run-length), gathers df, and trims to the top-k
+    per doc with the run-rank kernel — no shuffle on the corpus side."""
+    dfs = doc_frequencies(sf_dir).to_pandas()
+    df_ref = ray.put(pd.Series(dfs["df"].to_numpy(), index=dfs["word"]))
+
+    def fn(t: pa.Table) -> pa.Table:
+        df_map = ray.get(df_ref)  # local zero-copy fetch per batch
+        uniq, d, c, tf = _doc_word_runs(t)
+        if not len(d):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "word": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                }
+            )
+        df_uniq = df_map.reindex(uniq.astype(str)).to_numpy(dtype=np.int64)
+        df = df_uniq[c]
+        score = tf.astype(np.float64) / df.astype(np.float64)
+        order = np.lexsort((c, -score, d))
+        dd = d[order]
+        first = np.ones(len(dd), dtype=bool)
+        first[1:] = dd[1:] != dd[:-1]
+        run_start = np.maximum.accumulate(np.where(first, np.arange(len(dd)), 0))
+        rank = np.arange(len(dd)) - run_start
+        keep = np.sort(order[rank < k])
+        ids = np.asarray(t["doc_id"]).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[d[keep]]),
+                "word": pa.array(uniq[c[keep]].astype(str)),
+                "tf": pa.array(tf[keep]),
+                "df": pa.array(df[keep]),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -108,3 +108,51 @@ def test_doc_rarity_marker_word(ray_session, tmp_path):
     got = corpus.doc_rarity(str(tmp_path)).to_pandas().set_index("doc_id")
     assert got.loc[1, "min_df"] == 1 and got.loc[1, "n_hapax"] == 1
     assert got.loc[2, "min_df"] == 3 and got.loc[2, "n_hapax"] == 0
+
+
+def test_tfidf_top_terms_planted(tmp_path):
+    # doc 1: "rare" appears twice and only here -> top term (tf=2, df=1).
+    # "common" is in every doc (df=3) so it scores lowest everywhere.
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "rare rare common mid",
+                    "common mid mid",
+                    "common solo",
+                ]
+            ),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = corpus.tfidf_top_terms(str(tmp_path), k=2).to_pandas()
+    d1 = got[got["doc_id"] == 1].sort_values("tf", ascending=False)
+    assert d1["word"].tolist()[0] == "rare"
+    assert d1.iloc[0]["tf"] == 2 and d1.iloc[0]["df"] == 1
+    # doc 3: solo (1/1=1.0) beats common (1/3)
+    d3 = got[got["doc_id"] == 3]
+    assert set(d3["word"]) == {"solo", "common"}
+    assert len(got[got["doc_id"] == 2]) == 2
+
+
+def test_cohort_retention_planted(tmp_path):
+    # user 1 first active week of 2020-01-06 (Mon), returns following week;
+    # user 2 joins the second week only.
+    ts = pd.to_datetime(
+        ["2020-01-07", "2020-01-08", "2020-01-14", "2020-01-15"]
+    )
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2], type=pa.int64()),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = clickstream.cohort_retention(str(tmp_path)).to_pandas()
+    got = got.sort_values(["cohort_week", "week"], ignore_index=True)
+    w1, w2 = pd.Timestamp("2020-01-06"), pd.Timestamp("2020-01-13")
+    rows = {
+        (r.cohort_week, r.week): r.n_users for r in got.itertuples(index=False)
+    }
+    assert rows == {(w1, w1): 1, (w1, w2): 1, (w2, w2): 1}
