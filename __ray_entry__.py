@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,  # approx -> rows-only
         "simhash_dedup": dedup.simhash_dedup,  # approx -> rows-only
         "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
+        "dup_clusters": dedup.dup_clusters,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
         # IVF emits only exact-cosine-verified pairs (guaranteed subset of
         # the exact result), and multi-probe assignment gives full recall on
@@ -193,6 +194,41 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, md5(text) AS fp
             FROM documents GROUP BY text
+        """,
+        "dup_clusters": f"""
+            WITH RECURSIVE wrds AS (
+              SELECT doc_id, {words} AS w FROM documents
+            ), grams AS (
+              SELECT doc_id, unnest(
+                CASE WHEN len(w) >= 3
+                  THEN list_transform(generate_series(1, len(w) - 2),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  ELSE [array_to_string(w, ' ')] END) AS g
+              FROM wrds
+            ), dg AS (SELECT DISTINCT doc_id, g FROM grams),
+            cnt AS (SELECT doc_id, count(*) AS n FROM dg GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM dg a JOIN dg b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN cnt ca ON ca.doc_id = id_a
+              JOIN cnt cb ON cb.doc_id = id_b
+              WHERE i * 5 >= 4 * (ca.n + cb.n - i)
+            ),
+            e AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs
+            ),
+            reach(node, lab) AS (
+              SELECT a, a FROM e
+              UNION
+              SELECT e.a, r.lab FROM e JOIN reach r ON r.node = e.b
+            )
+            SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster
+            FROM reach GROUP BY 1
         """,
         "ngram_jaccard_dedup": f"""
             WITH wrds AS (

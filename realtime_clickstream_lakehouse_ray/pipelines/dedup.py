@@ -739,3 +739,113 @@ def embedding_dup_pairs_ivf(
             "id_b": pa.array(df["id_b"].astype("int64")),
         }
     )
+
+
+# ---- distributed connected components (dedup-cluster resolution) ----------
+def connected_components(
+    edges: pa.Table | ray.data.Dataset,
+    col_a: str = "id_a",
+    col_b: str = "id_b",
+    max_iters: int = 64,
+) -> ray.data.Dataset:
+    """Connected components by distributed hash-min label propagation —
+    the "pairs -> cluster id" resolution step every near-dup family needs
+    (the driver-side union-find in ``minhash_lsh_dedup`` is the small-set
+    regime; this is the scale path for when the pair set itself is big).
+
+    Every node starts labelled with itself; each round, every edge pushes
+    its endpoint's current label to the other endpoint and each node keeps
+    the MINIMUM label seen (one bucketed hash join + one groupby-min per
+    round, both over the candidate-proportional edge/label tables — the
+    corpus never participates).  Labels are non-increasing and bounded
+    below by the component minimum, so ``sum(label)`` is a strictly
+    decreasing convergence witness: a round that leaves it unchanged is
+    the fixpoint.  Rounds needed = graph diameter (dedup clusters are
+    shallow; pointer-jumping would halve long chains if ever needed).
+
+    Returns (node, cluster): every node that appears in an edge, labelled
+    with its component's minimum node id."""
+    from ray.data.aggregate import Min
+
+    from realtime_clickstream_lakehouse_ray.pipelines.relational import bucket_hash_join
+
+    if isinstance(edges, pa.Table):
+        if edges.num_rows == 0:
+            return ray.data.from_arrow(
+                pa.table(
+                    {"node": pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
+                )
+            )
+        edges = ray.data.from_arrow(edges.select([col_a, col_b]))
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = np.asarray(t[col_a]).astype(np.int64)
+        b = np.asarray(t[col_b]).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b])),
+                "dst": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    sym = edges.map_batches(
+        symmetrize, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def init_lbl(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["src"], "lab": t["src"]})
+
+    lbl = (
+        sym.map_batches(init_lbl, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .aggregate(Min("lab", alias_name="lab"))
+        .materialize()
+    )
+    total = lbl.sum("lab")
+
+    def msg(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["dst"], "lab": t["lab"]})
+
+    for _ in range(max_iters):
+        msgs = bucket_hash_join(sym, lbl, "src", "node").map_batches(
+            msg, batch_format="pyarrow", zero_copy_batch=True
+        )
+        # materialize per round: the next round's lineage must not re-run
+        # this one (iterative datasets otherwise recompute exponentially)
+        lbl = (
+            lbl.union(msgs)
+            .groupby("node")
+            .aggregate(Min("lab", alias_name="lab"))
+            .materialize()
+        )
+        new_total = lbl.sum("lab")
+        if new_total == total:  # fixpoint: no label decreased anywhere
+            break
+        total = new_total
+
+    def pin_types(t: pa.Table) -> pa.Table:
+        # empty groupby blocks type Min output as double — pin int64
+        return pa.table(
+            {"node": t["node"].cast(pa.int64()), "lab": t["lab"].cast(pa.int64())}
+        )
+
+    return lbl.map_batches(pin_types, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dup_clusters(sf_dir: str) -> ray.data.Dataset:
+    """Near-dup clusters over the exact n-gram Jaccard pair graph: every
+    document that has at least one >=0.8-Jaccard partner, labelled with
+    its connected component's minimum doc_id (``cluster``)."""
+    pairs = ngram_jaccard_dedup(sf_dir)
+    cc = connected_components(pairs)
+
+    def rename(t: pa.Table) -> pa.Table:
+        # empty groupby blocks type Min output as double — pin int64
+        return pa.table(
+            {
+                "doc_id": t["node"].cast(pa.int64()),
+                "cluster": t["lab"].cast(pa.int64()),
+            }
+        )
+
+    return cc.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)

@@ -189,3 +189,32 @@ def test_embedding_dup_pairs_ivf_recall(tmp_path_factory):
     assert len(e) >= 25  # the planted copies are found by the exact op
     assert a <= e  # no false pairs: within-cluster cosine is exact
     assert len(e & a) / len(e) >= 0.8, (len(e & a), len(e))
+
+
+class TestConnectedComponents:
+    def test_chain_star_and_singleton_pair(self):
+        # chain 1-2-3-4 (diameter 3), star 10-(11,12,13), pair 20-21
+        edges = pa.table(
+            {
+                "id_a": pa.array([1, 2, 3, 11, 12, 13, 20], pa.int64()),
+                "id_b": pa.array([2, 3, 4, 10, 10, 10, 21], pa.int64()),
+            }
+        )
+        got = (
+            dedup.connected_components(edges)
+            .to_pandas()
+            .sort_values("node", ignore_index=True)
+        )
+        lab = dict(zip(got["node"], got["lab"]))
+        assert {lab[n] for n in (1, 2, 3, 4)} == {1}
+        assert {lab[n] for n in (10, 11, 12, 13)} == {10}
+        assert {lab[n] for n in (20, 21)} == {20}
+        assert len(got) == 10
+        assert str(got["lab"].dtype) == "int64"
+
+    def test_empty_edges(self):
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+        out = dedup.connected_components(empty).to_pandas()
+        assert len(out) == 0
