@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         multimodal,
         quantile,
         relational,
+        sketch,
         text,
         window,
     )
@@ -115,6 +116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_lag": window.customer_order_lag,
         "top_lineitems_per_supplier": window.top_lineitems_per_supplier,
         "daily_distinct_users": window.daily_distinct_users,
+        # mergeable cardinality sketch (oracle-exact integer registers)
+        "hll_user_registers": sketch.hll_user_registers,
         # exact distributed quantiles (two-pass histogram selection)
         "order_price_quantiles": quantile.order_price_quantiles,
         # --- relational surface (SURVEY.md §2.5-§2.7) -------------------
@@ -129,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_price_bands": relational.part_price_bands,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "customers_without_orders": relational.customers_without_orders,
+        "urgent_order_lineitems": relational.urgent_order_lineitems,
         "customer_order_counts": relational.customer_order_counts,
         "cheapest_supplier_per_part": relational.cheapest_supplier_per_part,
         "q5_nation_revenue": relational.q5_nation_revenue,
@@ -488,6 +492,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY 1
         """,
+        "hll_user_registers": """
+            -- murmur3 fmix32 in SQL: xor + //-shifts + HUGEINT multiply mod 2^32
+            WITH s1 AS (
+                SELECT xor(user_id, user_id // 65536) AS a FROM events
+            ), s2 AS (
+                SELECT CAST((CAST(a AS HUGEINT) * 2246822507) % 4294967296
+                            AS BIGINT) AS b FROM s1
+            ), s3 AS (
+                SELECT xor(b, b // 8192) AS c FROM s2
+            ), s4 AS (
+                SELECT CAST((CAST(c AS HUGEINT) * 3266489909) % 4294967296
+                            AS BIGINT) AS d FROM s3
+            ), h AS (
+                SELECT xor(d, d // 65536) AS hv FROM s4
+            ), r AS (
+                SELECT hv // 4194304 AS bucket, hv % 4194304 AS rem FROM h
+            )
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(MAX(CASE WHEN rem = 0 THEN 23
+                                 ELSE 23 - LENGTH(bin(rem)) END) AS BIGINT) AS max_rho
+            FROM r GROUP BY bucket
+        """,
         "order_price_quantiles": """
             SELECT o_orderpriority,
                    quantile_disc(o_totalprice, 0.5)  AS p50,
@@ -779,6 +805,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (
                 SELECT 1 FROM orders o
                 WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0
+            )
+        """,
+        "urgent_order_lineitems": """
+            SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+            FROM lineitem
+            WHERE l_orderkey IN (
+                SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
             )
         """,
         # --- maintenance: post-op scans as SQL-checkable relations ------

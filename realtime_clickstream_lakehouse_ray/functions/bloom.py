@@ -40,10 +40,18 @@ def build_bloom(
     hashes: np.ndarray,
     bits_per_key: int = DEFAULT_BITS_PER_KEY,
     k: int = DEFAULT_K,
+    m: int | None = None,
 ) -> bytes:
-    """Packed Bloom bitset for the given u64 key hashes."""
+    """Packed Bloom bitset for the given u64 key hashes.
+
+    Pass a fixed ``m`` (bit count, multiple of 64) when building PARTIAL
+    blooms across batches that will be OR-merged — all partials must share
+    one geometry for the bitwise union to be a valid filter."""
     n = max(len(hashes), 1)
-    m = ((n * bits_per_key + 63) // 64) * 64  # round to u64 words
+    if m is None:
+        m = ((n * bits_per_key + 63) // 64) * 64  # round to u64 words
+    elif m % 64:
+        raise ValueError("fixed bloom size m must be a multiple of 64 bits")
     bits = np.zeros(m // 64, dtype=np.uint64)
     if len(hashes):
         idx = _probe_indices(np.asarray(hashes, dtype=np.uint64), m, k).reshape(-1)

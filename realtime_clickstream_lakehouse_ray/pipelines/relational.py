@@ -909,3 +909,68 @@ def q5_nation_revenue(
         .map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
         .sort("revenue", descending=True)
     )
+
+
+def urgent_order_lineitems(sf_dir: str, num_buckets: int | None = None) -> ray.data.Dataset:
+    """Bloom-prefiltered SEMI join: lineitems whose order is 1-URGENT.
+
+    The 100-TB shape for "filter a huge fact table by a selective key set
+    from another table": a fixed-size Bloom filter of the build-side keys
+    is assembled DISTRIBUTED (per-batch partial bitmaps over the filtered
+    orders, OR-merged on the driver — each partial is a constant ~128 KB
+    regardless of data size), broadcast once via ``ray.put``, and probed
+    vectorized inside every lineitem batch.  The ~1%-false-positive
+    survivors (a small fraction of the fact table) then go through the
+    exact bucketed semi join, so the result is exact while the all-to-all
+    moves only the pre-pruned rows.  Same prune-then-verify shape the
+    MERGE path uses for file skipping (functions/bloom.py).
+
+    Reference analog: Athena-on-Delta semi-join surface
+    (/root/reference/README.md:113); the Bloom-prune regime is this
+    engine's scale path, exercised end-to-end here.
+    """
+    from realtime_clickstream_lakehouse_ray.functions.bloom import (
+        DEFAULT_K,
+        bloom_might_contain,
+        build_bloom,
+    )
+    from realtime_clickstream_lakehouse_ray.functions.broadcast import get_broadcast
+    from realtime_clickstream_lakehouse_ray.functions.hashing import hash64
+
+    m_bits = 1 << 20  # fixed geometry so per-batch partials OR-merge
+
+    def urgent_keys(t: pa.Table) -> pa.Table:
+        mask = pc.equal(t["o_orderpriority"], pa.scalar("1-URGENT"))
+        return t.filter(mask).select(["o_orderkey"])
+
+    build = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]).map_batches(
+        urgent_keys, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def partial_bloom(t: pa.Table) -> pa.Table:
+        bits = build_bloom(hash64(t["o_orderkey"]), m=m_bits)
+        return pa.table({"bloom": pa.array([bits], pa.large_binary())})
+
+    # OR-merge the constant-size partials on the driver (bytes, not rows).
+    partials = build.map_batches(
+        partial_bloom, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    merged = np.zeros(m_bits // 64, dtype=np.uint64)
+    for row in partials:
+        merged |= np.frombuffer(row["bloom"], dtype=np.uint64)
+    bloom_ref = ray.put(merged.tobytes())
+
+    def prune(t: pa.Table) -> pa.Table:
+        bloom = get_broadcast(bloom_ref)
+        return t.filter(bloom_might_contain(bloom, hash64(t["l_orderkey"]), k=DEFAULT_K))
+
+    probe = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+
+    # exact verify: bucketed semi join over the pruned survivors only
+    return bucket_hash_join(
+        probe, build, "l_orderkey", "o_orderkey", num_buckets=num_buckets, how="semi"
+    )

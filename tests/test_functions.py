@@ -122,3 +122,63 @@ def test_salted_counts_match_plain_groupby():
     salted = add_salt(ds).to_pandas()
     hot_salts = salted[salted["k"] == "hot"]["__salt"].nunique()
     assert hot_salts >= 16
+
+
+def test_bloom_fixed_geometry_partials_or_merge():
+    """Partial blooms built with one fixed m OR-merge into a filter with
+    no false negatives over the union of their key sets."""
+    from realtime_clickstream_lakehouse_ray.functions.bloom import (
+        bloom_might_contain,
+        build_bloom,
+    )
+
+    m = 1 << 12
+    keys_a = hash64(pa.array(np.arange(0, 200, dtype=np.int64)))
+    keys_b = hash64(pa.array(np.arange(200, 400, dtype=np.int64)))
+    merged = np.frombuffer(build_bloom(keys_a, m=m), dtype=np.uint64) | np.frombuffer(
+        build_bloom(keys_b, m=m), dtype=np.uint64
+    )
+    both = np.concatenate([keys_a, keys_b])
+    assert bloom_might_contain(merged.tobytes(), both).all()
+    # a fixed m that is not a u64 multiple is rejected loudly
+    import pytest
+
+    with pytest.raises(ValueError):
+        build_bloom(keys_a, m=100)
+
+
+def test_hll_estimate_within_error_bound():
+    """HLL(p=10) estimate from the register pipeline's kernel lands within
+    the standard-error envelope (and the linear-counting regime is exact-ish
+    for n << m)."""
+    from realtime_clickstream_lakehouse_ray.pipelines.sketch import (
+        HLL_M,
+        _hll_partial,
+        hll_estimate,
+    )
+
+    for n in (150, 5_000, 200_000):
+        t = pa.table({"user_id": pa.array(np.arange(n, dtype=np.int64))})
+        regs = _hll_partial(t)
+        est = hll_estimate(regs)
+        # 3 sigma at p=10: 3 * 1.04 / sqrt(1024) ~ 9.75%
+        assert abs(est - n) / n < 0.10, (n, est)
+
+
+def test_hll_partials_merge_to_global_registers():
+    """max-merge of per-batch partials equals the single-pass registers —
+    the mergeability contract the groupby(Max) finalize relies on."""
+    from realtime_clickstream_lakehouse_ray.pipelines.sketch import HLL_M, _hll_partial
+
+    ids = np.arange(10_000, dtype=np.int64)
+    full = _hll_partial(pa.table({"user_id": pa.array(ids)}))
+
+    def to_regs(t):
+        r = np.zeros(HLL_M, dtype=np.int64)
+        r[np.asarray(t["bucket"])] = np.asarray(t["max_rho"])
+        return r
+
+    merged = np.zeros(HLL_M, dtype=np.int64)
+    for part in np.array_split(ids, 7):
+        merged = np.maximum(merged, to_regs(_hll_partial(pa.table({"user_id": pa.array(part)}))))
+    assert np.array_equal(merged, to_regs(full))
