@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_metadata": multimodal.image_metadata,
         "image_features": multimodal.image_features_flat,
         "frame_samples": multimodal.frame_samples,
+        "audio_features": multimodal.audio_features,
         # --- clickstream conformance (SURVEY.md §2.3 M1-M9) -------------
         "events_normalized": clickstream.events_normalized,
         "events_partition_counts": clickstream.events_partition_counts,
@@ -286,6 +287,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+        """,
+        "audio_features": """
+            -- s16le PCM decode as char-pair arithmetic over ASCII payloads
+            WITH d AS (
+                SELECT doc_id, text, CAST(length(text) // 2 AS INT) AS ns
+                FROM documents
+            ), s AS (
+                SELECT doc_id, text, unnest(range(ns)) AS j FROM d
+            ), u AS (
+                SELECT doc_id, j,
+                       ord(substr(text, CAST(2*j+1 AS INT), 1))
+                       + 256 * ord(substr(text, CAST(2*j+2 AS INT), 1)) AS uu
+                FROM s
+            ), sgn AS (
+                SELECT doc_id, j,
+                       CASE WHEN uu >= 32768 THEN uu - 65536 ELSE uu END AS v
+                FROM u
+            ), lagd AS (
+                SELECT doc_id, j, v,
+                       LAG(v) OVER (PARTITION BY doc_id ORDER BY j) AS pv
+                FROM sgn
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_samples,
+                   CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+                   CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+                   CAST(SUM(CASE WHEN ABS(v) > 30000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_clip,
+                   CAST(SUM(CASE WHEN pv IS NOT NULL AND ((v >= 0) != (pv >= 0))
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross
+            FROM lagd GROUP BY doc_id
         """,
         "image_features": """
             WITH b AS (

@@ -92,3 +92,18 @@ def image_features_flat(sf_dir: str) -> ray.data.Dataset:
     return image_features(sf_dir).map_batches(
         flatten, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def audio_features(sf_dir: str) -> ray.data.Dataset:
+    """Raw-PCM (s16le) audio features over the binary payload — the audio
+    leg of the multimodal family.  Integer features, oracle-exact (the
+    DuckDB side decodes the same char pairs arithmetically)."""
+    from realtime_clickstream_lakehouse_ray.stages.multimodal import AudioFeatures
+
+    return _payload_ds(sf_dir).map_batches(
+        AudioFeatures,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=512,
+        concurrency=_pool_size(),
+    )

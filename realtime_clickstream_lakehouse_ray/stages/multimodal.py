@@ -128,3 +128,65 @@ class FrameSampler:
                 "frame_bytes": pa.array(frame_bytes),
             }
         )
+
+
+class AudioFeatures:
+    """Audio stage over binary payloads interpreted as raw s16le PCM — a
+    REAL decode (no codec library needed for headerless PCM), fully
+    vectorized across rows via the Arrow binary buffers: per-doc sample
+    count, sum(|sample|), peak |sample|, clip count (|s| > 30000) and
+    zero-crossing count.  All features are integers, so the DuckDB oracle
+    (char-pair arithmetic over the same bytes) checks them exactly.
+
+    batch in : (doc_id, payload: binary)
+    batch out: (doc_id, n_samples, sum_abs, peak, n_clip, n_zero_cross)
+
+    A trailing odd byte is ignored (s16 frames are 2 bytes).  Stateless
+    numpy only, but kept as a callable class so a resampler / codec loaded
+    in ``__init__`` slots in without reshaping the pipeline."""
+
+    CLIP = 30000
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        big = (
+            t["payload"].combine_chunks().cast(pa.large_binary())
+            if isinstance(t["payload"], pa.ChunkedArray)
+            else t["payload"].cast(pa.large_binary())
+        )
+        offs = np.frombuffer(
+            big.buffers()[1], dtype=np.int64, count=len(big) + 1, offset=big.offset * 8
+        )
+        data = np.frombuffer(big.buffers()[2], dtype=np.uint8)
+        n_rows = len(big)
+        n = (offs[1:] - offs[:-1]) // 2  # samples per doc
+        total = int(n.sum())
+        doc_idx = np.repeat(np.arange(n_rows), n)
+        j = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(n) - n, n)
+        pos = np.repeat(offs[:-1], n) + 2 * j
+        s = data[pos].astype(np.int32) | (data[pos + 1].astype(np.int32) << 8)
+        s -= (s >= 32768) * 65536  # sign-extend s16le
+        abs_s = np.abs(s)
+        sum_abs = np.bincount(doc_idx, weights=abs_s, minlength=n_rows).astype(np.int64)
+        peak = np.zeros(n_rows, dtype=np.int64)
+        np.maximum.at(peak, doc_idx, abs_s)
+        n_clip = np.bincount(
+            doc_idx, weights=(abs_s > self.CLIP), minlength=n_rows
+        ).astype(np.int64)
+        if total > 1:
+            same_doc = doc_idx[1:] == doc_idx[:-1]
+            crossed = ((s[1:] >= 0) != (s[:-1] >= 0)) & same_doc
+            n_cross = np.bincount(
+                doc_idx[1:][crossed], minlength=n_rows
+            ).astype(np.int64)
+        else:
+            n_cross = np.zeros(n_rows, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_samples": pa.array(n, pa.int64()),
+                "sum_abs": pa.array(sum_abs, pa.int64()),
+                "peak": pa.array(peak, pa.int64()),
+                "n_clip": pa.array(n_clip, pa.int64()),
+                "n_zero_cross": pa.array(n_cross, pa.int64()),
+            }
+        )

@@ -218,3 +218,41 @@ class TestConnectedComponents:
         )
         out = dedup.connected_components(empty).to_pandas()
         assert len(out) == 0
+
+
+def test_audio_features_kernel_signed_pcm():
+    """The s16le decode kernel on crafted binary payloads (negative
+    samples + sign transitions — the regimes the ASCII oracle fixture
+    can't reach) matches a per-row numpy reference."""
+    from realtime_clickstream_lakehouse_ray.stages.multimodal import AudioFeatures
+
+    rng = np.random.default_rng(7)
+    payloads, expect = [], []
+    for n in (0, 1, 2, 5, 64, 257):
+        samples = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+        raw = samples.tobytes() + (b"x" if n % 2 else b"")  # odd tail ignored
+        payloads.append(raw)
+        s = samples.astype(np.int64)
+        expect.append(
+            (
+                n,
+                int(np.abs(s).sum()),
+                int(np.abs(s).max()) if n else 0,
+                int((np.abs(s) > 30000).sum()),
+                int(((s[1:] >= 0) != (s[:-1] >= 0)).sum()) if n > 1 else 0,
+            )
+        )
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(payloads)), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    out = AudioFeatures()(t).to_pydict()
+    got = list(
+        zip(out["n_samples"], out["sum_abs"], out["peak"], out["n_clip"], out["n_zero_cross"])
+    )
+    assert got == expect
+    # sliced (non-zero offset) batches decode identically
+    out2 = AudioFeatures()(t.slice(2)).to_pydict()
+    assert out2["sum_abs"] == out["sum_abs"][2:]
