@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         quantile,
         relational,
         sketch,
+        stringsim,
         text,
         window,
     )
@@ -134,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": relational.q3_shipping_priority,
         "customers_without_orders": relational.customers_without_orders,
         "urgent_order_lineitems": relational.urgent_order_lineitems,
+        "similar_part_names": stringsim.similar_part_names,
         "customer_order_counts": relational.customer_order_counts,
         "cheapest_supplier_per_part": relational.cheapest_supplier_per_part,
         "q5_nation_revenue": relational.q5_nation_revenue,
@@ -845,6 +847,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_orderkey IN (
                 SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
             )
+        """,
+        "similar_part_names": """
+            SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+            FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 2
         """,
         # --- maintenance: post-op scans as SQL-checkable relations ------
         "maintenance_compact": docs_scan,

@@ -163,3 +163,76 @@ def test_conform_table_idempotent_and_exact(tok, drop_source, add_extra):
     assert out["tokens"].to_pylist() == [[t] for t in tok]
     if drop_source:
         assert out["source"].null_count == n
+
+
+def _lev_ref(a: str, b: str) -> int:
+    """Textbook per-pair DP reference."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    st.lists(
+        st.tuples(st.text("abcx ", max_size=12), st.text("abcx ", max_size=12)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_levenshtein_pairs_matches_reference(pairs):
+    from realtime_clickstream_lakehouse_ray.functions.editdist import (
+        levenshtein_pairs,
+        to_char_matrix,
+    )
+
+    am, al = to_char_matrix(pa.array([a for a, _ in pairs]))
+    bm, bl = to_char_matrix(pa.array([b for _, b in pairs]))
+    got = list(levenshtein_pairs(am, al, bm, bl))
+    assert got == [_lev_ref(a, b) for a, b in pairs]
+
+
+@given(
+    st.lists(st.text("ab", min_size=0, max_size=9), min_size=2, max_size=25, unique=True)
+)
+@settings(max_examples=30, deadline=None)
+def test_similarity_blocking_is_complete_and_exactly_once(texts):
+    """Length-group blocking + ownership finds every qualifying pair
+    exactly once (no dup across the two groups a record is emitted to)."""
+    import itertools
+
+    import pandas as pd
+
+    from realtime_clickstream_lakehouse_ray.pipelines.stringsim import (
+        similarity_self_join,
+    )
+
+    k = 2
+    # simulate the shuffle: run tag+verify via the pipeline's own stages
+    # on a local Dataset (tiny — semantics, not scale, under test here)
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "key": pa.array(range(len(texts)), pa.int64()),
+                "txt": pa.array(texts),
+            }
+        )
+    )
+    got = similarity_self_join(ds, "key", "txt", k=k).to_pandas()
+    got_pairs = (
+        sorted(map(tuple, got[["key_a", "key_b"]].to_numpy())) if len(got) else []
+    )
+    exp = sorted(
+        (i, j)
+        for (i, a), (j, b) in itertools.combinations(enumerate(texts), 2)
+        if _lev_ref(a, b) <= k
+    )
+    assert got_pairs == exp  # complete AND no duplicates
