@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maintenance_zorder": maintenance.maintenance_zorder,
         "maintenance_merge": maintenance.maintenance_merge,
         "maintenance_delete": maintenance.maintenance_delete,
+        "maintenance_delete_mor": maintenance.maintenance_delete_mor,
         "maintenance_time_travel": maintenance.maintenance_time_travel,
         "maintenance_time_travel_ts": maintenance.maintenance_time_travel_ts,
         "maintenance_full_lifecycle": maintenance.maintenance_full_lifecycle,
@@ -861,6 +862,11 @@ def oracle_sql() -> dict[str, str]:
             f"WITH base AS ({_DOCS_BASE}) "
             f"SELECT {_DOC_KEY} AS doc_id, CAST(nt AS BIGINT) AS n_tok, source "
             f"FROM base WHERE nt < 60"
+        ),
+        "maintenance_delete_mor": (
+            f"WITH base AS ({_DOCS_BASE}) "
+            f"SELECT {_DOC_KEY} AS doc_id, CAST(nt AS BIGINT) AS n_tok, source "
+            f"FROM base WHERE id % 7 <> 0"
         ),
         "maintenance_time_travel": docs_scan,
         "maintenance_time_travel_ts": docs_scan,

@@ -17,6 +17,7 @@ import argparse
 import json
 import sys
 import time
+from pathlib import Path
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -25,13 +26,23 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--ops",
         default="compact,zorder",
-        help="comma list: compact,zorder,merge,delete,restore,rewrite-manifests,expire,vacuum",
+        help="comma list: compact,zorder,merge,delete,materialize-deletes,restore,rewrite-manifests,expire,vacuum",
     )
     p.add_argument("--target-file-mb", type=int, default=128)
     p.add_argument("--merge-source", help="parquet file/dir with the MERGE source rows")
     p.add_argument("--delete-partitions", help="comma list for the delete op")
     p.add_argument("--delete-min-n-tok", type=int, default=None)
     p.add_argument("--delete-max-n-tok", type=int, default=None)
+    p.add_argument(
+        "--delete-keys-file",
+        help="newline-separated doc_id list for a key delete",
+    )
+    p.add_argument(
+        "--delete-mode",
+        default="cow",
+        choices=["cow", "mor"],
+        help="cow = copy-on-write rewrite; mor = deletion-vector tombstones",
+    )
     p.add_argument("--keep-last", type=int, default=3, help="snapshots kept by expire")
     p.add_argument("--restore-version", type=int, default=None, help="target for the restore op")
     p.add_argument(
@@ -73,11 +84,23 @@ def main(argv: list[str] | None = None) -> int:
         elif op == "delete":
             if not (
                 args.delete_partitions
+                or args.delete_keys_file
                 or args.delete_min_n_tok is not None
                 or args.delete_max_n_tok is not None
             ):
-                p.error("delete op needs --delete-partitions / --delete-min-n-tok / --delete-max-n-tok")
+                p.error(
+                    "delete op needs --delete-partitions / --delete-keys-file"
+                    " / --delete-min-n-tok / --delete-max-n-tok"
+                )
+            keys = None
+            if args.delete_keys_file:
+                keys = [
+                    k.strip()
+                    for k in Path(args.delete_keys_file).read_text().splitlines()
+                    if k.strip()
+                ]
             results[op] = table.delete(
+                keys=keys,
                 partitions=(
                     [x.strip() for x in args.delete_partitions.split(",")]
                     if args.delete_partitions
@@ -85,7 +108,10 @@ def main(argv: list[str] | None = None) -> int:
                 ),
                 min_n_tok=args.delete_min_n_tok,
                 max_n_tok=args.delete_max_n_tok,
+                mode=args.delete_mode,
             )
+        elif op == "materialize-deletes":
+            results[op] = table.materialize_deletes()
         elif op == "restore":
             if args.restore_version is None:
                 p.error("--restore-version required for the restore op")

@@ -205,3 +205,23 @@ def maintenance_delete(sf_dir: str) -> pa.Table:
     t.compact(target_file_bytes=8 << 20)
     t.delete(min_n_tok=60)
     return _scan_projected(t)
+
+
+def maintenance_delete_mor(sf_dir: str) -> pa.Table:
+    """Ingest -> merge-on-read DELETE of every doc_id divisible by 7
+    (deletion-vector tombstones, no data-file rewrite) -> scan (DV filter
+    applied) -> materialize_deletes -> scan again: both scans must equal
+    the oracle's ``WHERE id % 7 <> 0`` — the second proves materialization
+    folds the DVs without changing the visible relation."""
+    import pyarrow.parquet as pq
+
+    t = build_from_documents(sf_dir, _scratch_root(sf_dir, "delmor"))
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    dead = [f"doc-{i:012d}" for i in range(0, n_docs, 7)]
+    t.delete(keys=dead, mode="mor")
+    first = _scan_projected(t)
+    t.materialize_deletes()
+    second = _scan_projected(t)
+    if not first.equals(second):  # defense in depth for the driver check
+        raise AssertionError("DV materialization changed the visible relation")
+    return second

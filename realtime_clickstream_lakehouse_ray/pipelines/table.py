@@ -65,6 +65,20 @@ DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
 SRC_DISTRIBUTED_APPEND_ROWS = 50_000
 
 
+def _load_dv_keys(args: tuple) -> pa.Array:
+    """Broadcast transform (functions/broadcast.get_broadcast): load the
+    union of the scanned snapshot's deletion-vector key sets, once per
+    worker process."""
+    import pyarrow.parquet as pq
+
+    root, dv_paths, key_col = args
+    arrays = [
+        pq.read_table(f"{root}/{p}", columns=[key_col])[key_col].combine_chunks()
+        for p in dv_paths
+    ]
+    return pc.unique(pa.concat_arrays(arrays))
+
+
 def _dedup_keep_latest(tbl: pa.Table, key_col: str) -> pa.Table:
     """Keep the LAST occurrence of each key (MERGE keep-latest semantics)."""
     keys = np.asarray(tbl.column(key_col))
@@ -141,12 +155,20 @@ class Table:
             d["rows"] += f.rows
             d["bytes"] += f.bytes
             d["sum_tok"] += f.sum_tok or 0
+        dv_rows = sum(f.dv_rows for f in files if f.dv)
+        rows = sum(f.rows for f in files)
         return {
             "version": version if version is not None else self.version(),
             "files": len(files),
-            "rows": sum(f.rows for f in files),
+            "rows": rows,
             "bytes": sum(f.bytes for f in files),
             "sum_tok": sum(f.sum_tok or 0 for f in files),
+            # merge-on-read bookkeeping: dv_rows counts tombstoned KEYS
+            # (an upper bound on hidden rows); visible_rows is what a scan
+            # returns when keys are unique (the table's merge contract)
+            "dv_files": sum(1 for f in files if f.dv),
+            "dv_rows": dv_rows,
+            "visible_rows": rows - dv_rows,
             "partitions": per_part,
         }
 
@@ -206,6 +228,7 @@ class Table:
         min_n_tok: int | None = None,
         max_n_tok: int | None = None,
         as_of: float | None = None,
+        apply_dvs: bool = True,
         **read_kwargs: Any,
     ) -> ray.data.Dataset:
         """Snapshot-pinned scan: plan ``read_parquet`` over exactly the files
@@ -215,7 +238,14 @@ class Table:
 
         ``as_of`` is timestamp time travel (Delta ``timestampAsOf``,
         reference README.md:176): resolve the latest commit at or before
-        the given UNIX timestamp.  Mutually exclusive with ``version``."""
+        the given UNIX timestamp.  Mutually exclusive with ``version``.
+
+        ``apply_dvs``: filter out keys tombstoned by merge-on-read DELETE
+        (deletion-vector sidecars).  The union of the scanned files' DVs is
+        broadcast once (``ray.put``) and each read task drops tombstoned
+        keys vectorized — DV volume is bounded by deletes since the last
+        rewrite touching those files (compact/zorder/merge/
+        materialize_deletes all fold DVs in and drop them)."""
         if as_of is not None:
             if version is not None:
                 raise ValueError("pass either version= or as_of=, not both")
@@ -239,13 +269,39 @@ class Table:
         # behavior; reference mergeSchema=true at the sink,
         # glue_stream.py:345); with a column projection the schema must be
         # projected to the same subset or the reader rejects the mismatch
-        if columns is None:
+        dv_paths = (
+            tuple(sorted({f.dv for f in files if f.dv})) if apply_dvs else ()
+        )
+        read_cols = list(columns) if columns else None
+        drop_key_after = False
+        if dv_paths and read_cols is not None and self.key_col not in read_cols:
+            read_cols = read_cols + [self.key_col]  # needed for the DV filter
+            drop_key_after = True
+        if read_cols is None:
             read_kwargs.setdefault("schema", self.schema)
-        elif all(c in self.schema.names for c in columns):
+        elif all(c in self.schema.names for c in read_cols):
             read_kwargs.setdefault(
-                "schema", pa.schema([self.schema.field(c) for c in columns])
+                "schema", pa.schema([self.schema.field(c) for c in read_cols])
             )
-        return ray.data.read_parquet(paths, columns=list(columns) if columns else None, **read_kwargs)
+        ds = ray.data.read_parquet(paths, columns=read_cols, **read_kwargs)
+        if dv_paths:
+            ref = ray.put((str(self.root), dv_paths, self.key_col))
+            key_col = self.key_col
+            keep_cols = list(columns) if columns else None
+
+            def drop_tombstones(t: pa.Table) -> pa.Table:
+                from realtime_clickstream_lakehouse_ray.functions.broadcast import (
+                    get_broadcast,
+                )
+
+                dead = get_broadcast(ref, _load_dv_keys)
+                t = t.filter(pc.invert(pc.is_in(t[key_col], value_set=dead)))
+                return t.select(keep_cols) if drop_key_after else t
+
+            ds = ds.map_batches(
+                drop_tombstones, batch_format="pyarrow", zero_copy_batch=True
+            )
+        return ds
 
     # ---- write side ----------------------------------------------------
     def _collect_stats(self, stats_ds: ray.data.Dataset) -> list[FileEntry]:
@@ -367,13 +423,48 @@ class Table:
         concurrency: int | tuple[int, int] | None = None,
         extra: dict | None = None,
         merge_schema: bool = False,
+        validate_tombstones: bool = True,
     ) -> int:
         """Append rows as new files + a new snapshot (reference K2 semantics:
         append-only, schema conformed, partitioned by the partition column).
         ``extra`` rides on the commit payload (e.g. ingest bookmarks);
         ``merge_schema=True`` widens the table schema with the data's new
-        columns first (the sink's mergeSchema option, glue_stream.py:345)."""
+        columns first (the sink's mergeSchema option, glue_stream.py:345).
+
+        ``validate_tombstones``: when the snapshot carries merge-on-read
+        deletion vectors, an appended row whose key is tombstoned would be
+        hidden by the scan-side DV filter — re-introducing a deleted key
+        must go through ``merge()``.  This guard (a vectorized ``is_in``
+        per batch against the broadcast DV union, active ONLY while DVs
+        exist) fails the append loudly instead of losing the rows."""
         self._start_op()
+        dv_paths = tuple(sorted({f.dv for f in self.files() if f.dv}))
+        if validate_tombstones and dv_paths:
+            ref = ray.put((str(self.root), dv_paths, self.key_col))
+            key_col = self.key_col
+
+            def _guard(t: pa.Table) -> pa.Table:
+                from realtime_clickstream_lakehouse_ray.functions.broadcast import (
+                    get_broadcast,
+                )
+
+                dead = get_broadcast(ref, _load_dv_keys)
+                hit = pc.sum(pc.is_in(t[key_col], value_set=dead)).as_py() or 0
+                if hit:
+                    raise ValueError(
+                        f"append contains {hit} key(s) tombstoned by a "
+                        "merge-on-read DELETE; upsert them via merge() or "
+                        "materialize_deletes() first"
+                    )
+                return t
+
+            if isinstance(data, pa.Table):
+                if key_col in data.column_names:
+                    _guard(data.select([key_col]))
+            else:
+                data = data.map_batches(
+                    _guard, batch_format="pyarrow", zero_copy_batch=True
+                )
         if merge_schema:
             incoming = (
                 data.schema
@@ -426,31 +517,41 @@ class Table:
         hot partitions just produce more bins (more parallel units)."""
         by_part: dict[str, list[FileEntry]] = {}
         for f in files:
-            if f.bytes < target_file_bytes * 0.9:
+            # a file carrying a deletion vector is always eligible —
+            # compaction is where pending MOR deletes get materialized
+            if f.bytes < target_file_bytes * 0.9 or f.dv:
                 by_part.setdefault(f.partition, []).append(f)
         bins: list[dict] = []
+
+        def _keep(cur: list[FileEntry]) -> bool:
+            return len(cur) > 1 or any(f.dv for f in cur)
+
         for part in sorted(by_part):
             group = sorted(by_part[part], key=lambda f: f.path)
             cur: list[FileEntry] = []
             cur_bytes = 0
             for f in group:
                 if cur and cur_bytes + f.bytes > target_file_bytes:
-                    if len(cur) > 1:
+                    if _keep(cur):
                         bins.append(self._bin_spec(len(bins), part, cur, job_tag))
                     cur, cur_bytes = [], 0
                 cur.append(f)
                 cur_bytes += f.bytes
-            if len(cur) > 1:
+            if _keep(cur):
                 bins.append(self._bin_spec(len(bins), part, cur, job_tag))
         return bins
 
     def _bin_spec(self, unit: int, part: str, files: list[FileEntry], tag: str) -> dict:
-        return {
+        spec = {
             "unit": unit,
             "partition": part,
             "files": [f.path for f in files],
             "out": f"{self.partition_col}={part}/{tag}-bin{unit:06d}.parquet",
         }
+        dvs = {f.path: f.dv for f in files if f.dv}
+        if dvs:  # every rewrite materializes pending MOR deletes
+            spec["dvs"] = dvs
+        return spec
 
     def _run_rewrite_units(
         self,
@@ -536,6 +637,42 @@ class Table:
             d["output_files"] += len(r.get("adds", []))
             d["rows"] += r.get("rows", 0)
         return per_part
+
+    def materialize_deletes(
+        self,
+        job_id: str | None = None,
+        concurrency: int | tuple[int, int] = (1, 16),
+    ) -> int | None:
+        """Rewrite exactly the files carrying merge-on-read deletion
+        vectors, folding the tombstones in and clearing the DVs (Delta's
+        ``REORG TABLE ... APPLY (PURGE)``).  Each file is its own rewrite
+        unit (resumable, same actor-pool machinery as compact); untouched
+        files are not read.  Returns the new version, or None when the
+        snapshot has no DVs."""
+        self._start_op()
+        parent = self.version()
+        job_id = job_id or f"materialize-dv-v{parent}"
+        done = self.log.find_commit_by_job(job_id)
+        if done is not None:
+            return done
+        dv_files = [f for f in self.files(parent) if f.dv]
+        if not dv_files:
+            return None
+        bins = [
+            self._bin_spec(i, f.partition, [f], job_id)
+            for i, f in enumerate(sorted(dv_files, key=lambda f: (f.partition, f.path)))
+        ]
+        records = self._run_rewrite_units(
+            bins, job_id, mode="compact", concurrency=concurrency
+        )
+        adds = [a for r in records.values() for a in r["adds"]]
+        removes = [p for r in records.values() for p in r["removes"]]
+        version = self._commit_with_rebase(
+            adds, removes, "materialize_deletes", parent, job_id,
+            extra={"lineage": self._lineage_summary(records)},
+        )
+        JobCheckpoint(self.root, job_id).mark_committed(version)
+        return version
 
     # ---- z-order --------------------------------------------------------
     def zorder(
@@ -894,11 +1031,13 @@ class Table:
         max_n_tok: int | None = None,
         job_id: str | None = None,
         concurrency: int | tuple[int, int] = (1, 16),
+        mode: str = "cow",
     ) -> int | None:
         """Predicate DELETE (conjunction of the given conditions) — the
-        Delta ``DELETE FROM`` capability, copy-on-write.
+        Delta ``DELETE FROM`` capability.
 
-        Two regimes per candidate file, decided from file STATS alone:
+        ``mode="cow"`` (default, copy-on-write) — two regimes per candidate
+        file, decided from file STATS alone:
         - **metadata-only**: a file whose whole row range satisfies the
           predicate (its partition is in ``partitions`` and its
           [min_n_tok, max_n_tok] lies inside the range, with no key
@@ -906,16 +1045,35 @@ class Table:
         - **rewrite**: partially-matching files go through the same
           stats+Bloom-pruned actor-pool rewrite as MERGE's delete half.
 
+        ``mode="mor"`` (merge-on-read, Delta/Iceberg deletion-vector
+        analog) — KEY deletes only: instead of rewriting data files, each
+        affected file gets a deletion-vector sidecar of its tombstoned
+        keys; scans drop those keys, and any later rewrite touching the
+        file (compact / zorder / merge / ``materialize_deletes``) folds
+        the DV in and clears it.  O(matched keys) write cost instead of
+        O(file bytes) — the right regime for small frequent deletes.
+        Contract (key-addressed table): a tombstoned key becomes visible
+        again via ``merge()`` (whose Bloom-pruned rewrite set necessarily
+        covers the tombstoning files), NOT via raw ``append()`` of the
+        same key — ``append(validate_tombstones=True)`` guards that edge.
+
         Returns the new version, or None when nothing matches."""
         import hashlib
 
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"unknown delete mode {mode!r}")
+        if mode == "mor" and (keys is None or min_n_tok is not None or max_n_tok is not None):
+            raise ValueError(
+                "mode='mor' tombstones KEYS: pass keys=..., without n_tok "
+                "range predicates (use mode='cow' for range deletes)"
+            )
         self._start_op()
         parent = self.version()
         if job_id is None:
             sig = hashlib.md5(
                 json.dumps(
                     [sorted(keys) if keys else None, sorted(partitions) if partitions else None,
-                     min_n_tok, max_n_tok],
+                     min_n_tok, max_n_tok, mode],
                 ).encode()
             ).hexdigest()[:10]
             job_id = f"delete-v{parent}-{sig}"
@@ -962,6 +1120,35 @@ class Table:
 
         if not whole_files and not rewrite_files:
             return None
+
+        if mode == "mor":
+            bins: list[dict] = []
+            for f in sorted(rewrite_files, key=lambda f: (f.partition, f.path)):
+                bins.append(
+                    {
+                        "unit": len(bins),
+                        "partition": f.partition,
+                        "files": [f.path],
+                        "entry": f.to_action(),
+                        "dv_out": f"_dv/{job_id}-unit{len(bins):06d}.parquet",
+                    }
+                )
+            keys_ref = ray.put(np.asarray(list(keys), dtype=object))
+            records = self._run_rewrite_units(
+                bins, job_id, mode="dv", keys_ref=keys_ref, concurrency=concurrency
+            )
+            adds = [a for r in records.values() for a in r["adds"]]
+            if not adds:
+                return None  # stats/bloom false positives: no key present
+            version = self._commit_with_rebase(
+                adds, [], "delete", parent, job_id,
+                extra={
+                    "lineage": self._lineage_summary(records),
+                    "delete_mode": "mor",
+                },
+            )
+            JobCheckpoint(self.root, job_id).mark_committed(version)
+            return version
 
         records: dict[str, dict] = {}
         if rewrite_files:
@@ -1080,12 +1267,18 @@ class Table:
         referenced: set[str] = set()
         for v in self.log.versions():
             try:
-                referenced.update(f.path for f in self.files(v))
+                for f in self.files(v):
+                    referenced.add(f.path)
+                    if f.dv:
+                        referenced.add(f.dv)
             except FileNotFoundError:
                 continue
         removed: list[str] = []
         now = time.time()
-        for p in self.root.glob(f"{self.partition_col}=*/*.parquet"):
+        candidates = list(self.root.glob(f"{self.partition_col}=*/*.parquet")) + list(
+            self.root.glob("_dv/*.parquet")  # superseded/expired deletion vectors
+        )
+        for p in candidates:
             rel = str(p.relative_to(self.root))
             # .tmp-* files are half-written leftovers of a crashed writer
             # (temp + rename protocol) — never referenced, always garbage

@@ -102,8 +102,22 @@ class BinRewriter:
         pq.write_table(tbl, tmp, compression="zstd")
         os.replace(tmp, d / f"unit-{unit}.parquet")
 
-    def _read_bin(self, files: list[str]) -> pa.Table:
-        tables = [pq.read_table(self.root / f) for f in files]
+    def _read_bin(self, files: list[str], dvs: dict[str, str] | None = None) -> pa.Table:
+        """Read a bin's files, applying each file's deletion vector (if the
+        spec carries one) so every rewrite materializes pending merge-on-read
+        deletes — rewritten files come out clean and drop their DV entry."""
+        tables = []
+        for f in files:
+            t = pq.read_table(self.root / f)
+            dv_path = (dvs or {}).get(f)
+            if dv_path:
+                dead = pq.read_table(self.root / dv_path, columns=[self.key_col])
+                t = t.filter(
+                    pc.invert(
+                        pc.is_in(t[self.key_col], value_set=dead[self.key_col].combine_chunks())
+                    )
+                )
+            tables.append(t)
         tbl = pa.concat_tables(tables, promote_options="default")
         return conform_table(tbl, self.schema)
 
@@ -114,11 +128,17 @@ class BinRewriter:
         unit = spec["unit"]
         existing = self.ckpt.read_unit(unit)
         if existing is not None and all(
-            (self.root / a["path"]).is_file() for a in existing["adds"]
+            (self.root / a["path"]).is_file()
+            and (not a.get("dv") or (self.root / a["dv"]).is_file())
+            for a in existing["adds"]
         ):
             return existing  # resume: unit already done, reuse its outputs
 
-        tbl = self._read_bin(spec["files"])
+        if self.mode == "dv":
+            record = self._process_dv_unit(spec)
+            self.ckpt.write_unit(unit, record)
+            return record
+        tbl = self._read_bin(spec["files"], spec.get("dvs"))
         removes = list(spec["files"])
         if self.mode in ("delete_keys", "delete_where"):
             if self.mode == "delete_keys":
@@ -136,7 +156,11 @@ class BinRewriter:
                 if hi is not None:
                     mask = pc.and_(mask, pc.less_equal(tbl["n_tok"], hi))
             n_match = pc.sum(mask).as_py() or 0
-            if n_match == 0:
+            # a bin carrying deletion vectors must always rewrite, even on a
+            # stats false positive: _read_bin already folded the DV in, and
+            # keeping the file unchanged would leave the tombstones pending
+            # (and hide the source row this rewrite is reintroducing)
+            if n_match == 0 and not spec.get("dvs"):
                 # stats-range false positive: keep the file(s) as-is
                 record = {
                     "unit": unit,
@@ -174,6 +198,56 @@ class BinRewriter:
         }
         self.ckpt.write_unit(unit, record)
         return record
+
+    def _process_dv_unit(self, spec: dict) -> dict:
+        """Merge-on-read DELETE: tombstone the unit's matching keys in a
+        deletion-vector sidecar instead of rewriting the data file.  The
+        file's manifest entry is re-added with ``dv``/``dv_rows`` set (same
+        path, same stats); the data file itself is untouched."""
+        import os
+        import uuid
+
+        entry = spec["entry"]
+        path = entry["path"]
+        keys = pq.read_table(self.root / path, columns=[self.key_col])[
+            self.key_col
+        ].combine_chunks()
+        hit = pc.unique(keys.filter(pc.is_in(keys, value_set=self.keys)))
+        old_dv = entry.get("dv")
+        dead = hit
+        if old_dv:
+            prev = pq.read_table(self.root / old_dv, columns=[self.key_col])[self.key_col]
+            dead = pc.unique(pa.concat_arrays([hit, prev.combine_chunks()]))
+        if len(hit) == 0:
+            record = {
+                "unit": spec["unit"],
+                "partition": spec["partition"],
+                "inputs": [path],
+                "unchanged": True,
+                "adds": [],
+                "removes": [],
+                "rows": 0,
+            }
+            return record
+        out_rel = spec["dv_out"]
+        out = self.root / out_rel
+        out.parent.mkdir(parents=True, exist_ok=True)
+        tmp = out.parent / f".tmp-{uuid.uuid4().hex}"
+        pq.write_table(pa.table({self.key_col: dead.sort()}), tmp, compression="zstd")
+        os.replace(tmp, out)
+        add = dict(entry)
+        add["dv"] = out_rel
+        add["dv_rows"] = len(dead)
+        add["op"] = "add"
+        return {
+            "unit": spec["unit"],
+            "partition": spec["partition"],
+            "inputs": [path],
+            "unchanged": False,
+            "adds": [add],
+            "removes": [],
+            "rows": len(hit),
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         entries: list[FileEntry] = []

@@ -50,6 +50,11 @@ class FileEntry:
     min_key: str | None = None
     max_key: str | None = None
     sum_tok: int | None = None
+    # merge-on-read deletion vector: path of a parquet sidecar holding the
+    # file's tombstoned keys (Delta/Iceberg DV analog, key-addressed), and
+    # how many keys it holds.  None = no deletes pending on this file.
+    dv: str | None = None
+    dv_rows: int = 0
     # per-file key Bloom filter (bytes). NOT serialized into the JSON
     # snapshot — it rides a parquet sidecar (`_blooms/`, see Table) so the
     # manifest stays small at 10^12-row scale.
@@ -58,6 +63,9 @@ class FileEntry:
     def to_action(self, op: str = "add") -> dict[str, Any]:
         d = asdict(self)
         d.pop("bloom", None)
+        if d.get("dv") is None:  # keep the common-case action compact
+            d.pop("dv", None)
+            d.pop("dv_rows", None)
         d["op"] = op
         return d
 
