@@ -95,22 +95,31 @@ class Table:
         schema: pa.Schema = TOKENS_SCHEMA,
         partition_col: str = "source",
         key_col: str = "doc_id",
+        constraints: list[dict] | None = None,
     ):
         self.root = Path(root)
         self.schema = schema
         self.partition_col = partition_col
         self.key_col = key_col
+        self.constraints = list(constraints or [])
         self.log = SnapshotLog(self.root)
 
     # ------------------------------------------------------------------
     @classmethod
     def create(cls, root: str, **kwargs) -> "Table":
         t = cls(root, **kwargs)
+        if t.constraints:
+            from realtime_clickstream_lakehouse_ray.functions.constraints import (
+                validate_spec,
+            )
+
+            t.constraints = [validate_spec(c) for c in t.constraints]
         t.log.log_dir.mkdir(parents=True, exist_ok=True)
         meta = {
             "schema": t.schema.serialize().to_pybytes().hex(),
             "partition_col": t.partition_col,
             "key_col": t.key_col,
+            "constraints": t.constraints,
         }
         meta_path = t.root / "_table.json"
         if not meta_path.exists():
@@ -126,7 +135,67 @@ class Table:
             schema=schema,
             partition_col=meta["partition_col"],
             key_col=meta["key_col"],
+            constraints=meta.get("constraints"),
         )
+
+    # ---- CHECK constraints ----------------------------------------------
+    def _persist_constraints(self) -> None:
+        from realtime_clickstream_lakehouse_ray.state.log import atomic_replace
+
+        meta_path = self.root / "_table.json"
+        meta = json.loads(meta_path.read_text())
+        meta["constraints"] = self.constraints
+        atomic_replace(meta_path, json.dumps(meta))
+
+    def add_constraint(self, spec: dict, verify: bool = True) -> None:
+        """Add a CHECK constraint (functions/constraints.py kinds).  With
+        ``verify=True`` (Delta's ADD CONSTRAINT semantics) the CURRENT
+        visible rows are validated distributed first — the constraint is
+        only persisted if no committed row violates it."""
+        from realtime_clickstream_lakehouse_ray.functions.constraints import (
+            check_batch,
+            validate_spec,
+        )
+
+        spec = validate_spec(spec)
+        if any(c["name"] == spec["name"] for c in self.constraints):
+            raise ValueError(f"constraint {spec['name']!r} already exists")
+        if verify and self.version() > 0:
+            key_col = self.key_col
+
+            def _check(t: pa.Table) -> pa.Table:
+                return check_batch(t, [spec], key_col=key_col)
+
+            self.scan().map_batches(
+                _check, batch_format="pyarrow", zero_copy_batch=True
+            ).count()  # raises ConstraintViolation on any violating row
+        self.constraints.append(spec)
+        self._persist_constraints()
+
+    def drop_constraint(self, name: str) -> None:
+        before = len(self.constraints)
+        self.constraints = [c for c in self.constraints if c["name"] != name]
+        if len(self.constraints) == before:
+            raise KeyError(f"no constraint named {name!r}")
+        self._persist_constraints()
+
+    def _constraint_stage(self, data):
+        """Wrap incoming write data with the vectorized CHECK pass."""
+        if not self.constraints:
+            return data
+        from realtime_clickstream_lakehouse_ray.functions.constraints import (
+            check_batch,
+        )
+
+        specs = list(self.constraints)
+        key_col = self.key_col
+        if isinstance(data, pa.Table):
+            return check_batch(data, specs, key_col=key_col)
+
+        def _check(t: pa.Table) -> pa.Table:
+            return check_batch(t, specs, key_col=key_col)
+
+        return data.map_batches(_check, batch_format="pyarrow", zero_copy_batch=True)
 
     # ---- read side ----------------------------------------------------
     def version(self) -> int:
@@ -475,7 +544,11 @@ class Table:
             if new:
                 self.evolve_schema(new)
         if isinstance(data, pa.Table):
-            data = ray.data.from_arrow(conform_table(data, self.schema))
+            data = ray.data.from_arrow(
+                self._constraint_stage(conform_table(data, self.schema))
+            )
+        else:
+            data = self._constraint_stage(data)
         stats_ds = data.map_batches(
             make_file_writer(str(self.root), self.schema, self.partition_col),
             batch_format="pyarrow",
@@ -809,6 +882,10 @@ class Table:
         """
         self._start_op()
         parent = self.version()
+        if isinstance(source, pa.Table):
+            source = self._constraint_stage(conform_table(source, self.schema))
+        else:
+            source = self._constraint_stage(source)
         if isinstance(source, ray.data.Dataset):
             n_src = source.count()
             use_broadcast = strategy == "broadcast" or (
