@@ -29,6 +29,11 @@ def main(argv: list[str] | None = None) -> int:
         help="comma list: compact,zorder,merge,delete,materialize-deletes,restore,rewrite-manifests,expire,vacuum",
     )
     p.add_argument("--target-file-mb", type=int, default=128)
+    p.add_argument(
+        "--zorder-incremental",
+        action="store_true",
+        help="cluster only files not already clustered under the current signature",
+    )
     p.add_argument("--merge-source", help="parquet file/dir with the MERGE source rows")
     p.add_argument("--delete-partitions", help="comma list for the delete op")
     p.add_argument("--delete-min-n-tok", type=int, default=None)
@@ -74,7 +79,10 @@ def main(argv: list[str] | None = None) -> int:
         if op == "compact":
             results[op] = table.compact(target_file_bytes=args.target_file_mb << 20)
         elif op == "zorder":
-            results[op] = table.zorder(target_file_bytes=args.target_file_mb << 20)
+            results[op] = table.zorder(
+                target_file_bytes=args.target_file_mb << 20,
+                incremental=args.zorder_incremental,
+            )
         elif op == "merge":
             if not args.merge_source:
                 p.error("--merge-source required for the merge op")

@@ -327,6 +327,20 @@ class Table:
             files = [f for f in files if f.max_n_tok is None or f.max_n_tok >= min_n_tok]
         if max_n_tok is not None:
             files = [f for f in files if f.min_n_tok is None or f.min_n_tok <= max_n_tok]
+        return self._read_entries(
+            files, columns=columns, apply_dvs=apply_dvs, **read_kwargs
+        )
+
+    def _read_entries(
+        self,
+        files: list[FileEntry],
+        columns: Sequence[str] | None = None,
+        apply_dvs: bool = True,
+        **read_kwargs: Any,
+    ) -> ray.data.Dataset:
+        """The scan's read plan over an explicit file-entry subset (shared
+        by snapshot scans and the incremental-maintenance paths, so DV
+        filtering and schema null-fill behave identically everywhere)."""
         if not files:
             empty = self.schema.empty_table()
             if columns:
@@ -755,7 +769,8 @@ class Table:
         job_id: str | None = None,
         curve: str = "z",  # "z" (Morton) or "hilbert"
         write_concurrency: int | tuple[int, int] | None = None,  # kept for API compat
-    ) -> int:
+        incremental: bool = False,
+    ) -> int | None:
         """Z-order clustering: zkey map_batches -> global range-partitioned
         sort -> size-targeted rewrite -> snapshot swap (remove all, add all).
 
@@ -765,12 +780,22 @@ class Table:
         split stays cheap.  Atomic at the commit: an interrupted job leaves
         only orphan files (vacuumable) and resumes from the last committed
         snapshot; per-partition lineage is recorded in the checkpoint
-        manifest at completion."""
+        manifest at completion.
+
+        ``incremental=True`` (the liquid-clustering direction): sort ONLY
+        files not already clustered under this (curve, dims) signature —
+        output files record their clustering provenance in the manifest, so
+        re-clustering a 100-TB table after a 1% append shuffles 1% of the
+        data, not all of it.  The table then holds multiple sorted runs;
+        per-file zkey/stats ranges stay tight, so scan pruning and MERGE
+        file-skipping keep their effect.  Returns None when every file is
+        already clustered."""
         self._start_op()
         parent = self.version()
+        signature = f"{curve}:{','.join(dims)}"
         if job_id is None:
             tag = "zorder" if curve == "z" else f"zorder-{curve}"
-            job_id = f"{tag}-v{parent}"
+            job_id = f"{tag}{'-inc' if incremental else ''}-v{parent}"
         done = self.log.find_commit_by_job(job_id)
         if done is not None:
             return done
@@ -778,7 +803,14 @@ class Table:
         # global bounds for integer dims come free from the file stats, so
         # every dim fills its full 21-bit slot in the interleave
         bounds: dict[str, tuple[int, int]] = {}
-        stat_files = self.files(parent)
+        all_files = self.files(parent)
+        stat_files = (
+            [f for f in all_files if f.clustered != signature]
+            if incremental
+            else all_files
+        )
+        if not stat_files:
+            return None  # every file already clustered under this signature
         if "n_tok" in dims and stat_files:
             mins = [f.min_n_tok for f in stat_files if f.min_n_tok is not None]
             maxs = [f.max_n_tok for f in stat_files if f.max_n_tok is not None]
@@ -806,7 +838,7 @@ class Table:
                 p: i
                 for i, p in enumerate(sorted({f.partition for f in stat_files}))
             }
-        ds = self.scan(version=parent)
+        ds = self._read_entries(stat_files)
         ds = ds.map_batches(
             add_zkey,
             fn_kwargs=dict(
@@ -838,8 +870,10 @@ class Table:
             batch_size=rows_per_file,
         )
         entries = self._collect_stats(stats_ds)
+        for e in entries:
+            e.clustered = signature  # clustering provenance in the manifest
         t = self._phase("sort_write", t)
-        removes = [f.path for f in self.files(parent)]
+        removes = [f.path for f in stat_files]
         version = self._commit_with_rebase(
             [e.to_action() for e in entries], removes, "zorder", parent, job_id
         )

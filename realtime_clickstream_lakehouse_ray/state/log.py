@@ -55,6 +55,10 @@ class FileEntry:
     # how many keys it holds.  None = no deletes pending on this file.
     dv: str | None = None
     dv_rows: int = 0
+    # clustering provenance: the signature (curve + dims) of the zorder job
+    # that wrote this file, None for unclustered writers — what incremental
+    # zorder uses to cluster only new data (liquid-clustering direction).
+    clustered: str | None = None
     # per-file key Bloom filter (bytes). NOT serialized into the JSON
     # snapshot — it rides a parquet sidecar (`_blooms/`, see Table) so the
     # manifest stays small at 10^12-row scale.
@@ -66,6 +70,8 @@ class FileEntry:
         if d.get("dv") is None:  # keep the common-case action compact
             d.pop("dv", None)
             d.pop("dv_rows", None)
+        if d.get("clustered") is None:
+            d.pop("clustered", None)
         d["op"] = op
         return d
 

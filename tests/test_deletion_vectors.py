@@ -162,3 +162,49 @@ class TestDvMaterialization:
         removed = t.vacuum(min_age_seconds=0.0)
         assert any(p.startswith("_dv/") for p in removed)
         assert_tokens_equal(collect_sorted(t.scan()), _expected_minus(dead))
+
+
+class TestIncrementalZorder:
+    """Liquid-clustering direction: re-clustering after an append sorts
+    only the new (unclustered) files."""
+
+    def test_incremental_clusters_only_new_files(self, tmp_path_factory):
+        t = _fresh(tmp_path_factory, "inc-zorder")
+        t.zorder(target_file_bytes=TARGET)
+        sig = "z:source,n_tok,doc_id"
+        assert all(f.clustered == sig for f in t.files())
+        # nothing new -> no-op
+        assert t.zorder(target_file_bytes=TARGET, incremental=True) is None
+        clustered_before = {f.path for f in t.files()}
+        extra = gen_updates_chunk(N_ROWS, 0, 300)
+        t.append(extra)
+        v = t.zorder(target_file_bytes=TARGET, incremental=True)
+        assert v == t.version()
+        after = t.files()
+        # the originally-clustered files were NOT rewritten
+        assert clustered_before <= {f.path for f in after}
+        assert all(f.clustered == sig for f in after)
+        exp = pa.concat_tables(
+            [expected_tokens_table(N_ROWS, ROWS_PER_FILE), extra]
+        ).sort_by("doc_id").combine_chunks()
+        assert_tokens_equal(collect_sorted(t.scan()), exp)
+
+    def test_signature_change_reclusters_everything(self, tmp_path_factory):
+        t = _fresh(tmp_path_factory, "inc-zorder-sig")
+        t.zorder(target_file_bytes=TARGET)
+        v = t.zorder(target_file_bytes=TARGET, curve="hilbert", incremental=True)
+        assert v == t.version()
+        assert all(f.clustered == "hilbert:source,n_tok,doc_id" for f in t.files())
+
+    def test_incremental_folds_pending_dvs_of_new_files(self, tmp_path_factory):
+        t = _fresh(tmp_path_factory, "inc-zorder-dv")
+        t.zorder(target_file_bytes=TARGET)
+        extra = gen_updates_chunk(N_ROWS, 0, 200)
+        t.append(extra)
+        dead_key = extra["doc_id"][0].as_py()
+        t.delete(keys=[dead_key], mode="mor")
+        t.zorder(target_file_bytes=TARGET, incremental=True)
+        # the new files' DV was materialized by the incremental pass
+        assert all(f.dv is None for f in t.files())
+        got = collect_sorted(t.scan())
+        assert dead_key not in got["doc_id"].to_pylist()
