@@ -97,6 +97,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # construction -> shares the brute-force oracle; the approximate
         # regime (nprobe < n_clusters) is covered by the pytest recall test
         "knn_ivf": lambda sf: ann.knn_ivf(sf, nprobe=16),
+        # semantic clustering assignment (nearest prototype by cosine) —
+        # the bucketing step of semantic dedup / diversity balancing
+        "embedding_cluster_assign": ann.embedding_cluster_assign,
         # --- multimodal (stubbed codec, real plumbing) ------------------
         "image_metadata": multimodal.image_metadata,
         "image_features": multimodal.image_features_flat,
@@ -148,6 +151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maintenance_time_travel": maintenance.maintenance_time_travel,
         "maintenance_time_travel_ts": maintenance.maintenance_time_travel_ts,
         "maintenance_full_lifecycle": maintenance.maintenance_full_lifecycle,
+        # change data feed across a MERGE commit range (Delta CDF analog)
+        "maintenance_change_feed": maintenance.maintenance_change_feed,
     }
 
 
@@ -290,6 +295,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+        """,
+        "embedding_cluster_assign": """
+            SELECT e.vec_id, c.cluster_id FROM embeddings e, LATERAL (
+                SELECT q.vec_id AS cluster_id FROM embeddings q
+                WHERE q.vec_id < 8
+                ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                         q.vec_id
+                LIMIT 1
+            ) c
         """,
         "audio_features": """
             -- s16le PCM decode as char-pair arithmetic over ASCII payloads
@@ -876,6 +890,21 @@ def oracle_sql() -> dict[str, str]:
                 SELECT id, nt, source FROM base WHERE id % 20 <> 0
                 UNION ALL SELECT id, nt + 7 AS nt, source FROM base WHERE id % 20 = 0
                 UNION ALL SELECT id + 1000000 AS id, nt, source FROM base WHERE id % 50 = 0
+            )
+        """,
+        "maintenance_change_feed": f"""
+            WITH base AS ({_DOCS_BASE})
+            SELECT doc_id, n_tok, source, _change_type FROM (
+                SELECT {_DOC_KEY} AS doc_id, CAST(nt AS BIGINT) AS n_tok, source,
+                       'update_preimage' AS _change_type
+                FROM base WHERE id % 20 = 0
+                UNION ALL
+                SELECT {_DOC_KEY}, CAST(nt + 7 AS BIGINT), source, 'update_postimage'
+                FROM base WHERE id % 20 = 0
+                UNION ALL
+                SELECT 'doc-' || lpad(CAST(id + 1000000 AS VARCHAR), 12, '0'),
+                       CAST(nt AS BIGINT), source, 'insert'
+                FROM base WHERE id % 50 = 0
             )
         """,
         "maintenance_full_lifecycle": f"""

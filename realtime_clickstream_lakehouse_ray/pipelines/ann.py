@@ -123,6 +123,33 @@ def knn_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 5) -> pa.Table:
     )
 
 
+def embedding_cluster_assign(sf_dir: str, n_clusters: int = 8) -> ray.data.Dataset:
+    """Semantic clustering assignment — the bucketing step of semantic
+    dedup / diversity balancing: every vector goes to its nearest
+    prototype by cosine.  Prototypes are the ``vec_id < n_clusters``
+    rows (deterministic; a fitted codebook would be broadcast the same
+    way), loaded with the id filter pushed into the parquet read, so the
+    driver holds ``n_clusters`` vectors and never the corpus.  Scoring
+    is one stateless vectorized ``map_batches`` (batch × k matmul) —
+    streaming, no shuffle, no driver materialization.  Ties break to the
+    smallest prototype id (argmax-first over id-sorted prototypes),
+    matching the oracle's ``ORDER BY sim DESC, vec_id``."""
+    ref = ray.put(_load_query_matrix(sf_dir, n_clusters))
+
+    def assign(t: pa.Table) -> pa.Table:
+        c_ids, c_mat = get_broadcast(ref)
+        ids, sub = _to_matrix(t)
+        sub = _normalize(sub)
+        best = np.argmax(sub @ c_mat.T, axis=1)
+        return pa.table(
+            {"vec_id": pa.array(ids), "cluster_id": pa.array(c_ids[best])}
+        )
+
+    return _emb_ds(sf_dir).map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def _sample_rows(
     emb_ds: ray.data.Dataset, n_sample: int, seed: int
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -198,6 +198,29 @@ def maintenance_full_lifecycle(sf_dir: str) -> pa.Table:
     return _scan_projected(t)
 
 
+def maintenance_change_feed(sf_dir: str) -> pa.Table:
+    """Ingest -> compact -> MERGE, then read the change data feed across
+    the merge: updates surface as pre/post-image pairs, re-keyed source
+    rows as inserts, and every rewrite-only row (unmatched neighbors in
+    the copy-on-write-rewritten files) must cancel to nothing.  The
+    oracle states the exact expected feed from the merge recipe."""
+    t = build_from_documents(sf_dir, _scratch_root(sf_dir, "cdf"))
+    t.compact(target_file_bytes=8 << 20)
+    v_pre = t.version()
+    t.merge(updates_from_documents(sf_dir))
+    ch = t.changes(v_pre)
+    cols = ["doc_id", "n_tok", "source", "_change_type"]
+    # empty groupby partitions yield zero-column blocks; drop them
+    blocks = [
+        b for b in ray.get(ch.to_arrow_refs()) if b.num_rows
+    ]
+    got = pa.concat_tables([b.select(cols) for b in blocks])
+    got = got.set_column(
+        got.column_names.index("n_tok"), "n_tok", got["n_tok"].cast(pa.int64())
+    )
+    return got.sort_by([("doc_id", "ascending"), ("_change_type", "ascending")]).combine_chunks()
+
+
 def maintenance_delete(sf_dir: str) -> pa.Table:
     """Ingest -> compact -> predicate DELETE (n_tok >= 60) -> scan: the
     remaining relation must equal the oracle's ``WHERE nt < 60``."""

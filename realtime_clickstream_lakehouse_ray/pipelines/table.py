@@ -1296,6 +1296,133 @@ class Table:
         JobCheckpoint(self.root, job_id).mark_committed(version)
         return version
 
+    # ---- CHANGE DATA FEED ------------------------------------------------
+    def changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        num_buckets: int | None = None,
+    ) -> ray.data.Dataset:
+        """Change Data Feed: the net row-level difference between two
+        snapshots (Delta CDF / ``table_changes`` equivalent — the reference
+        gets this from its Delta JAR; README.md:176 frames retention/PITR
+        around it).  Returns a Dataset with the table schema plus
+        ``_change_type`` in {insert, delete, update_preimage,
+        update_postimage}.
+
+        Unlike Delta (which writes CDC sidecars at commit time), the feed
+        is derived after the fact from the snapshots alone, so it works
+        across ANY commit range with zero write-path overhead:
+
+        - file-level diff first (driver, stats only): only files whose
+          (path, deletion-vector) signature appears on exactly one side
+          are read at all — a compaction/zorder-only range reads the
+          rewritten files but nothing else, and an append-only range reads
+          only the appended files;
+        - both sides stream through one hash-bucket shuffle on the key
+          (the ``_merge_shuffle`` shape: B vectorized group calls, never
+          one per key);
+        - within a bucket, rewrite-only rows cancel by (key, row-content
+          hash) multiset difference — ``table_row_hash`` is vectorized
+          over all columns including the token lists — and surviving rows
+          classify as update (key on both sides), insert or delete.
+        """
+        to_version = self.version() if to_version is None else to_version
+        old_all = {(f.path, f.dv): f for f in self.files(from_version)}
+        new_all = {(f.path, f.dv): f for f in self.files(to_version)}
+        old_files = [f for sig, f in sorted(old_all.items()) if sig not in new_all]
+        new_files = [f for sig, f in sorted(new_all.items()) if sig not in old_all]
+
+        out_schema = self.schema.append(pa.field("_change_type", pa.string()))
+        if not old_files and not new_files:
+            return ray.data.from_arrow(out_schema.empty_table())
+
+        from realtime_clickstream_lakehouse_ray.functions.hashing import (
+            hash64,
+            table_row_hash,
+        )
+
+        tune_context()  # groupby shuffle uses the sort path
+        ncpu = int(ray.available_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        B = num_buckets or max(8, ncpu * 2)
+        key_col = self.key_col
+        schema = self.schema
+
+        def _tag(side: int):
+            def fn(t: pa.Table) -> pa.Table:
+                t = conform_table(t, schema)
+                bucket = (hash64(t[key_col]) % np.uint64(B)).astype(np.int32)
+                rh = table_row_hash(t).astype(np.int64)
+                return (
+                    t.append_column("__side", pa.array(np.full(t.num_rows, side, np.int8)))
+                    .append_column("__rowhash", pa.array(rh))
+                    .append_column("__bucket", pa.array(bucket))
+                )
+
+            return fn
+
+        olds = self._read_entries(old_files).map_batches(
+            _tag(0), batch_format="pyarrow", zero_copy_batch=True
+        )
+        news = self._read_entries(new_files).map_batches(
+            _tag(1), batch_format="pyarrow", zero_copy_batch=True
+        )
+
+        def diff_bucket(group: pa.Table) -> pa.Table:
+            g = group.sort_by(
+                [(key_col, "ascending"), ("__rowhash", "ascending"), ("__side", "ascending")]
+            )
+            n = g.num_rows
+            if n == 0:
+                return out_schema.empty_table()
+            k = g[key_col].combine_chunks()
+            rh = np.asarray(g["__rowhash"])
+            side = np.asarray(g["__side"])
+            key_change = np.ones(n, dtype=bool)
+            if n > 1:
+                key_change[1:] = ~np.asarray(
+                    pc.equal(k.slice(1), k.slice(0, n - 1))
+                )
+            run_start = key_change.copy()
+            if n > 1:
+                run_start[1:] |= rh[1:] != rh[:-1]
+            run_id = np.cumsum(run_start) - 1
+            n_runs = int(run_id[-1]) + 1 if n else 0
+            n_old = np.bincount(run_id, weights=(side == 0), minlength=n_runs).astype(np.int64)
+            n_new = np.bincount(run_id, weights=(side == 1), minlength=n_runs).astype(np.int64)
+            run_first = np.zeros(n_runs, dtype=np.int64)
+            run_first[run_id[run_start]] = np.flatnonzero(run_start)
+            pos = np.arange(n, dtype=np.int64) - run_first[run_id]
+            net = n_new - n_old
+            # identical rows cancel pairwise; keep the surplus only
+            keep = np.where(
+                side == 0,
+                pos < -net[run_id],  # old surplus -> delete candidates
+                (pos - n_old[run_id]) < net[run_id],  # new surplus -> inserts
+            )
+            # classify: a key with surviving rows on BOTH sides is an update
+            key_id = np.cumsum(key_change) - 1
+            n_keys = int(key_id[-1]) + 1 if n else 0
+            old_kept = np.bincount(key_id, weights=keep & (side == 0), minlength=n_keys)
+            new_kept = np.bincount(key_id, weights=keep & (side == 1), minlength=n_keys)
+            both = (old_kept > 0) & (new_kept > 0)
+            labels = np.where(
+                side == 0,
+                np.where(both[key_id], "update_preimage", "delete"),
+                np.where(both[key_id], "update_postimage", "insert"),
+            )
+            out = g.filter(pa.array(keep)).drop_columns(["__side", "__rowhash", "__bucket"])
+            # Ray's sort/groupby may widen list columns; pin the output to
+            # the declared table schema so the feed is type-stable
+            out = conform_table(out, schema)
+            return out.append_column("_change_type", pa.array(labels[keep]))
+
+        return (
+            olds.union(news)
+            .groupby("__bucket")
+            .map_groups(diff_bucket, batch_format="pyarrow")
+        )
+
     # ---- RESTORE --------------------------------------------------------
     def restore(self, version: int) -> int:
         """Roll the table back to ``version`` as a NEW commit (Delta
