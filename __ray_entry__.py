@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maintenance_zorder": maintenance.maintenance_zorder,
         "maintenance_merge": maintenance.maintenance_merge,
         "maintenance_delete": maintenance.maintenance_delete,
+        "maintenance_update": maintenance.maintenance_update,
         "maintenance_delete_mor": maintenance.maintenance_delete_mor,
         "maintenance_time_travel": maintenance.maintenance_time_travel,
         "maintenance_time_travel_ts": maintenance.maintenance_time_travel_ts,
@@ -876,6 +877,12 @@ def oracle_sql() -> dict[str, str]:
             f"WITH base AS ({_DOCS_BASE}) "
             f"SELECT {_DOC_KEY} AS doc_id, CAST(nt AS BIGINT) AS n_tok, source "
             f"FROM base WHERE nt < 60"
+        ),
+        "maintenance_update": (
+            f"WITH base AS ({_DOCS_BASE}) "
+            f"SELECT {_DOC_KEY} AS doc_id, CAST(nt AS BIGINT) AS n_tok, "
+            f"CASE WHEN nt <= 59 THEN source || '-u' ELSE source END AS source "
+            f"FROM base"
         ),
         "maintenance_delete_mor": (
             f"WITH base AS ({_DOCS_BASE}) "

@@ -26,7 +26,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--ops",
         default="compact,zorder",
-        help="comma list: compact,zorder,merge,delete,materialize-deletes,restore,rewrite-manifests,expire,vacuum",
+        help="comma list: compact,zorder,merge,update,delete,materialize-deletes,restore,rewrite-manifests,changes,expire,vacuum",
     )
     p.add_argument("--target-file-mb", type=int, default=128)
     p.add_argument(
@@ -47,6 +47,17 @@ def main(argv: list[str] | None = None) -> int:
         default="cow",
         choices=["cow", "mor"],
         help="cow = copy-on-write rewrite; mor = deletion-vector tombstones",
+    )
+    p.add_argument(
+        "--update-rules",
+        help='JSON list of set-rules for the update op, e.g. '
+        '\'[{"column":"source","op":"suffix","value":"-u"}]\'',
+    )
+    p.add_argument(
+        "--changes-from",
+        type=int,
+        default=None,
+        help="from-version for the changes op (change data feed row counts)",
     )
     p.add_argument("--keep-last", type=int, default=3, help="snapshots kept by expire")
     p.add_argument("--restore-version", type=int, default=None, help="target for the restore op")
@@ -118,6 +129,34 @@ def main(argv: list[str] | None = None) -> int:
                 max_n_tok=args.delete_max_n_tok,
                 mode=args.delete_mode,
             )
+        elif op == "update":
+            if not args.update_rules:
+                p.error("--update-rules required for the update op")
+            results[op] = table.update(
+                json.loads(args.update_rules),
+                partitions=(
+                    [x.strip() for x in args.delete_partitions.split(",")]
+                    if args.delete_partitions
+                    else None
+                ),
+                min_n_tok=args.delete_min_n_tok,
+                max_n_tok=args.delete_max_n_tok,
+            )
+        elif op == "changes":
+            if args.changes_from is None:
+                p.error("--changes-from required for the changes op")
+            import numpy as np
+
+            feed = table.changes(args.changes_from)
+            counts: dict[str, int] = {}
+            for b in feed.iter_batches(batch_format="pyarrow"):
+                if b.num_rows:
+                    vals, ns = np.unique(
+                        np.asarray(b["_change_type"]), return_counts=True
+                    )
+                    for t_, n_ in zip(vals, ns):
+                        counts[str(t_)] = counts.get(str(t_), 0) + int(n_)
+            results[op] = counts
         elif op == "materialize-deletes":
             results[op] = table.materialize_deletes()
         elif op == "restore":

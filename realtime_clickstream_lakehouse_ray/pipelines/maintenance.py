@@ -221,6 +221,19 @@ def maintenance_change_feed(sf_dir: str) -> pa.Table:
     return got.sort_by([("doc_id", "ascending"), ("_change_type", "ascending")]).combine_chunks()
 
 
+def maintenance_update(sf_dir: str) -> pa.Table:
+    """Ingest -> compact -> predicate UPDATE (n_tok < 60: source gets a
+    '-u' suffix) -> scan.  Rewrites the PARTITION column, so matched rows
+    physically move between partitions in one copy-on-write commit; the
+    oracle states the post-update relation with a CASE expression."""
+    t = build_from_documents(sf_dir, _scratch_root(sf_dir, "update"))
+    t.compact(target_file_bytes=8 << 20)
+    t.update(
+        [{"column": "source", "op": "suffix", "value": "-u"}], max_n_tok=59
+    )
+    return _scan_projected(t)
+
+
 def maintenance_delete(sf_dir: str) -> pa.Table:
     """Ingest -> compact -> predicate DELETE (n_tok >= 60) -> scan: the
     remaining relation must equal the oracle's ``WHERE nt < 60``."""

@@ -72,8 +72,10 @@ def _load_dv_keys(args: tuple) -> pa.Array:
     import pyarrow.parquet as pq
 
     root, dv_paths, key_col = args
+    # Path join (not string concat): shallow-cloned entries carry ABSOLUTE
+    # dv paths, which must win over the clone's root
     arrays = [
-        pq.read_table(f"{root}/{p}", columns=[key_col])[key_col].combine_chunks()
+        pq.read_table(Path(root) / p, columns=[key_col])[key_col].combine_chunks()
         for p in dv_paths
     ]
     return pc.unique(pa.concat_arrays(arrays))
@@ -667,6 +669,8 @@ class Table:
                 mode=mode,
                 keys_ref=keys_ref,
                 key_col=self.key_col,
+                partition_col=self.partition_col,
+                constraints=self.constraints,
             ),
             batch_format="pyarrow",
             batch_size=1,
@@ -1014,18 +1018,26 @@ class Table:
             (self.root / a["path"]).is_file() for a in src_unit["adds"]
         ):
             if source.num_rows >= SRC_DISTRIBUTED_APPEND_ROWS:
+                # one block per output unit via driver-side zero-copy slices
+                # — NOT a repartition: Dataset.repartition funnels through a
+                # reduce whose scheduling stalls for tens of seconds when
+                # the object store is still draining the preceding op's
+                # blocks (measured on the lifecycle bench: src_append 19-21s
+                # after zorder vs 1.4s with this shape)
                 n_units = max(1, int(source.nbytes / max(1, target_file_bytes)))
-                stats_ds = (
-                    ray.data.from_arrow(source)
-                    .repartition(n_units)
-                    .map_batches(
-                        make_file_writer(
-                            str(self.root), self.schema, self.partition_col
-                        ),
-                        batch_format="pyarrow",
-                        zero_copy_batch=True,
-                        batch_size=None,
-                    )
+                step = -(-source.num_rows // n_units)
+                slices = [
+                    source.slice(i * step, step)
+                    for i in range(n_units)
+                    if i * step < source.num_rows
+                ]
+                stats_ds = ray.data.from_arrow(slices).map_batches(
+                    make_file_writer(
+                        str(self.root), self.schema, self.partition_col
+                    ),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                    batch_size=None,
                 )
                 entries = self._collect_stats(stats_ds)
             else:
@@ -1134,6 +1146,150 @@ class Table:
         return version
 
     # ---- DELETE ---------------------------------------------------------
+    def _match_candidates(
+        self,
+        parent: int,
+        keys: Sequence[str] | None,
+        partitions: Sequence[str] | None,
+        min_n_tok: int | None,
+        max_n_tok: int | None,
+    ) -> tuple[list[FileEntry], list[FileEntry]]:
+        """Stats-prune the parent snapshot's files against a DML predicate
+        (shared by DELETE and UPDATE): returns (whole, partial) — ``whole``
+        files have EVERY row matching (metadata-only delete eligible;
+        key predicates never qualify), ``partial`` files overlap and need a
+        rewrite.  Pruning uses partition value, n_tok min/max stats, key
+        min/max range and the per-file key Blooms — no data is read."""
+        from realtime_clickstream_lakehouse_ray.functions.bloom import bloom_any_match
+        from realtime_clickstream_lakehouse_ray.functions.hashing import hash64
+
+        key_arr = np.sort(np.asarray(keys, dtype=object)) if keys else None
+        key_hashes = (
+            hash64(pa.array(list(keys), type=pa.string())) if keys else None
+        )
+        blooms = self.blooms(parent) if keys else {}
+        part_set = set(partitions) if partitions is not None else None
+
+        whole_files: list[FileEntry] = []
+        rewrite_files: list[FileEntry] = []
+        for f in self.files(parent):
+            if part_set is not None and f.partition not in part_set:
+                continue
+            # n_tok range overlap test from stats
+            if min_n_tok is not None and f.max_n_tok is not None and f.max_n_tok < min_n_tok:
+                continue
+            if max_n_tok is not None and f.min_n_tok is not None and f.min_n_tok > max_n_tok:
+                continue
+            if key_arr is not None:
+                # key predicate: range + bloom prune, never metadata-only
+                if f.min_key is not None and f.max_key is not None:
+                    lo = np.searchsorted(key_arr, f.min_key, side="left")
+                    if lo >= len(key_arr) or key_arr[lo] > f.max_key:
+                        continue
+                b = blooms.get(f.path)
+                if b is not None and not bloom_any_match(b, key_hashes):
+                    continue
+                rewrite_files.append(f)
+                continue
+            fully = (
+                (min_n_tok is None or (f.min_n_tok is not None and f.min_n_tok >= min_n_tok))
+                and (max_n_tok is None or (f.max_n_tok is not None and f.max_n_tok <= max_n_tok))
+            )
+            (whole_files if fully else rewrite_files).append(f)
+        return whole_files, rewrite_files
+
+    def update(
+        self,
+        set_rules: Sequence[dict],
+        keys: Sequence[str] | None = None,
+        partitions: Sequence[str] | None = None,
+        min_n_tok: int | None = None,
+        max_n_tok: int | None = None,
+        job_id: str | None = None,
+        concurrency: int | tuple[int, int] = (1, 16),
+    ) -> int | None:
+        """Predicate UPDATE (Delta ``UPDATE ... SET`` equivalent):
+        copy-on-write rewrite of every file whose stats overlap the
+        predicate, applying vectorized set-rules to the matched rows.
+
+        ``set_rules``: list of ``{"column": c, "op": "set"|"add"|"suffix"|
+        "prefix", "value": v}`` (JSON-serializable; applied in order by one
+        ``pc.if_else`` each inside the rewrite actors).  Updating the
+        PARTITION column is supported — the rewrite splits its output per
+        new partition value, so rows move between partitions in one
+        commit.  Updating the key column is rejected (that is a
+        delete+insert; use ``merge``).  Table CHECK constraints are
+        re-validated on every rewritten batch before any file is
+        published.  Predicate = conjunction of keys / partitions / n_tok
+        range, stats+Bloom-pruned exactly like DELETE; a stats false
+        positive re-keeps the file untouched.  Deterministic job id ->
+        idempotent + checkpoint-resumable like every maintenance op.
+
+        Returns the new version, or None when nothing matches."""
+        import hashlib
+
+        rules = [dict(r) for r in set_rules]
+        for r in rules:
+            if set(r) != {"column", "op", "value"}:
+                raise ValueError(f"malformed update rule {r!r}")
+            if r["column"] not in self.schema.names:
+                raise ValueError(f"unknown column {r['column']!r}")
+            if r["column"] == self.key_col:
+                raise ValueError("UPDATE of the key column is not supported; use merge()")
+            if r["op"] not in ("set", "add", "suffix", "prefix"):
+                raise ValueError(f"unknown update op {r['op']!r}")
+        if not rules:
+            raise ValueError("UPDATE needs at least one set rule")
+
+        self._start_op()
+        parent = self.version()
+        if job_id is None:
+            sig = hashlib.md5(
+                json.dumps(
+                    [rules, sorted(keys) if keys else None,
+                     sorted(partitions) if partitions else None,
+                     min_n_tok, max_n_tok],
+                ).encode()
+            ).hexdigest()[:10]
+            job_id = f"update-v{parent}-{sig}"
+        done = self.log.find_commit_by_job(job_id)
+        if done is not None:
+            return done
+
+        whole, partial = self._match_candidates(
+            parent, keys, partitions, min_n_tok, max_n_tok
+        )
+        candidates = whole + partial  # UPDATE always rewrites matches
+        if not candidates:
+            return None
+
+        by_part: dict[str, list[FileEntry]] = {}
+        for f in candidates:
+            by_part.setdefault(f.partition, []).append(f)
+        bins = []
+        for part in sorted(by_part):
+            for f in sorted(by_part[part], key=lambda f: f.path):
+                spec = self._bin_spec(len(bins), part, [f], job_id)
+                spec["min_n_tok"] = min_n_tok
+                spec["max_n_tok"] = max_n_tok
+                spec["rules"] = rules
+                bins.append(spec)
+        keys_ref = ray.put(np.asarray(list(keys), dtype=object)) if keys else None
+        records = self._run_rewrite_units(
+            bins, job_id, mode="update_where", keys_ref=keys_ref,
+            concurrency=concurrency,
+        )
+        adds = [a for r in records.values() for a in r["adds"]]
+        removes = [p for r in records.values() for p in r["removes"]]
+        if not adds and not removes:
+            return None
+        version = self._commit_with_rebase(
+            adds, removes, "update", parent, job_id,
+            extra={"lineage": self._lineage_summary(records)},
+        )
+        JobCheckpoint(self.root, job_id).mark_committed(version)
+        return version
+
     def delete(
         self,
         keys: Sequence[str] | None = None,
@@ -1192,42 +1348,9 @@ class Table:
         if done is not None:
             return done
 
-        from realtime_clickstream_lakehouse_ray.functions.bloom import bloom_any_match
-        from realtime_clickstream_lakehouse_ray.functions.hashing import hash64
-
-        key_arr = np.sort(np.asarray(keys, dtype=object)) if keys else None
-        key_hashes = (
-            hash64(pa.array(list(keys), type=pa.string())) if keys else None
+        whole_files, rewrite_files = self._match_candidates(
+            parent, keys, partitions, min_n_tok, max_n_tok
         )
-        blooms = self.blooms(parent) if keys else {}
-        part_set = set(partitions) if partitions is not None else None
-
-        whole_files: list[FileEntry] = []
-        rewrite_files: list[FileEntry] = []
-        for f in self.files(parent):
-            if part_set is not None and f.partition not in part_set:
-                continue
-            # n_tok range overlap test from stats
-            if min_n_tok is not None and f.max_n_tok is not None and f.max_n_tok < min_n_tok:
-                continue
-            if max_n_tok is not None and f.min_n_tok is not None and f.min_n_tok > max_n_tok:
-                continue
-            if key_arr is not None:
-                # key predicate: range + bloom prune, never metadata-only
-                if f.min_key is not None and f.max_key is not None:
-                    lo = np.searchsorted(key_arr, f.min_key, side="left")
-                    if lo >= len(key_arr) or key_arr[lo] > f.max_key:
-                        continue
-                b = blooms.get(f.path)
-                if b is not None and not bloom_any_match(b, key_hashes):
-                    continue
-                rewrite_files.append(f)
-                continue
-            fully = (
-                (min_n_tok is None or (f.min_n_tok is not None and f.min_n_tok >= min_n_tok))
-                and (max_n_tok is None or (f.max_n_tok is not None and f.max_n_tok <= max_n_tok))
-            )
-            (whole_files if fully else rewrite_files).append(f)
 
         if not whole_files and not rewrite_files:
             return None
@@ -1448,6 +1571,67 @@ class Table:
             job_id=f"restore-to-v{version}-from-v{self.version()}",
             extra={"restored_version": version},
         )
+
+    # ---- CLONE ------------------------------------------------------------
+    def clone(self, target_root: str, version: int | None = None) -> "Table":
+        """Shallow CLONE (Delta ``CREATE TABLE ... SHALLOW CLONE`` analog):
+        a new table whose first snapshot references this table's data files
+        (and deletion vectors) by ABSOLUTE path — zero data copied, O(file
+        count) manifest write.  Every subsequent op on the clone rewrites
+        copy-on-write into the clone's own root, so the tables diverge
+        without ever touching each other's files; the clone's ``vacuum``
+        globs only under its own root, so external source files can never
+        be reclaimed by the clone.  The source's per-file Bloom sidecars
+        are carried over (re-keyed to the absolute paths) so MERGE/DELETE
+        file-skipping works on the clone from the first commit.
+
+        Same caveat as Delta: vacuuming or expiring the SOURCE table can
+        remove files a shallow clone still references — promote a clone
+        with ``compact()`` (rewrites everything locally) before retiring
+        the source."""
+        v = self.version() if version is None else version
+        src_root = self.root.resolve()
+        t = Table.create(
+            target_root,
+            schema=self.schema,
+            partition_col=self.partition_col,
+            key_col=self.key_col,
+            constraints=self.constraints,
+        )
+        src_files = self.files(v)
+        adds = []
+        for f in src_files:
+            a = f.to_action()
+            a["path"] = str(src_root / f.path)
+            if f.dv:
+                a["dv"] = str(src_root / f.dv)
+            adds.append(a)
+        new_v = t.log.commit(
+            adds,
+            "clone",
+            job_id=f"clone-v{v}-of-{src_root}",
+            extra={"cloned_from": str(src_root), "source_version": v},
+        )
+        live = self.blooms(v)
+        if live:
+            import os as _os
+            import uuid as _uuid
+
+            import pyarrow.parquet as pq
+
+            d = t.root / "_blooms"
+            d.mkdir(parents=True, exist_ok=True)
+            paths = sorted(live)
+            tbl = pa.table(
+                {
+                    "path": pa.array([str(src_root / p) for p in paths], pa.string()),
+                    "bloom": pa.array([live[p] for p in paths], pa.binary()),
+                }
+            )
+            tmp = d / f".tmp-{_uuid.uuid4().hex}.parquet"
+            pq.write_table(tbl, tmp, compression="zstd")
+            _os.replace(tmp, d / f"v{new_v:06d}.parquet")
+        return t
 
     # ---- retention ------------------------------------------------------
     def rewrite_manifests(self, version: int | None = None) -> None:

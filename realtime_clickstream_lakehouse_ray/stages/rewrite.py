@@ -40,6 +40,32 @@ from realtime_clickstream_lakehouse_ray.state.log import FileEntry
 SPEC_SCHEMA = pa.schema([("spec", pa.string())])
 
 
+def apply_update_rules(tbl: pa.Table, mask: pa.Array, rules: list[dict]) -> pa.Table:
+    """Vectorized UPDATE ... SET: one ``pc.if_else`` per rule, masked rows
+    get the new value, the rest pass through unchanged.  Rules are
+    JSON-serializable dicts (they ride inside the bin spec):
+    ``{"column": c, "op": "set"|"add"|"suffix"|"prefix", "value": v}``."""
+    for r in rules:
+        col = tbl[r["column"]]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        op, v = r["op"], r["value"]
+        if op == "set":
+            new = pa.scalar(v, type=col.type)
+        elif op == "add":
+            new = pc.cast(pc.add(col, v), col.type)
+        elif op == "suffix":
+            new = pc.binary_join_element_wise(col, pa.scalar(str(v)), "")
+        elif op == "prefix":
+            new = pc.binary_join_element_wise(pa.scalar(str(v)), col, "")
+        else:
+            raise ValueError(f"unknown update op {op!r}")
+        updated = pc.if_else(mask, new, col)
+        tbl = tbl.set_column(
+            tbl.column_names.index(r["column"]), r["column"], pc.cast(updated, col.type)
+        )
+    return tbl
+
+
 def make_spec_items(bins: list[dict]) -> list[dict]:
     """Bin descriptors -> rows for ray.data.from_items (JSON-encoded so the
     block schema stays a single string column)."""
@@ -66,6 +92,8 @@ class BinRewriter:
         mode: str = "compact",
         keys_ref=None,  # ray.ObjectRef of a sorted numpy array of keys
         key_col: str = "doc_id",
+        partition_col: str = "source",
+        constraints: list[dict] | None = None,
     ):
         # each pool actor caps its Arrow thread pool: N actors x default
         # 32-thread pools oversubscribe the node and *degrade* with more
@@ -77,6 +105,8 @@ class BinRewriter:
         self.ckpt = JobCheckpoint(root, job_id)
         self.mode = mode
         self.key_col = key_col
+        self.partition_col = partition_col
+        self.constraints = constraints or []
         self.keys = None
         if keys_ref is not None:
             import ray
@@ -125,6 +155,8 @@ class BinRewriter:
         return [FileEntry.from_action(a) for a in record["adds"]]
 
     def _process_unit(self, spec: dict) -> dict:
+        import time as _time
+
         unit = spec["unit"]
         existing = self.ckpt.read_unit(unit)
         if existing is not None and all(
@@ -134,27 +166,22 @@ class BinRewriter:
         ):
             return existing  # resume: unit already done, reuse its outputs
 
+        t_unit = _time.perf_counter()
+
+        def _stamp(record: dict) -> dict:
+            # per-unit wall time in the lineage record: the observability
+            # hook for straggler diagnosis (unit_sec spread per job)
+            record["unit_sec"] = round(_time.perf_counter() - t_unit, 3)
+            return record
+
         if self.mode == "dv":
-            record = self._process_dv_unit(spec)
+            record = _stamp(self._process_dv_unit(spec))
             self.ckpt.write_unit(unit, record)
             return record
         tbl = self._read_bin(spec["files"], spec.get("dvs"))
         removes = list(spec["files"])
-        if self.mode in ("delete_keys", "delete_where"):
-            if self.mode == "delete_keys":
-                mask = pc.is_in(tbl[self.key_col], value_set=self.keys)
-            else:
-                # conjunctive predicate delete: key-set (optional) AND
-                # n_tok range (optional); partition predicates are
-                # resolved at planning time (a file is all-in or all-out)
-                mask = pa.array(np.ones(tbl.num_rows, dtype=bool))
-                if self.keys is not None:
-                    mask = pc.and_(mask, pc.is_in(tbl[self.key_col], value_set=self.keys))
-                lo, hi = spec.get("min_n_tok"), spec.get("max_n_tok")
-                if lo is not None:
-                    mask = pc.and_(mask, pc.greater_equal(tbl["n_tok"], lo))
-                if hi is not None:
-                    mask = pc.and_(mask, pc.less_equal(tbl["n_tok"], hi))
+        if self.mode in ("delete_keys", "delete_where", "update_where"):
+            mask = self._predicate_mask(tbl, spec)
             n_match = pc.sum(mask).as_py() or 0
             # a bin carrying deletion vectors must always rewrite, even on a
             # stats false positive: _read_bin already folded the DV in, and
@@ -171,6 +198,10 @@ class BinRewriter:
                     "removes": [],
                     "rows": tbl.num_rows,
                 }
+                self.ckpt.write_unit(unit, _stamp(record))
+                return record
+            if self.mode == "update_where":
+                record = _stamp(self._write_update_unit(spec, tbl, mask, removes))
                 self.ckpt.write_unit(unit, record)
                 return record
             tbl = tbl.filter(pc.invert(mask))
@@ -196,8 +227,77 @@ class BinRewriter:
             "removes": removes,
             "rows": tbl.num_rows,
         }
-        self.ckpt.write_unit(unit, record)
+        self.ckpt.write_unit(unit, _stamp(record))
         return record
+
+    def _predicate_mask(self, tbl: pa.Table, spec: dict) -> pa.Array:
+        """Row mask for the unit's predicate.  ``delete_keys`` is the MERGE
+        delete half (key set only); the ``*_where`` modes take the
+        conjunction of key-set (optional) and n_tok range (optional);
+        partition predicates are resolved at planning time (a file is
+        all-in or all-out)."""
+        if self.mode == "delete_keys":
+            return pc.is_in(tbl[self.key_col], value_set=self.keys)
+        mask = pa.array(np.ones(tbl.num_rows, dtype=bool))
+        if self.keys is not None:
+            mask = pc.and_(mask, pc.is_in(tbl[self.key_col], value_set=self.keys))
+        lo, hi = spec.get("min_n_tok"), spec.get("max_n_tok")
+        if lo is not None:
+            mask = pc.and_(mask, pc.greater_equal(tbl["n_tok"], lo))
+        if hi is not None:
+            mask = pc.and_(mask, pc.less_equal(tbl["n_tok"], hi))
+        return mask
+
+    def _write_update_unit(
+        self, spec: dict, tbl: pa.Table, mask: pa.Array, removes: list[str]
+    ) -> dict:
+        """UPDATE: apply the unit's set-rules to the matched rows, enforce
+        the table's CHECK constraints on the result, and write the output —
+        split per partition value when a rule rewrote the partition column
+        (a partition-changing UPDATE moves rows between partitions)."""
+        from realtime_clickstream_lakehouse_ray.functions.constraints import (
+            check_batch,
+        )
+
+        upd = apply_update_rules(tbl, mask, spec["rules"])
+        if self.constraints:
+            check_batch(upd, self.constraints, key_col=self.key_col)
+        out_base = spec["out"]
+        adds = []
+        part_col = self.partition_col
+        touches_partition = any(r["column"] == part_col for r in spec["rules"])
+        parts = (
+            pc.unique(upd[part_col]).to_pylist()
+            if touches_partition
+            else [spec["partition"]]
+        )
+        for i, part in enumerate(sorted(map(str, parts))):
+            sub = (
+                upd.filter(pc.equal(upd[part_col], part))
+                if touches_partition
+                else upd
+            )
+            if sub.num_rows == 0:
+                continue
+            out_rel = (
+                f"{part_col}={part}/{Path(out_base).name[:-8]}-p{i:03d}.parquet"
+                if touches_partition
+                else out_base
+            )
+            nbytes = write_file_atomic(sub, self.root / out_rel)
+            fe = file_stats(sub, out_rel, part, nbytes)
+            adds.append(fe.to_action())
+            if fe.bloom is not None:
+                self._write_unit_bloom(f"{spec['unit']}-{i}", fe.path, fe.bloom)
+        return {
+            "unit": spec["unit"],
+            "partition": spec["partition"],
+            "inputs": spec["files"],
+            "unchanged": False,
+            "adds": adds,
+            "removes": removes,
+            "rows": upd.num_rows,
+        }
 
     def _process_dv_unit(self, spec: dict) -> dict:
         """Merge-on-read DELETE: tombstone the unit's matching keys in a

@@ -236,3 +236,63 @@ def test_similarity_blocking_is_complete_and_exactly_once(texts):
         if _lev_ref(a, b) <= k
     )
     assert got_pairs == exp  # complete AND no duplicates
+
+
+# ---- change-data-feed row-content hash --------------------------------
+
+tok_lists = st.lists(
+    st.lists(st.integers(min_value=0, max_value=2**31 - 1), min_size=0, max_size=12),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _rows_table(ids, toks):
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.string()),
+            "tokens": pa.array(toks, pa.list_(pa.int32())),
+            "n_tok": pa.array([len(t) for t in toks], pa.int32()),
+            "source": pa.array(["s"] * len(ids)),
+        }
+    )
+
+
+@settings(max_examples=50, deadline=None)
+@given(tok_lists)
+def test_row_hash_is_batch_split_invariant(toks):
+    """The CDF cancellation hash must not depend on block boundaries:
+    hashing rows one at a time equals hashing them in one batch."""
+    from realtime_clickstream_lakehouse_ray.functions.hashing import table_row_hash
+
+    ids = [f"d{i}" for i in range(len(toks))]
+    whole = table_row_hash(_rows_table(ids, toks))
+    for i in range(len(toks)):
+        single = table_row_hash(_rows_table([ids[i]], [toks[i]]))
+        assert single[0] == whole[i]
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=100), min_size=2, max_size=10))
+def test_row_hash_is_order_sensitive_in_lists(tok):
+    """Token arrays are sequences: any reordering that changes the sequence
+    must change the hash (a set-style hash would cancel a true update)."""
+    from realtime_clickstream_lakehouse_ray.functions.hashing import table_row_hash
+
+    rev = tok[::-1]
+    a = table_row_hash(_rows_table(["d"], [tok]))[0]
+    b = table_row_hash(_rows_table(["d"], [rev]))[0]
+    assert (a == b) == (tok == rev)
+
+
+@settings(max_examples=50, deadline=None)
+@given(tok_lists)
+def test_row_hash_changes_with_any_column(toks):
+    from realtime_clickstream_lakehouse_ray.functions.hashing import table_row_hash
+
+    ids = [f"d{i}" for i in range(len(toks))]
+    base = table_row_hash(_rows_table(ids, toks))
+    # flip the key column only
+    ids2 = [f"x{i}" for i in range(len(toks))]
+    other = table_row_hash(_rows_table(ids2, toks))
+    assert not np.any(base == other)
