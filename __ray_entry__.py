@@ -56,7 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": text.text_stats,
         "token_counts": text.token_counts,
         "lang_id": text.lang_id,
-        "doc_fingerprints": text.fingerprints,  # rolling fp -> rows-only
+        "doc_fingerprints": text.fingerprints,
         "fingerprint_md5": lambda sf: text.fingerprints(sf).select_columns(
             ["doc_id", "fp_md5"]
         ),
@@ -197,6 +197,24 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "fingerprint_md5": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+        "doc_fingerprints": f"""
+            WITH wrds AS (SELECT doc_id, {words} AS w FROM documents),
+            g AS (
+              SELECT doc_id, unnest(
+                CASE WHEN len(w) >= 3
+                  THEN list_transform(generate_series(1, len(w) - 2),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  ELSE [array_to_string(w, ' ')] END) AS g
+              FROM wrds
+            ),
+            m AS (
+              SELECT doc_id,
+                     min(CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)) AS fp_winnow
+              FROM g GROUP BY doc_id
+            )
+            SELECT d.doc_id, md5(d.text) AS fp_md5, m.fp_winnow
+            FROM documents d JOIN m USING (doc_id)
+        """,
         "lang_id": f"""
             SELECT doc_id,
                    CASE WHEN len(list_filter({words}, w -> w IN ('the','a','of','and','to','in','is','was','for','on','as','with','that','it','by','this'))) > 0

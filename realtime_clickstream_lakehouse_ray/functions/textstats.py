@@ -110,6 +110,51 @@ def rolling_fingerprint(words: pa.ListArray, window: int = 8) -> np.ndarray:
     return np.minimum.reduceat(mixed, starts)
 
 
+def winnow_fingerprint_md5(words: pa.ListArray) -> np.ndarray:
+    """Winnowing-style content fingerprint, ORACLE-EXACT: min over the
+    document's 3-word-shingle md5 values (first 15 hex chars -> int64,
+    so it fits BIGINT on both engines).  Shingle construction is
+    vectorized (three shifted slices of the flat word array joined by
+    one Arrow kernel; cross-document windows masked out); the md5 itself
+    is the only per-shingle Python call — md5 is what DuckDB can
+    replicate byte-for-byte.  At the 100-TB design point swap in
+    ``rolling_fingerprint`` (same shape, xxhash-fast, not
+    SQL-replicable)."""
+    import hashlib
+
+    starts, lengths = _segments(words)
+    n_docs = len(lengths)
+    flat = words.values
+    n = len(flat)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
+    out = np.full(n_docs, np.iinfo(np.int64).max, dtype=np.int64)
+    if n >= 3:
+        a = flat.slice(0, n - 2)
+        b = flat.slice(1, n - 2)
+        c = flat.slice(2, n - 2)
+        sh = pc.binary_join_element_wise(a, b, c, " ")
+        valid = doc_idx[: n - 2] == doc_idx[2:]
+        idx = np.flatnonzero(valid)
+        if len(idx):
+            sh_valid = sh.take(pa.array(idx))
+            vals = np.fromiter(
+                (
+                    int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                    for s in sh_valid.to_pylist()
+                ),
+                dtype=np.int64,
+                count=len(idx),
+            )
+            np.minimum.at(out, doc_idx[: n - 2][idx], vals)
+    short = lengths < 3
+    if short.any():
+        joined = pc.binary_join(words, " ")
+        for i in np.flatnonzero(short):
+            s = joined[int(i)].as_py() or ""
+            out[i] = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    return out
+
+
 def word_char_totals(words: pa.ListArray) -> np.ndarray:
     """Total characters across a document's words (excludes whitespace) —
     the numerator of Gopher's mean-word-length rule.  One segment-sum over

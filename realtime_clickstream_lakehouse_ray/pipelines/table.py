@@ -1546,6 +1546,52 @@ class Table:
             .map_groups(diff_bucket, batch_format="pyarrow")
         )
 
+    def apply_changes(
+        self,
+        feed: pa.Table | ray.data.Dataset,
+        job_id: str | None = None,
+    ) -> int | None:
+        """Consume a change data feed (the output of ``changes()``) to
+        replicate another table's commits onto this one — the CDC-apply
+        half of Delta's ``MERGE INTO target USING table_changes(...)``
+        replication recipe.  Upserts (``insert`` + ``update_postimage``
+        rows) apply through ``merge()``; ``delete`` rows apply as a key
+        DELETE; ``update_preimage`` rows are informational and dropped.
+        Net effect: ``source.scan() == replica.scan()`` after applying
+        ``source.changes(v_last_synced)`` — the incremental-sync loop a
+        downstream mirror runs instead of re-copying the table."""
+        if isinstance(feed, ray.data.Dataset):
+            blocks = [b for b in ray.get(feed.to_arrow_refs()) if b.num_rows]
+            feed = (
+                pa.concat_tables(blocks, promote_options="default")
+                if blocks
+                else self.schema.append(
+                    pa.field("_change_type", pa.string())
+                ).empty_table()
+            )
+        ct = feed["_change_type"]
+        upserts = feed.filter(
+            pc.is_in(ct, value_set=pa.array(["insert", "update_postimage"]))
+        ).drop_columns(["_change_type"])
+        deletes = feed.filter(pc.equal(ct, "delete"))
+        # an updated key appears as preimage+postimage: the merge upsert
+        # covers it; only keys with a delete and NO postimage are deletes
+        dead = set(deletes[self.key_col].to_pylist()) - set(
+            upserts[self.key_col].to_pylist()
+        )
+        version = None
+        if upserts.num_rows:
+            version = self.merge(
+                upserts, job_id=None if job_id is None else f"{job_id}-upsert"
+            )
+        if dead:
+            v = self.delete(
+                keys=sorted(dead),
+                job_id=None if job_id is None else f"{job_id}-delete",
+            )
+            version = v if v is not None else version
+        return version
+
     # ---- RESTORE --------------------------------------------------------
     def restore(self, version: int) -> int:
         """Roll the table back to ``version`` as a NEW commit (Delta

@@ -15,8 +15,8 @@ import ray.data
 from realtime_clickstream_lakehouse_ray.functions.textstats import (
     language_scores,
     md5_fingerprints,
-    rolling_fingerprint,
     split_words,
+    winnow_fingerprint_md5,
     stopword_counts,
     unique_word_counts,
     word_counts,
@@ -113,8 +113,11 @@ def lang_id(sf_dir: str, threshold: float = 0.0) -> ray.data.Dataset:
 
 
 def fingerprints(sf_dir: str) -> ray.data.Dataset:
-    """Content fingerprints: md5 (oracle-exact vs DuckDB ``md5``) plus a
-    winnowing-style rolling-hash fingerprint (rows-only)."""
+    """Content fingerprints: md5 of the whole text (oracle-exact vs
+    DuckDB ``md5``) plus a winnowing-style shingle-min fingerprint —
+    also oracle-exact now that the shingle hash is md5-derived
+    (``winnow_fingerprint_md5``); the xxhash-fast variant
+    (``rolling_fingerprint``) stays as the at-scale swap-in."""
 
     def fn(t: pa.Table) -> pa.Table:
         words = split_words(t["text"])
@@ -122,9 +125,7 @@ def fingerprints(sf_dir: str) -> ray.data.Dataset:
             {
                 "doc_id": t["doc_id"],
                 "fp_md5": md5_fingerprints(t["text"]),
-                "fp_rolling": pa.array(
-                    (rolling_fingerprint(words) >> np.uint64(1)).astype(np.int64)
-                ),
+                "fp_winnow": pa.array(winnow_fingerprint_md5(words)),
             }
         )
 

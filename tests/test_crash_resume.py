@@ -284,3 +284,67 @@ def test_append_races_compaction(tmp_path):
     base = expected_tokens_table(2_000, 50).sort_by("doc_id").combine_chunks()
     got_base = got.slice(0, 2_000)
     assert_tokens_equal(got_base, base)
+
+
+@pytest.mark.timeout(600)
+def test_sigkill_mid_update_then_resume(tmp_path):
+    """Crash-resume for predicate UPDATE: kill the CLI once at least one
+    rewrite unit's lineage landed; the resumed run must produce the same
+    table a never-crashed update yields on a pristine copy, with the
+    deterministic job id reusing finished units."""
+    import hashlib
+    import shutil
+
+    rules = [{"column": "source", "op": "suffix", "value": "-u"}]
+    rules_json = json.dumps(rules)
+
+    root_a = str(tmp_path / "a" / "tokens")
+    table_a = build_synthetic_table(root_a, N_ROWS, ROWS_PER_FILE)
+    root_b = str(tmp_path / "b" / "tokens")
+    shutil.copytree(root_a, root_b)
+
+    sig = hashlib.md5(
+        json.dumps([rules, None, None, None, None]).encode()
+    ).hexdigest()[:10]
+    job_id = f"update-v{table_a.version()}-{sig}"
+    ckpt = JobCheckpoint(root_a, job_id)
+
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "realtime_clickstream_lakehouse_ray.maintain",
+            "--table", root_a, "--ops", "update", "--update-rules", rules_json,
+            "--target-file-mb", "1",
+        ],
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        env=dict(os.environ, RAY_ADDRESS="local"), start_new_session=True,
+    )
+    deadline = time.time() + 240
+    while time.time() < deadline:
+        if ckpt.list_units() or proc.poll() is not None:
+            break
+        time.sleep(0.2)
+    if proc.poll() is None:
+        os.killpg(proc.pid, signal.SIGKILL)
+    proc.wait()
+    done_before = set(ckpt.list_units())
+    mtimes_before = {u: ckpt.unit_path(u).stat().st_mtime_ns for u in done_before}
+
+    subprocess.run(
+        [
+            sys.executable, "-m", "realtime_clickstream_lakehouse_ray.maintain",
+            "--table", root_a, "--ops", "update", "--update-rules", rules_json,
+            "--target-file-mb", "1",
+        ],
+        cwd=REPO, capture_output=True, text=True, check=True,
+    )
+
+    table_b = Table.load(root_b)
+    table_b.update(rules)
+
+    got = collect_sorted(Table.load(root_a).scan())
+    expect = collect_sorted(table_b.scan())
+    assert_tokens_equal(got, expect)
+    assert got["source"].combine_chunks().equals(expect["source"].combine_chunks())
+    # finished units were reused, not redone
+    for u in done_before:
+        assert ckpt.unit_path(u).stat().st_mtime_ns == mtimes_before[u]
