@@ -58,19 +58,25 @@ def build_from_documents(sf_dir: str, root: str, rows_per_file: int = 64) -> Tab
     return table
 
 
-def updates_from_documents(sf_dir: str) -> pa.Table:
+def updates_from_documents(sf_dir: str) -> ray.data.Dataset:
     """Deterministic MERGE source derived from documents:
     - updates: every doc with doc_id % 20 == 0, with 7 extra tokens
       appended (so the oracle's n_tok is base + 7);
     - inserts: every doc with doc_id % 50 == 0 re-keyed to doc_id +
-      1_000_000 (fresh keys past the existing range)."""
-    docs = pa.concat_tables(
-        ray.get(
-            ray.data.read_parquet(
-                f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
-            ).to_arrow_refs()
-        )
+      1_000_000 (fresh keys past the existing range).
+
+    Built as a STREAM (one vectorized ``map_batches`` over documents),
+    never a driver-side collect of the corpus — ``merge()`` decides
+    per its regime whether the derived source is small enough to
+    broadcast."""
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    ).map_batches(
+        _updates_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def _updates_batch(docs: pa.Table) -> pa.Table:
     base = doc_to_tokens(docs)
     raw_ids = docs["doc_id"].combine_chunks()
     ids_np = np.asarray(raw_ids)

@@ -1560,33 +1560,78 @@ class Table:
         Net effect: ``source.scan() == replica.scan()`` after applying
         ``source.changes(v_last_synced)`` — the incremental-sync loop a
         downstream mirror runs instead of re-copying the table."""
-        if isinstance(feed, ray.data.Dataset):
-            blocks = [b for b in ray.get(feed.to_arrow_refs()) if b.num_rows]
-            feed = (
-                pa.concat_tables(blocks, promote_options="default")
-                if blocks
-                else self.schema.append(
-                    pa.field("_change_type", pa.string())
-                ).empty_table()
+        key_col = self.key_col
+        if isinstance(feed, pa.Table):
+            feed = ray.data.from_arrow(feed) if feed.num_rows else None
+        if feed is None:
+            return None
+
+        schema = self.schema
+
+        def _upserts(t: pa.Table) -> pa.Table:
+            if "_change_type" not in t.column_names:  # empty groupby block
+                return schema.empty_table()
+            return t.filter(
+                pc.is_in(
+                    t["_change_type"],
+                    value_set=pa.array(["insert", "update_postimage"]),
+                )
+            ).drop_columns(["_change_type"])
+
+        def _key_rows(t: pa.Table) -> pa.Table:
+            # tiny projection: (key, is_delete/is_upsert flags) per row
+            if "_change_type" not in t.column_names:  # empty groupby block
+                return pa.table(
+                    {
+                        key_col: pa.array([], pa.string()),
+                        "__is_delete": pa.array([], pa.bool_()),
+                    }
+                )
+            ct = t["_change_type"]
+            keep = pc.is_in(
+                ct, value_set=pa.array(["delete", "insert", "update_postimage"])
             )
-        ct = feed["_change_type"]
-        upserts = feed.filter(
-            pc.is_in(ct, value_set=pa.array(["insert", "update_postimage"]))
-        ).drop_columns(["_change_type"])
-        deletes = feed.filter(pc.equal(ct, "delete"))
-        # an updated key appears as preimage+postimage: the merge upsert
-        # covers it; only keys with a delete and NO postimage are deletes
-        dead = set(deletes[self.key_col].to_pylist()) - set(
-            upserts[self.key_col].to_pylist()
+            t = t.filter(keep)
+            return pa.table(
+                {
+                    key_col: t[key_col],
+                    "__is_delete": pc.equal(t["_change_type"], "delete"),
+                }
+            )
+
+        # the upsert side stays a STREAM into merge (its shuffle regime
+        # handles feeds that don't fit the driver); only the (small)
+        # key+flag projection is collected, to compute net deletes —
+        # an updated key appears as preimage+postimage, so a key is dead
+        # only if it has a delete row and no postimage/insert row
+        keyflags = pa.concat_tables(
+            [
+                b
+                for b in ray.get(
+                    feed.map_batches(
+                        _key_rows, batch_format="pyarrow", zero_copy_batch=True
+                    ).to_arrow_refs()
+                )
+                if b.num_rows
+            ]
+            or [pa.table({key_col: pa.array([], pa.string()),
+                          "__is_delete": pa.array([], pa.bool_())})]
         )
+        is_del = np.asarray(keyflags["__is_delete"])
+        keys_np = np.asarray(keyflags[key_col])
+        dead = sorted(set(keys_np[is_del]) - set(keys_np[~is_del]))
+        n_upserts = int((~is_del).sum())
         version = None
-        if upserts.num_rows:
+        if n_upserts:
+            upserts = feed.map_batches(
+                _upserts, batch_format="pyarrow", zero_copy_batch=True
+            )
             version = self.merge(
                 upserts, job_id=None if job_id is None else f"{job_id}-upsert"
             )
         if dead:
             v = self.delete(
-                keys=sorted(dead),
+                keys=dead,
                 job_id=None if job_id is None else f"{job_id}-delete",
             )
             version = v if v is not None else version
