@@ -154,6 +154,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maintenance_full_lifecycle": maintenance.maintenance_full_lifecycle,
         # change data feed across a MERGE commit range (Delta CDF analog)
         "maintenance_change_feed": maintenance.maintenance_change_feed,
+        # RESTORE rollback-as-new-commit through the oracle gate
+        "maintenance_restore": maintenance.maintenance_restore,
+        # shallow clone + change feed + CDC apply = incremental replication
+        "maintenance_replicate": maintenance.maintenance_replicate,
     }
 
 
@@ -909,6 +913,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "maintenance_time_travel": docs_scan,
         "maintenance_time_travel_ts": docs_scan,
+        "maintenance_restore": docs_scan,
+        "maintenance_replicate": f"""
+            WITH base AS ({_DOCS_BASE})
+            SELECT {_DOC_KEY} AS doc_id, CAST(nt AS BIGINT) AS n_tok, source FROM (
+                SELECT id, nt, source FROM base WHERE id % 20 <> 0
+                UNION ALL SELECT id, nt + 7 AS nt, source FROM base WHERE id % 20 = 0
+                UNION ALL SELECT id + 1000000 AS id, nt, source FROM base WHERE id % 50 = 0
+            )
+        """,
         "maintenance_merge": f"""
             WITH base AS ({_DOCS_BASE})
             SELECT {_DOC_KEY} AS doc_id, CAST(nt AS BIGINT) AS n_tok, source FROM (

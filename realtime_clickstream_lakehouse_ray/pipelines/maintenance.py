@@ -240,6 +240,34 @@ def maintenance_update(sf_dir: str) -> pa.Table:
     return _scan_projected(t)
 
 
+def maintenance_restore(sf_dir: str) -> pa.Table:
+    """Ingest -> compact -> MERGE -> RESTORE back to the ingest snapshot
+    -> scan latest: the restored head must reproduce the original
+    relation exactly (rollback as a new commit, history preserved)."""
+    t = build_from_documents(sf_dir, _scratch_root(sf_dir, "restore"))
+    v_ingest = t.version()
+    t.compact(target_file_bytes=8 << 20)
+    t.merge(updates_from_documents(sf_dir))
+    t.restore(v_ingest)
+    return _scan_projected(t)
+
+
+def maintenance_replicate(sf_dir: str) -> pa.Table:
+    """The CDC replication loop through the oracle gate: ingest ->
+    compact -> shallow CLONE -> merge on the SOURCE -> sync the clone by
+    applying ``source.changes(since)`` -> scan the CLONE.  The replica
+    must equal the post-merge source relation (same oracle as
+    ``maintenance_merge``) without ever re-copying the table."""
+    t = build_from_documents(sf_dir, _scratch_root(sf_dir, "replsrc"))
+    t.compact(target_file_bytes=8 << 20)
+    rep_root = _scratch_root(sf_dir, "replica")
+    rep = t.clone(rep_root)
+    v_sync = t.version()
+    t.merge(updates_from_documents(sf_dir))
+    rep.apply_changes(t.changes(v_sync))
+    return _scan_projected(rep)
+
+
 def maintenance_delete(sf_dir: str) -> pa.Table:
     """Ingest -> compact -> predicate DELETE (n_tok >= 60) -> scan: the
     remaining relation must equal the oracle's ``WHERE nt < 60``."""
