@@ -315,14 +315,21 @@ def events_funnel(sf_dir: str) -> ray.data.Dataset:
         )
 
     def funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        t1 = g[g["event_type"] == "view"].groupby("user_id")["ts"].min()
-        c = g[g["event_type"] == "click"].merge(
-            t1.rename("t1"), left_on="user_id", right_index=True
+        # merges go through reset_index() frames: merging an EMPTY left
+        # side against a named-index Series leaves the result's index
+        # named "user_id", and the next groupby("user_id") then raises
+        # "both an index level and a column label" (pandas 2.2) — a
+        # bucket with no clicks/purchases must flow through cleanly
+        t1 = (
+            g[g["event_type"] == "view"]
+            .groupby("user_id")["ts"].min().rename("t1").reset_index()
         )
-        t2 = c[c["ts"] > c["t1"]].groupby("user_id")["ts"].min()
-        p = g[g["event_type"] == "purchase"].merge(
-            t2.rename("t2"), left_on="user_id", right_index=True
+        c = g[g["event_type"] == "click"].merge(t1, on="user_id")
+        t2 = (
+            c[c["ts"] > c["t1"]]
+            .groupby("user_id")["ts"].min().rename("t2").reset_index()
         )
+        p = g[g["event_type"] == "purchase"].merge(t2, on="user_id")
         t3 = p[p["ts"] > p["t2"]].groupby("user_id")["ts"].min()
         return pd.DataFrame(
             {
