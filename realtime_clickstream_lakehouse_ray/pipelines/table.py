@@ -1163,6 +1163,15 @@ class Table:
         from realtime_clickstream_lakehouse_ray.functions.bloom import bloom_any_match
         from realtime_clickstream_lakehouse_ray.functions.hashing import hash64
 
+        # a bare string is the classic misuse (delete("k1") meaning one key,
+        # or a SQL-ish predicate string); np.asarray would make it a 0-dim
+        # object and fail obscurely inside np.sort — reject it up front
+        if isinstance(keys, str) or isinstance(partitions, str):
+            raise TypeError(
+                "keys/partitions must be sequences of strings, not a bare "
+                "string — pass keys=['k1'] (predicate strings are not "
+                "supported; use min_n_tok/max_n_tok/partitions)"
+            )
         key_arr = np.sort(np.asarray(keys, dtype=object)) if keys else None
         key_hashes = (
             hash64(pa.array(list(keys), type=pa.string())) if keys else None

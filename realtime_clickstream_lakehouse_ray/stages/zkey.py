@@ -62,7 +62,16 @@ def add_zkey(
             cols.append(scaled.astype(np.uint64))
         else:
             cols.append(top_bits(hash64(col), 21))
-    if len(cols) == 2:
+    if len(cols) == 0:
+        # dims was just the partition column: ordering comes entirely from
+        # the partition rank folded in below
+        zkey = np.zeros(batch.num_rows, dtype=np.uint64)
+        nbits = 0
+    elif len(cols) == 1:
+        # 1-D "z-order" degenerates to a plain sort on the scaled dim
+        zkey = cols[0]
+        nbits = 21
+    elif len(cols) == 2:
         # 2-D variant: used when the partition column leads the sort
         # instead of being interleaved (Delta semantics: ZORDER clusters
         # WITHIN partitions)
@@ -72,12 +81,16 @@ def add_zkey(
         else:
             zkey = morton2(cols[0], cols[1])
             nbits = 42
-    elif curve == "hilbert":
-        zkey = hilbert3(cols[0], cols[1], cols[2])
+    elif len(cols) == 3:
+        if curve == "hilbert":
+            zkey = hilbert3(cols[0], cols[1], cols[2])
+        else:
+            zkey = morton3(cols[0], cols[1], cols[2])
         nbits = 63
     else:
-        zkey = morton3(cols[0], cols[1], cols[2])
-        nbits = 63
+        raise ValueError(
+            f"z-order supports at most 3 non-partition dims, got {len(cols)}: {dims}"
+        )
     if part_rank is not None:
         # keep the top 42 curve bits (file-granularity locality) and put
         # the partition rank in the 22 bits above them — dropping sub-42-bit

@@ -1,6 +1,7 @@
 """Vectorized kernels: stable hashing, Morton interleave, schema conformance."""
 
 import numpy as np
+import pytest
 import pyarrow as pa
 
 from realtime_clickstream_lakehouse_ray.functions.hashing import hash64, splitmix64
@@ -182,3 +183,45 @@ def test_hll_partials_merge_to_global_registers():
     for part in np.array_split(ids, 7):
         merged = np.maximum(merged, to_regs(_hll_partial(pa.table({"user_id": pa.array(part)}))))
     assert np.array_equal(merged, to_regs(full))
+
+
+def test_zkey_one_dim_degenerates_to_sort_order():
+    """dims=(partition, one_numeric) leaves a single interleave dim: the
+    zkey must order identically to the dim itself (plain sort)."""
+    from realtime_clickstream_lakehouse_ray.stages.zkey import add_zkey
+
+    t = pa.table(
+        {
+            "source": ["web"] * 5,
+            "n_tok": pa.array([500, 10, 2000, 47, 1024], pa.int32()),
+            "doc_id": ["a", "b", "c", "d", "e"],
+        }
+    )
+    out = add_zkey(t, dims=("n_tok",), bounds={"n_tok": (8, 4096)})
+    zk = np.array(out.column("zkey").to_pylist())
+    ntok = np.array(t.column("n_tok").to_pylist())
+    assert (np.argsort(zk, kind="stable") == np.argsort(ntok, kind="stable")).all()
+    # zero interleave dims: ordering comes from the partition rank alone
+    out0 = add_zkey(
+        pa.table({"source": ["web", "books"], "n_tok": pa.array([1, 2], pa.int32()),
+                  "doc_id": ["a", "b"]}),
+        dims=(),
+        part_rank={"books": 0, "web": 1},
+    )
+    zk0 = out0.column("zkey").to_pylist()
+    assert zk0[1] < zk0[0]
+
+
+def test_zkey_too_many_dims_raises():
+    from realtime_clickstream_lakehouse_ray.stages.zkey import add_zkey
+
+    t = pa.table(
+        {
+            "a": pa.array([1], pa.int32()),
+            "b": pa.array([1], pa.int32()),
+            "c": pa.array([1], pa.int32()),
+            "d": pa.array([1], pa.int32()),
+        }
+    )
+    with pytest.raises(ValueError, match="at most 3"):
+        add_zkey(t, dims=("a", "b", "c", "d"))

@@ -326,6 +326,14 @@ class TestDelete:
     def test_delete_nothing_matches(self, table):
         assert table.delete(min_n_tok=10**9) is None
 
+    def test_delete_bare_string_keys_rejected(self, table):
+        # delete("k1") / delete(partitions="web") are misuses that would
+        # otherwise fail deep inside np.sort with an AxisError
+        with pytest.raises(TypeError, match="sequences of strings"):
+            table.delete(keys="doc-000000000001")
+        with pytest.raises(TypeError, match="sequences of strings"):
+            table.delete(partitions="web", min_n_tok=1)
+
 
 class TestRestore:
     """RESTORE (Delta parity): roll back to an old snapshot as a new
