@@ -49,6 +49,7 @@ from realtime_clickstream_lakehouse_ray.stages.writer import (
     make_file_writer,
     write_file_atomic,
     write_partitioned,
+    write_slice_task,
 )
 from realtime_clickstream_lakehouse_ray.stages.zkey import add_zkey
 from realtime_clickstream_lakehouse_ray.state.checkpoint import JobCheckpoint
@@ -59,10 +60,6 @@ from realtime_clickstream_lakehouse_ray.state.log import (
 )
 
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
-# broadcast-MERGE sources at or above this row count append through the
-# distributed writer stage instead of a driver-side write (which is
-# CPU-count-independent and drags the op's scaling)
-SRC_DISTRIBUTED_APPEND_ROWS = 50_000
 
 
 def _load_dv_keys(args: tuple) -> pa.Array:
@@ -999,6 +996,34 @@ class Table:
                 bins.append(self._bin_spec(len(bins), part, cur, job_id))
         t = self._phase("prune_plan", t)
         ckpt = JobCheckpoint(self.root, job_id)
+        # launch the source append FIRST, as raw Ray tasks overlapped with
+        # the rewrite stage below — the two touch disjoint files (rewrites
+        # drop matched keys from existing files; the append writes brand-new
+        # ones), so serializing them only adds a CPU-count-independent tail
+        # (measured 1.6-14 s of the op at bench size).  Slices are zero-copy
+        # views of the already-deduped source; names are deterministic per
+        # (job_id, slice), so a crashed rerun overwrites its partial output.
+        src_unit = ckpt.read_unit("src-append")
+        if src_unit is not None and not all(
+            (self.root / a["path"]).is_file() for a in src_unit["adds"]
+        ):
+            src_unit = None  # checkpoint exists but files were vacuumed
+        src_futures: list = []
+        if src_unit is None:
+            n_units = max(1, int(source.nbytes / max(1, target_file_bytes)))
+            step = -(-source.num_rows // n_units)
+            write_task = ray.remote(num_cpus=1)(write_slice_task)
+            src_futures = [
+                write_task.remote(
+                    source.slice(i * step, step),
+                    str(self.root),
+                    self.schema,
+                    self.partition_col,
+                    f"{job_id}-src-u{i:04d}",
+                )
+                for i in range(n_units)
+                if i * step < source.num_rows
+            ]
         records: dict[str, dict] = {}
         if bins:
             keys_ref = ray.put(np.asarray(source.column(self.key_col)))
@@ -1007,47 +1032,9 @@ class Table:
                 concurrency=concurrency,
             )
         t = self._phase("rewrite_units", t)
-        # append the (deduped) source rows — the update + insert branches.
-        # Small sources write on the driver (one tiny file per partition);
-        # larger ones go through the distributed stats-emitting writer
-        # stage — a serial driver write here is CPU-count-independent and
-        # was measurably the op's scaling drag at bench size.
-        src_unit = ckpt.read_unit("src-append")
         src_entries: list[FileEntry] = []
-        if src_unit is None or not all(
-            (self.root / a["path"]).is_file() for a in src_unit["adds"]
-        ):
-            if source.num_rows >= SRC_DISTRIBUTED_APPEND_ROWS:
-                # one block per output unit via driver-side zero-copy slices
-                # — NOT a repartition: Dataset.repartition funnels through a
-                # reduce whose scheduling stalls for tens of seconds when
-                # the object store is still draining the preceding op's
-                # blocks (measured on the lifecycle bench: src_append 19-21s
-                # after zorder vs 1.4s with this shape)
-                n_units = max(1, int(source.nbytes / max(1, target_file_bytes)))
-                step = -(-source.num_rows // n_units)
-                slices = [
-                    source.slice(i * step, step)
-                    for i in range(n_units)
-                    if i * step < source.num_rows
-                ]
-                stats_ds = ray.data.from_arrow(slices).map_batches(
-                    make_file_writer(
-                        str(self.root), self.schema, self.partition_col
-                    ),
-                    batch_format="pyarrow",
-                    zero_copy_batch=True,
-                    batch_size=None,
-                )
-                entries = self._collect_stats(stats_ds)
-            else:
-                seq = iter(range(10**6))
-                entries = write_partitioned(
-                    source,
-                    self.root,
-                    self.partition_col,
-                    name_fn=lambda part: f"{job_id}-src{next(seq):04d}.parquet",
-                )
+        if src_unit is None:
+            entries = [e for part in ray.get(src_futures) for e in part]
             src_entries = entries
             src_unit = {
                 "unit": "src-append",

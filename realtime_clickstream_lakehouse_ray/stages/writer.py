@@ -176,3 +176,30 @@ def make_file_writer(root: str, schema: pa.Schema, partition_col: str = "source"
         return writer(batch)
 
     return write_batch
+
+
+def write_slice_task(
+    tbl: pa.Table,
+    root: str,
+    schema: pa.Schema,
+    partition_col: str,
+    name_prefix: str,
+) -> list[FileEntry]:
+    """Raw-task form of the partitioned writer (wrap with ``ray.remote``):
+    returns the FileEntry list directly instead of a stats table, so a
+    caller can launch slice writes as plain futures OVERLAPPED with a
+    Dataset pipeline (MERGE overlaps the source append with the rewrite
+    stage this way — the two touch disjoint files).  File names are
+    deterministic (``<prefix>-NNN.parquet``), so a crashed-then-rerun job
+    overwrites its own partial output instead of orphaning it."""
+    pa.set_cpu_count(2)
+    if tbl.num_rows == 0:
+        return []
+    tbl = conform_table(tbl, schema)
+    seq = iter(range(10**6))
+    return write_partitioned(
+        tbl,
+        root,
+        partition_col,
+        name_fn=lambda part: f"{name_prefix}-{next(seq):03d}.parquet",
+    )

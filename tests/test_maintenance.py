@@ -194,15 +194,21 @@ class TestMerge:
         v = table.merge(updates, strategy="broadcast", job_id="m1")
         assert table.merge(updates, strategy="broadcast", job_id="m1") == v
 
-    def test_distributed_src_append_matches(self, tmp_path_factory, updates, monkeypatch):
-        # force the large-source branch (distributed writer stage) and
-        # check it produces the identical post-merge table
-        from realtime_clickstream_lakehouse_ray.pipelines import table as table_mod
-
-        monkeypatch.setattr(table_mod, "SRC_DISTRIBUTED_APPEND_ROWS", 1)
+    def test_distributed_src_append_matches(self, tmp_path_factory, updates):
+        # force MANY overlapped source-append slice tasks (tiny target file
+        # size -> one slice per ~4 KB) and check the post-merge table is
+        # identical to the single-slice path's
         table = _fresh(tmp_path_factory, "merge_dist_src")
-        v = table.merge(updates, strategy="broadcast")
+        v = table.merge(updates, strategy="broadcast", target_file_bytes=1 << 12)
         assert v == 2
+        # the source really was split across many slice-task files
+        commit = table.log.read_version(v)
+        src_files = [
+            a["path"] for a in commit["actions"]
+            if a["op"] == "add" and "-src-u" in a["path"]
+        ]
+        assert len(src_files) > 4
+        assert len({p.rsplit("/", 1)[-1] for p in src_files}) == len(src_files)
         got = collect_sorted(table.scan())
         assert_tokens_equal(got, self._expected_after_merge(updates))
 
