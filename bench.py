@@ -85,6 +85,9 @@ def _shuffle_probe() -> dict:
 
 
 def run_bench() -> dict:
+    from realtime_clickstream_lakehouse_ray.config import cap_worker_thread_pools
+
+    cap_worker_thread_pools()  # before ray.init: workers inherit the env
     import ray
 
     ray.init(

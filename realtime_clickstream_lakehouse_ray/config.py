@@ -4,6 +4,21 @@ owned by the driver / tests / bench)."""
 from __future__ import annotations
 
 
+def cap_worker_thread_pools():
+    """Call BEFORE ``ray.init`` (workers inherit the session's env).
+
+    Ray's sort-reduce re-sorts each reduce partition with polars, whose
+    thread pool defaults to ALL logical cores *per task* — with N
+    concurrent 1-CPU reduce tasks that is N full-size pools thrashing one
+    box (measured: capping to 2 cut the z-order SortReduce stage's total
+    remote time by a third).  ``setdefault`` so an explicit user setting
+    wins.  Only the session owners (bench, tests, CLI) call this — the
+    library never touches the environment of a session it doesn't own."""
+    import os
+
+    os.environ.setdefault("POLARS_MAX_THREADS", "2")
+
+
 def tune_context():
     """Idempotent DataContext tuning for the engine's workloads:
 

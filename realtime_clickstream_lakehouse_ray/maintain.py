@@ -70,6 +70,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--num-cpus", type=int, default=None)
     args = p.parse_args(argv)
 
+    from realtime_clickstream_lakehouse_ray.config import cap_worker_thread_pools
+
+    cap_worker_thread_pools()  # before ray.init: workers inherit the env
     import ray
 
     if not ray.is_initialized():
