@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": dedup.simhash_dedup,  # approx -> rows-only
         "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
         "dup_clusters": dedup.dup_clusters,
+        "substring_dup_spans": dedup.substring_dup_spans,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
         # IVF emits only exact-cosine-verified pairs (guaranteed subset of
         # the exact result), and multi-probe assignment gives full recall on
@@ -265,6 +266,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster
             FROM reach GROUP BY 1
+        """,
+        "substring_dup_spans": """
+            WITH pos AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, greatest(length(text) - 31, 0))) AS i,
+                     text
+              FROM documents
+            ),
+            pos2 AS (SELECT doc_id, i - 1 AS p, substr(text, i::INT, 32) AS sub FROM pos),
+            dup AS (SELECT sub FROM pos2 GROUP BY sub HAVING count(*) >= 2),
+            marked AS (SELECT p2.doc_id, p2.p FROM pos2 p2 JOIN dup USING (sub)),
+            isl AS (
+              SELECT doc_id, p,
+                     CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 32
+                          THEN 0 ELSE 1 END AS brk
+              FROM marked
+            ),
+            isl2 AS (
+              SELECT doc_id, p,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island
+              FROM isl
+            )
+            SELECT doc_id,
+                   CAST(min(p) AS BIGINT) AS span_start,
+                   CAST(max(p) + 32 AS BIGINT) AS span_end,
+                   CAST(count(*) AS BIGINT) AS n_windows
+            FROM isl2 GROUP BY doc_id, island
         """,
         "ngram_jaccard_dedup": f"""
             WITH wrds AS (

@@ -849,3 +849,153 @@ def dup_clusters(sf_dir: str) -> ray.data.Dataset:
         )
 
     return cc.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---- exact repeated-substring spans (suffix-array-style dedup) ------------
+def substring_dup_spans(sf_dir: str, window: int = 32) -> ray.data.Dataset:
+    """Exact repeated-substring detection (the "dedup repeated spans"
+    operator of Lee et al., *Deduplicating Training Data Makes Language
+    Models Better* — their suffix-array pass re-expressed as a window-hash
+    exchange): every char position whose ``window``-byte substring occurs
+    >= 2 times ANYWHERE in the corpus (other docs or the same doc) is
+    marked, and marked positions are merged into per-document spans
+    ``[span_start, span_end)`` with the number of marked windows per span.
+
+    Shape (what survives 100 TB):
+    - stage 1 (stateless ``map_batches``): one polynomial rolling hash per
+      byte position, computed over the batch's concatenated string buffer
+      in ``window`` vectorized passes — no per-row Python, no gather until
+      the final per-doc slice selection.  Emits ``(h, doc_id, p)``.
+    - stage 2 (one shuffle): rows co-locate by ``h % B``; each of the B
+      groups finds multi-occurrence hashes with one argsort + run-length
+      pass and emits only the marked ``(doc_id, p)`` rows — output is
+      duplicate-proportional, like any aggregate.
+    - stage 3 (one small shuffle over survivors): positions co-locate by
+      ``doc_id % B``; one lexsort + diff merges touching/overlapping
+      windows (gap <= window) into spans.
+
+    Exactness: two *different* substrings colliding under the 64-bit hash
+    would need ~2^32 windows (birthday bound) — negligible against random
+    text and this fixture; a paranoid deployment carries the first window
+    bytes for an in-bucket verify at ~window x the exchange volume.  At
+    stride 1 the exchange is ~20 bytes/char; the winnowed fingerprint op
+    (``text.fingerprints``) is the cheap prefilter that bounds which docs
+    enter this exact pass at scale.
+    """
+    tune_context()
+    ncpu = int(ray.available_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    n_buckets = max(16, ncpu)
+    L = int(window)
+    base = np.uint64(1000003)
+
+    def window_hashes(t: pa.Table) -> pa.Table:
+        col = t["text"].combine_chunks().cast(pa.large_string())
+        offsets = np.frombuffer(
+            col.buffers()[1], dtype=np.int64, count=len(col) + 1, offset=col.offset * 8
+        )
+        buf = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        doc_start, n_bytes = offsets[:-1], np.diff(offsets)
+        n_win = np.maximum(n_bytes - L + 1, 0)
+        total = int(n_win.sum())
+        empty = pa.table(
+            {
+                "h": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "p": pa.array([], pa.int64()),
+            }
+        )
+        if total == 0:
+            return empty
+        # rolling hash over the whole concatenated buffer (contiguous
+        # slices, no gather), then one fancy-indexed gather of the valid
+        # (non-boundary-crossing) positions per document
+        nb = len(buf)
+        m = nb - L + 1
+        hfull = np.zeros(m, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(L):
+                hfull *= base
+                hfull += buf[j : j + m]
+        doc_rep = np.repeat(np.arange(len(col), dtype=np.int64), n_win)
+        first = np.cumsum(n_win) - n_win
+        local_p = np.arange(total, dtype=np.int64) - np.repeat(first, n_win)
+        g = doc_start[doc_rep] + local_p
+        return pa.table(
+            {
+                "h": pa.array(hfull[g].view(np.int64)),
+                "doc_id": pc.take(t["doc_id"].combine_chunks(), pa.array(doc_rep)),
+                "p": pa.array(local_p),
+            }
+        )
+
+    def tag_h(t: pa.Table) -> pa.Table:
+        gb = (np.asarray(t["h"]).view(np.uint64) % np.uint64(n_buckets)).astype(
+            np.int32
+        )
+        return t.append_column("__gb", pa.array(gb))
+
+    def mark(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "p": pa.array([], pa.int64())}
+            )
+        h = np.asarray(g["h"]).view(np.uint64)
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        brk = np.concatenate([[True], hs[1:] != hs[:-1]])
+        run = np.cumsum(brk) - 1
+        counts = np.bincount(run)
+        keep = counts[run] >= 2
+        idx = order[keep]
+        return pa.table(
+            {
+                "doc_id": pc.take(g["doc_id"].combine_chunks(), pa.array(idx)),
+                "p": pc.take(g["p"].combine_chunks(), pa.array(idx)),
+            }
+        )
+
+    def tag_doc(t: pa.Table) -> pa.Table:
+        db = (np.asarray(t["doc_id"]) % n_buckets).astype(np.int32)
+        return t.append_column("__db", pa.array(db))
+
+    def spans(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "span_start": pa.array([], pa.int64()),
+                    "span_end": pa.array([], pa.int64()),
+                    "n_windows": pa.array([], pa.int64()),
+                }
+            )
+        d = np.asarray(g["doc_id"]).astype(np.int64)
+        p = np.asarray(g["p"]).astype(np.int64)
+        order = np.lexsort((p, d))
+        d, p = d[order], p[order]
+        brk = np.concatenate(
+            [[True], (d[1:] != d[:-1]) | (p[1:] - p[:-1] > L)]
+        )
+        starts = np.nonzero(brk)[0]
+        last = np.concatenate([starts[1:] - 1, [len(p) - 1]])
+        n_windows = np.diff(np.concatenate([starts, [len(p)]]))
+        return pa.table(
+            {
+                "doc_id": pa.array(d[starts]),
+                "span_start": pa.array(p[starts]),
+                "span_end": pa.array(p[last] + L),
+                "n_windows": pa.array(n_windows.astype(np.int64)),
+            }
+        )
+
+    marked = (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(window_hashes, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(tag_h, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__gb")
+        .map_groups(mark, batch_format="pyarrow")
+    )
+    return (
+        marked.map_batches(tag_doc, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__db")
+        .map_groups(spans, batch_format="pyarrow")
+    )

@@ -256,3 +256,92 @@ def test_audio_features_kernel_signed_pcm():
     # sliced (non-zero offset) batches decode identically
     out2 = AudioFeatures()(t.slice(2)).to_pydict()
     assert out2["sum_abs"] == out["sum_abs"][2:]
+
+
+class TestSubstringDupSpans:
+    """Crafted-corpus edge cases for the exact repeated-substring operator
+    (the fixture-wide oracle parity lives in test_oracle_parity.py)."""
+
+    def _corpus(self, tmp_path, texts):
+        import pyarrow.parquet as pq
+
+        d = tmp_path / "sub"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": ["en"] * len(texts),
+                    "source": ["s0"] * len(texts),
+                    "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+                }
+            ),
+            d / "documents.parquet",
+        )
+        return str(d)
+
+    def test_self_repeat_cross_doc_and_short_docs(self, tmp_path):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        uniq = lambda n: "".join(rng.choice(list("abcdefghij"), n))
+        shared = uniq(40)  # 9 duplicated windows when repeated verbatim
+        texts = [
+            "A" * 40,                    # self-repeating: every window identical
+            shared + uniq(20),           # cross-doc head repeat
+            uniq(20) + shared,           # cross-doc tail repeat
+            uniq(31),                    # shorter than the window: no rows
+            uniq(100),                   # unique: no rows
+        ]
+        out = (
+            dedup.substring_dup_spans(self._corpus(tmp_path, texts))
+            .to_pandas()
+            .sort_values(["doc_id", "span_start"], ignore_index=True)
+        )
+        assert set(out["doc_id"]) == {0, 1, 2}
+        d0 = out[out["doc_id"] == 0]
+        # "A"*40: windows at p=0..8 all equal -> one merged span [0, 40)
+        assert d0[["span_start", "span_end", "n_windows"]].values.tolist() == [[0, 40, 9]]
+        d1 = out[out["doc_id"] == 1]
+        assert d1[["span_start", "span_end", "n_windows"]].values.tolist() == [[0, 40, 9]]
+        d2 = out[out["doc_id"] == 2]
+        assert d2[["span_start", "span_end", "n_windows"]].values.tolist() == [[20, 60, 9]]
+
+    def test_matches_duckdb_on_crafted_corpus(self, tmp_path):
+        import duckdb
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(11)
+        alpha = list("abcdefghijklmnop ")
+        mk = lambda n: "".join(rng.choice(alpha, n))
+        core = mk(64)
+        texts = [
+            mk(200),
+            mk(50) + core + mk(50),      # repeat embedded mid-doc
+            core,                        # whole doc is the repeat
+            mk(80) + core[:35],          # partial overlap of the repeat
+            mk(10),                      # short
+            (mk(33) * 3),                # periodic self-repeat
+        ]
+        sfd = self._corpus(tmp_path, texts)
+        got = (
+            dedup.substring_dup_spans(sfd)
+            .to_pandas()
+            .sort_values(["doc_id", "span_start"], ignore_index=True)
+        )
+        import __ray_entry__ as entrymod
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sfd}/documents.parquet'"
+        )
+        exp = (
+            con.execute(entrymod.oracle_sql()["substring_dup_spans"])
+            .df()
+            .sort_values(["doc_id", "span_start"], ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.astype("int64"), exp.astype("int64"), check_dtype=False
+        )
