@@ -152,6 +152,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maintenance_delete_mor": maintenance.maintenance_delete_mor,
         "maintenance_time_travel": maintenance.maintenance_time_travel,
         "maintenance_time_travel_ts": maintenance.maintenance_time_travel_ts,
+        # partition-scoped OPTIMIZE (Delta OPTIMIZE ... WHERE analog)
+        "maintenance_compact_partition": maintenance.maintenance_compact_partition,
+        # named-ref snapshot (Iceberg tag) surviving expire + vacuum
+        "maintenance_tag_scan": maintenance.maintenance_tag_scan,
         "maintenance_full_lifecycle": maintenance.maintenance_full_lifecycle,
         # change data feed across a MERGE commit range (Delta CDF analog)
         "maintenance_change_feed": maintenance.maintenance_change_feed,
@@ -941,6 +945,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "maintenance_time_travel": docs_scan,
         "maintenance_time_travel_ts": docs_scan,
+        "maintenance_compact_partition": docs_scan,
+        "maintenance_tag_scan": docs_scan,
         "maintenance_restore": docs_scan,
         "maintenance_replicate": f"""
             WITH base AS ({_DOCS_BASE})

@@ -191,6 +191,51 @@ def maintenance_time_travel_ts(sf_dir: str) -> pa.Table:
     return got.sort_by("doc_id").combine_chunks()
 
 
+def maintenance_compact_partition(sf_dir: str) -> pa.Table:
+    """Partition-scoped compaction (Delta ``OPTIMIZE ... WHERE``): compact
+    ONLY the hot ``web`` partition, leave every other partition's small
+    files untouched, and scan — the visible relation must be unchanged
+    (docs oracle), while the file layout shows exactly one partition was
+    rewritten (asserted here so the driver check carries the claim)."""
+    t = build_from_documents(sf_dir, _scratch_root(sf_dir, "optwhere"))
+    before = {f.path for f in t.files()}
+    t.compact(target_file_bytes=8 << 20, partitions=["web"])
+    after = t.files()
+    touched = {f.partition for f in after if f.path not in before}
+    if touched - {"web"}:  # defense in depth for the driver check
+        raise AssertionError(f"scoped compact rewrote partitions {touched}")
+    untouched_small = [
+        f for f in after if f.partition != "web" and f.path in before
+    ]
+    if not untouched_small:
+        raise AssertionError("scoped compact should leave other partitions alone")
+    return _scan_projected(t)
+
+
+def maintenance_tag_scan(sf_dir: str) -> pa.Table:
+    """Named-ref retention (Iceberg tag analog): tag the ingest snapshot,
+    run compact + merge + zorder, expire retention down to the last two
+    versions and vacuum immediately — the tagged snapshot must survive
+    both (consolidated into a self-contained island, files pinned) and
+    ``scan(tag=...)`` must reproduce the original ingest relation."""
+    t = build_from_documents(sf_dir, _scratch_root(sf_dir, "tagscan"))
+    t.tag("audit")
+    t.compact(target_file_bytes=8 << 20)
+    t.merge(updates_from_documents(sf_dir))
+    t.zorder(target_file_bytes=1 << 20)
+    t.expire_snapshots(keep_last=2)
+    t.vacuum(min_age_seconds=0.0)
+    got = pa.concat_tables(
+        ray.get(
+            t.scan(tag="audit", columns=["doc_id", "n_tok", "source"]).to_arrow_refs()
+        )
+    )
+    got = got.set_column(
+        got.column_names.index("n_tok"), "n_tok", got["n_tok"].cast(pa.int64())
+    )
+    return got.sort_by("doc_id").combine_chunks()
+
+
 def maintenance_full_lifecycle(sf_dir: str) -> pa.Table:
     """compact + zorder + merge + manifest rewrite + expire + vacuum, then
     scan latest — the flagship maintenance pipeline (bench headline)."""

@@ -296,6 +296,7 @@ class Table:
         min_n_tok: int | None = None,
         max_n_tok: int | None = None,
         as_of: float | None = None,
+        tag: str | None = None,
         apply_dvs: bool = True,
         **read_kwargs: Any,
     ) -> ray.data.Dataset:
@@ -306,7 +307,9 @@ class Table:
 
         ``as_of`` is timestamp time travel (Delta ``timestampAsOf``,
         reference README.md:176): resolve the latest commit at or before
-        the given UNIX timestamp.  Mutually exclusive with ``version``.
+        the given UNIX timestamp.  ``tag`` reads a named-ref snapshot (see
+        ``Table.tag``); ``version`` / ``as_of`` / ``tag`` are mutually
+        exclusive.
 
         ``apply_dvs``: filter out keys tombstoned by merge-on-read DELETE
         (deletion-vector sidecars).  The union of the scanned files' DVs is
@@ -314,9 +317,11 @@ class Table:
         keys vectorized — DV volume is bounded by deletes since the last
         rewrite touching those files (compact/zorder/merge/
         materialize_deletes all fold DVs in and drop them)."""
-        if as_of is not None:
-            if version is not None:
-                raise ValueError("pass either version= or as_of=, not both")
+        if sum(x is not None for x in (version, as_of, tag)) > 1:
+            raise ValueError("pass at most one of version=, as_of=, tag=")
+        if tag is not None:
+            version = self.log.resolve_ref(tag)
+        elif as_of is not None:
             version = self.log.version_at(as_of)
         files = self.files(version)
         if partitions is not None:
@@ -684,8 +689,15 @@ class Table:
         target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
         job_id: str | None = None,
         concurrency: int | tuple[int, int] = (1, 16),
+        partitions: Sequence[str] | None = None,
     ) -> int | None:
         """Bin-packing small-file compaction (Delta OPTIMIZE equivalent).
+
+        ``partitions`` scopes the job (Delta ``OPTIMIZE ... WHERE`` on the
+        partition column): only files in the named partitions are planned
+        and rewritten, everything else is untouched — at 100 TB compaction
+        runs incrementally on the partitions the last ingest touched, never
+        over the whole table.
 
         Deterministic job id per parent version -> idempotent + resumable:
         rerunning after a crash skips finished bins (checkpoint manifest)
@@ -693,12 +705,18 @@ class Table:
         there is nothing to compact."""
         self._start_op()
         parent = self.version()
-        job_id = job_id or f"compact-v{parent}"
+        if job_id is None:
+            scope = "" if partitions is None else "-" + ",".join(sorted(partitions))
+            job_id = f"compact-v{parent}{scope}"
         done = self.log.find_commit_by_job(job_id)
         if done is not None:
             return done
         t = __import__("time").perf_counter()
-        bins = self.plan_compaction_bins(self.files(parent), target_file_bytes, job_id)
+        files = self.files(parent)
+        if partitions is not None:
+            wanted = set(partitions)
+            files = [f for f in files if f.partition in wanted]
+        bins = self.plan_compaction_bins(files, target_file_bytes, job_id)
         if not bins:
             return None
         t = self._phase("plan", t)
@@ -1658,6 +1676,26 @@ class Table:
             job_id=f"restore-to-v{version}-from-v{self.version()}",
             extra={"restored_version": version},
         )
+
+    # ---- named refs (tags) -------------------------------------------------
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin a snapshot under a name (Iceberg tag analog; the reference's
+        Delta layer exposes the same retention idea via checkpointed
+        versions, README.md:176).  Tagged snapshots survive
+        ``expire_snapshots`` (consolidated into self-contained base islands)
+        and ``vacuum`` never reclaims their files; read one back with
+        ``scan(tag=name)``.  Returns the pinned version."""
+        v = self.version() if version is None else version
+        self.log.set_ref(name, v)
+        return v
+
+    def tags(self) -> dict[str, int]:
+        return self.log.refs()
+
+    def drop_tag(self, name: str) -> None:
+        """Remove a tag; the snapshot becomes subject to normal retention
+        at the NEXT ``expire_snapshots`` (nothing is deleted here)."""
+        self.log.delete_ref(name)
 
     # ---- CLONE ------------------------------------------------------------
     def clone(self, target_root: str, version: int | None = None) -> "Table":

@@ -176,6 +176,42 @@ class SnapshotLog:
             )
         return best
 
+    # ---- named refs (tags) -------------------------------------------------
+    # Iceberg-style retention refs (the reference gets tags/branches from
+    # Delta/Iceberg table metadata for free; README.md:176 claims PITR):
+    # a tag pins a snapshot by name, and tagged snapshots survive
+    # ``expire`` — the mechanism behind "keep the quarterly-audit snapshot
+    # while retention rolls everything else off".
+
+    def _refs_path(self) -> Path:
+        return self.log_dir / "_refs.json"
+
+    def refs(self) -> dict[str, int]:
+        p = self._refs_path()
+        if not p.is_file():
+            return {}
+        return {k: int(v) for k, v in json.loads(p.read_text()).items()}
+
+    def set_ref(self, name: str, version: int) -> None:
+        if not self._path(version).is_file():
+            raise FileNotFoundError(f"cannot tag version {version}: not in log")
+        refs = self.refs()
+        refs[name] = int(version)
+        atomic_replace(self._refs_path(), json.dumps(refs, sort_keys=True))
+
+    def delete_ref(self, name: str) -> None:
+        refs = self.refs()
+        if name not in refs:
+            raise KeyError(f"no such tag: {name!r}")
+        del refs[name]
+        atomic_replace(self._refs_path(), json.dumps(refs, sort_keys=True))
+
+    def resolve_ref(self, name: str) -> int:
+        refs = self.refs()
+        if name not in refs:
+            raise KeyError(f"no such tag: {name!r} (tags: {sorted(refs) or 'none'})")
+        return refs[name]
+
     def find_commit_by_job(self, job_id: str) -> int | None:
         """Scan the retained log for a commit tagged with ``job_id`` (idempotence)."""
         for v in reversed(self.versions()):
@@ -264,9 +300,13 @@ class SnapshotLog:
         """Drop log versions so only the most recent ``keep_last`` remain.
 
         The oldest retained version is first consolidated (manifest rewrite)
-        so it stays readable without its expired ancestors.  Returns the
-        expired version numbers.  Data files referenced only by expired
-        versions become orphans — ``Table.vacuum`` deletes them.
+        so it stays readable without its expired ancestors.  TAGGED versions
+        (named refs) are never expired: each tagged version below the cutoff
+        is consolidated into a self-contained base snapshot first, so it
+        stays readable as an island once its neighbors are deleted.  Returns
+        the expired version numbers.  Data files referenced only by expired
+        versions become orphans — ``Table.vacuum`` deletes them (it walks
+        every retained version, so tagged islands keep their files pinned).
         """
         vs = self.versions()
         if keep_last < 1:
@@ -274,8 +314,13 @@ class SnapshotLog:
         if len(vs) <= keep_last:
             return []
         cutoff = vs[-keep_last]
+        protected = {v for v in self.refs().values() if v in set(vs)}
+        # consolidate ascending: each materialize replays from still-intact
+        # ancestors, and earlier islands become bases for later replays
+        for v in sorted(p for p in protected if p < cutoff):
+            self.materialize_version(v)
         self.materialize_version(cutoff)
-        expired = [v for v in vs if v < cutoff]
+        expired = [v for v in vs if v < cutoff and v not in protected]
         for v in expired:
             self._path(v).unlink(missing_ok=True)
         return expired
