@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_histogram": corpus.token_histogram,
         "corpus_rollup": corpus.corpus_rollup,
         "tfidf_top_terms": corpus.tfidf_top_terms,
+        # exact heavy hitters via mergeable Misra-Gries candidates + recount
+        "heavy_hitter_words": corpus.heavy_hitter_words,
         # --- deduplication ----------------------------------------------
         "exact_dedup": dedup.exact_dedup,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,  # approx -> rows-only
@@ -571,6 +573,13 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM tf JOIN df USING (word)
             ) WHERE rn <= 3
+        """,
+        "heavy_hitter_words": f"""
+            WITH w AS (SELECT unnest({words}) AS word FROM documents),
+                 tot AS (SELECT count(*) AS n FROM w)
+            SELECT word, CAST(count(*) AS BIGINT) AS n
+            FROM w GROUP BY word
+            HAVING count(*) * 512 >= (SELECT n FROM tot)
         """,
         "customer_order_lag": """
             SELECT o_orderkey, o_custkey, days_since_prev FROM (

@@ -331,3 +331,97 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def heavy_hitter_words(sf_dir: str, inv_phi: int = 512, cap: int = 1024) -> pa.Table:
+    """EXACT heavy hitters: every word whose corpus count ``n`` satisfies
+    ``n * inv_phi >= N`` (N = total word occurrences), via the two-pass
+    sketch-then-recount pattern — the way heavy hitters are found at
+    100 TB without ever shuffling the full vocabulary:
+
+    1. **Candidate pass** (one ``map_batches``, no shuffle): each batch
+       builds a Misra–Gries summary of capacity ``cap`` — Arrow hash-
+       groupby counts, minus the (cap+1)-th largest count, positive
+       entries kept.  Summaries are mergeable by summation with total
+       undercount <= N/(cap+1) per item (Agarwal et al., *Mergeable
+       Summaries*), so with ``cap + 1 >= 2 * inv_phi`` every true heavy
+       hitter has a positive merged count — the union of batch summaries
+       is a guaranteed candidate SUPERSET, of size <= batches x cap
+       (constant per batch, never vocabulary-sized).
+    2. **Recount pass** (one ``map_batches``, no shuffle): the sorted
+       candidate array is broadcast (``ray.put``); each batch emits exact
+       counts restricted to candidates (searchsorted membership +
+       bincount); the driver sums the candidate-sized partials and applies
+       the integer-exact threshold ``n * inv_phi >= N``.
+
+    Exactness: pass 1 can only over-generate candidates; pass 2 counts
+    are exact; the threshold is integer arithmetic — so the output equals
+    the oracle's ``HAVING count(*) * inv_phi >= total`` relation."""
+    if cap + 1 < 2 * inv_phi:
+        raise ValueError("need cap + 1 >= 2 * inv_phi for the superset guarantee")
+    tune_context()
+    docs = _read_docs(sf_dir, ["text"])
+
+    def mg_partial(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(split_words(t["text"]))
+        agg = pa.table({"word": flat}).group_by("word").aggregate([("word", "count")])
+        words = np.asarray(agg["word"]).astype(str)
+        cnts = np.asarray(agg["word_count"]).astype(np.int64)
+        if len(cnts) > cap:
+            kth = np.partition(cnts, len(cnts) - cap - 1)[len(cnts) - cap - 1]
+            adj = cnts - kth
+            keep = adj > 0
+            words, cnts = words[keep], adj[keep]
+        # "" sentinel row carries the batch's total word count (whitespace
+        # split never yields an empty word, so the key cannot collide)
+        return pa.table(
+            {
+                "word": pa.array(np.concatenate([words, np.array([""])])),
+                "n_part": pa.array(np.concatenate([cnts, [int(len(flat))]])),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            docs.map_batches(
+                mg_partial, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    empty = pa.table({"word": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+    if not parts:
+        return empty
+    merged = pa.concat_tables(parts)
+    w = np.asarray(merged["word"]).astype(str)
+    c = np.asarray(merged["n_part"]).astype(np.int64)
+    total = int(c[w == ""].sum())
+    cand = np.unique(w[w != ""])
+    if not len(cand) or total == 0:
+        return empty
+    cand_ref = ray.put(cand)
+
+    def recount(t: pa.Table) -> pa.Table:
+        from realtime_clickstream_lakehouse_ray.functions.broadcast import get_broadcast
+
+        keys = get_broadcast(cand_ref)
+        flat = np.asarray(pc.list_flatten(split_words(t["text"]))).astype(str)
+        idx = np.searchsorted(keys, flat)
+        in_r = idx < len(keys)
+        hit = np.zeros(len(flat), dtype=bool)
+        hit[in_r] = keys[idx[in_r]] == flat[in_r]
+        n = np.bincount(idx[hit], minlength=len(keys)).astype(np.int64)
+        return pa.table({"i": pa.array(np.arange(len(keys), dtype=np.int64)), "n_part": pa.array(n)})
+
+    counts = np.zeros(len(cand), dtype=np.int64)
+    for t in ray.get(
+        docs.map_batches(
+            recount, batch_format="pyarrow", zero_copy_batch=True
+        ).to_arrow_refs()
+    ):
+        if t.num_rows:
+            counts[np.asarray(t["i"])] += np.asarray(t["n_part"])
+    ok = counts * inv_phi >= total
+    out = pa.table({"word": pa.array(cand[ok]), "n": pa.array(counts[ok])})
+    return out.sort_by([("n", "descending"), ("word", "ascending")])

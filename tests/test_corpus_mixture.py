@@ -156,3 +156,25 @@ def test_cohort_retention_planted(tmp_path):
         (r.cohort_week, r.week): r.n_users for r in got.itertuples(index=False)
     }
     assert rows == {(w1, w1): 1, (w1, w2): 1, (w2, w2): 1}
+
+
+def test_heavy_hitters_exact_under_aggressive_trim(ray_session):
+    """The MG candidate pass must stay a superset even when every batch
+    trims hard (cap at the guarantee's floor), so the recounted output
+    equals a brute-force count."""
+    sf = "/root/testdata/sf0.001"
+    inv_phi = 16
+    got = corpus.heavy_hitter_words(sf, inv_phi=inv_phi, cap=2 * inv_phi - 1)
+    exact = corpus.word_frequencies(sf).to_pandas()
+    total = int(exact["n"].sum())
+    exp = exact[exact["n"] * inv_phi >= total].sort_values(
+        ["n", "word"], ascending=[False, True], ignore_index=True
+    )
+    got_df = got.to_pandas()
+    assert list(got_df["word"]) == list(exp["word"])
+    assert list(got_df["n"]) == list(exp["n"].astype("int64"))
+
+
+def test_heavy_hitters_rejects_bad_cap(ray_session):
+    with pytest.raises(ValueError, match="cap"):
+        corpus.heavy_hitter_words("/root/testdata/sf0.001", inv_phi=16, cap=8)
