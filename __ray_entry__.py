@@ -71,6 +71,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_by_hash": mixture.sample_by_hash,
         "source_char_budget": mixture.source_char_budget,
         "pack_sequences_assign": mixture.pack_sequences_assign,
+        # REAL packing: the packed arrays are pytest-verified; the oracle
+        # checks the (source, seq_id, n_docs, n_tok) chunk relation
+        "pack_sequences_tokens": lambda sf: mixture.pack_sequences_tokens(
+            sf
+        ).select_columns(["source", "seq_id", "n_docs", "n_tok"]),
         "stratified_sample": mixture.stratified_sample,
         "training_shard_manifest": mixture.training_shard_manifest,
         # --- corpus statistics (explode/flat-map family) ----------------
@@ -761,6 +766,32 @@ def oracle_sql() -> dict[str, str]:
                        SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS cum
                 FROM documents
             ) WHERE cum <= 60000
+        """,
+        "pack_sequences_tokens": f"""
+            WITH base AS (
+                SELECT doc_id, source, CAST(len({words}) AS BIGINT) AS n
+                FROM documents
+            ),
+            c AS (
+                SELECT source, n,
+                       SUM(n) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+                FROM base
+            ),
+            spans AS (
+                SELECT source, CAST(cum - n AS BIGINT) AS s,
+                       CAST(cum AS BIGINT) AS f
+                FROM c WHERE n > 0
+            ),
+            exp AS (
+                SELECT source, s, f,
+                       unnest(generate_series(s // 2048, (f - 1) // 2048)) AS seq_id
+                FROM spans
+            )
+            SELECT source, CAST(seq_id AS BIGINT) AS seq_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(least(f, (seq_id + 1) * 2048)
+                            - greatest(s, seq_id * 2048)) AS BIGINT) AS n_tok
+            FROM exp GROUP BY 1, 2
         """,
         "pack_sequences_assign": """
             SELECT doc_id, source,

@@ -174,3 +174,247 @@ def training_shard_manifest(sf_dir: str, num_shards: int = 8) -> ray.data.Datase
         )
 
     return ranked.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pack_sequences_tokens(sf_dir: str, seq_len: int = 2048) -> ray.data.Dataset:
+    """REAL sequence packing: produce the packed fixed-length token
+    sequences themselves (not just the assignment) — per source, documents'
+    token arrays concatenate in doc_id order into one stream cut into
+    ``seq_len`` chunks; output one row per chunk: ``(source, seq_id,
+    tokens, n_tok, n_docs)`` where ``tokens`` is the packed ``list<int32>``
+    (the final chunk of each source is the short remainder).
+
+    Tokens derive from text exactly as the maintenance ingest does
+    (``maintenance.doc_to_tokens``: per-word stable hash mod vocab), so
+    pytest can check the packed arrays against a brute-force concat while
+    the SQL oracle checks the (source, seq_id, n_docs, n_tok) relation.
+
+    Scale shape (what survives 10^12 sequences):
+    - the running-offset pass is the NARROW prefix sum (only (doc_id,
+      source, n_tok) sort-shuffles; tokens never enter the sort);
+    - offsets meet their token arrays in a bucketed hash join on doc_id
+      (side-tagged union, one shuffle of the tokens), FUSED with the
+      boundary-slice explode: each doc splits into the consecutive
+      sub-slices that chunk boundaries cut it into, so slice rows are a
+      zero-copy re-offsetting of the doc's own values (flat buffer reused,
+      no gather);
+    - slices co-locate by chunk key hash (second and last token shuffle)
+      and each bucket assembles ALL its chunks with one lexsort +
+      run-length concat — B vectorized Python calls total, never one per
+      chunk."""
+    from realtime_clickstream_lakehouse_ray.functions.hashing import hash64
+    from realtime_clickstream_lakehouse_ray.functions.textstats import split_words
+    from realtime_clickstream_lakehouse_ray.sources.synth import VOCAB
+
+    L = int(seq_len)
+    ncpu = int(ray.available_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    n_buckets = max(16, ncpu)
+
+    # ---- stage A: narrow prefix sum -> (doc_id, start-of-doc offset) ----
+    def narrow(t: pa.Table) -> pa.Table:
+        words = split_words(t["text"])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "source": t["source"],
+                "n_tok": pc.list_value_length(words).cast(pa.int64()),
+            }
+        )
+
+    cum = ordered_prefix_sum(
+        _read_docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+            narrow, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        order_col="doc_id",
+        value_col="n_tok",
+        by_col="source",
+    )
+
+    union_schema = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("source", pa.string()),
+            pa.field("tokens", pa.list_(pa.int32())),
+            pa.field("start", pa.int64()),
+            pa.field("__bucket", pa.int32()),
+            pa.field("__side", pa.int8()),
+        ]
+    )
+
+    def tag_offsets(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].cast(pa.int64())
+        start = pc.subtract(t["cum"], t["n_tok"]).cast(pa.int64())
+        bucket = (hash64(ids) % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": ids,
+                "source": pa.nulls(len(t), pa.string()),
+                "tokens": pa.nulls(len(t), pa.list_(pa.int32())),
+                "start": start,
+                "__bucket": pa.array(bucket),
+                "__side": pa.array(np.ones(len(t), dtype=np.int8)),
+            },
+            schema=union_schema,
+        )
+
+    def tag_tokens(t: pa.Table) -> pa.Table:
+        words = split_words(t["text"])
+        flat = words.flatten()
+        vals = (hash64(flat) % np.uint64(VOCAB)).astype(np.int32)
+        toks = pa.ListArray.from_arrays(words.offsets, pa.array(vals, pa.int32()))
+        ids = t["doc_id"].cast(pa.int64())
+        bucket = (hash64(ids) % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": ids,
+                "source": t["source"].cast(pa.string()),
+                "tokens": toks,
+                "start": pa.nulls(len(t), pa.int64()),
+                "__bucket": pa.array(bucket),
+                "__side": pa.array(np.zeros(len(t), dtype=np.int8)),
+            },
+            schema=union_schema,
+        )
+
+    heavy = _read_docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+        tag_tokens, batch_format="pyarrow", zero_copy_batch=True
+    )
+    light = cum.map_batches(tag_offsets, batch_format="pyarrow", zero_copy_batch=True)
+
+    # ---- stage B (per join bucket): attach starts, explode into slices --
+    def join_and_slice(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "seq_id": pa.array([], pa.int64()),
+                "gs_start": pa.array([], pa.int64()),
+                "toks": pa.array([], pa.list_(pa.int32())),
+            }
+        )
+        side = np.asarray(g["__side"])
+        lt = g.filter(pa.array(side == 0))
+        rt = g.filter(pa.array(side == 1))
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return empty
+        r_ids = np.asarray(rt["doc_id"])
+        r_start = np.asarray(rt["start"])
+        order = np.argsort(r_ids)
+        r_ids, r_start = r_ids[order], r_start[order]
+        l_ids = np.asarray(lt["doc_id"])
+        pos = np.searchsorted(r_ids, l_ids)
+        # every token row has exactly one offset row in its bucket
+        start = r_start[pos].astype(np.int64)
+        toks = lt["tokens"].combine_chunks()
+        offs = np.asarray(toks.offsets).astype(np.int64)
+        n = offs[1:] - offs[:-1]
+        keep = n > 0
+        orig_idx = np.nonzero(keep)[0]
+        if not len(orig_idx):
+            return empty
+        start, n, base = start[keep], n[keep], offs[:-1][keep]
+        end = start + n
+        first_chunk = start // L
+        n_slices = (end - 1) // L - first_chunk + 1
+        doc_rep = np.repeat(np.arange(len(n)), n_slices)
+        within = np.arange(int(n_slices.sum())) - np.repeat(
+            np.cumsum(n_slices) - n_slices, n_slices
+        )
+        seq_id = first_chunk[doc_rep] + within
+        gs_start = np.maximum(start[doc_rep], seq_id * L)
+        gs_end = np.minimum(end[doc_rep], (seq_id + 1) * L)
+        slice_local_start = base[doc_rep] + (gs_start - start[doc_rep])
+        slice_len = gs_end - gs_start
+        new_offsets = np.zeros(len(slice_len) + 1, dtype=np.int64)
+        np.cumsum(slice_len, out=new_offsets[1:])
+        # slices interleave freely across docs inside a bucket group, so
+        # gather each slice's values from the flat buffer in row order
+        gidx = np.repeat(slice_local_start - new_offsets[:-1], slice_len) + np.arange(
+            int(slice_len.sum())
+        )
+        vals = np.asarray(toks.values)[gidx]
+        src = pc.take(lt["source"].combine_chunks(), pa.array(orig_idx[doc_rep]))
+        out_toks = pa.LargeListArray.from_arrays(
+            new_offsets, pa.array(vals, pa.int32())
+        ).cast(pa.list_(pa.int32()))
+        return pa.table(
+            {
+                "source": src,
+                "seq_id": pa.array(seq_id),
+                "gs_start": pa.array(gs_start),
+                "toks": out_toks,
+            }
+        )
+
+    slices = (
+        heavy.union(light)
+        .groupby("__bucket")
+        .map_groups(join_and_slice, batch_format="pyarrow")
+    )
+
+    # ---- stage C (per chunk bucket): assemble packed sequences ----------
+    def tag_chunk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "source" not in t.column_names:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "seq_id": pa.array([], pa.int64()),
+                    "gs_start": pa.array([], pa.int64()),
+                    "toks": pa.array([], pa.list_(pa.int32())),
+                    "__cb": pa.array([], pa.int32()),
+                }
+            )
+        key = hash64(t["source"]) + np.asarray(t["seq_id"]).astype(np.uint64)
+        return t.append_column(
+            "__cb", pa.array((key % np.uint64(n_buckets)).astype(np.int32))
+        )
+
+    def assemble(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "seq_id": pa.array([], pa.int64()),
+                "tokens": pa.array([], pa.list_(pa.int32())),
+                "n_tok": pa.array([], pa.int64()),
+                "n_docs": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        src = g["source"].combine_chunks().dictionary_encode()
+        codes = np.asarray(src.indices).astype(np.int64)
+        seq = np.asarray(g["seq_id"])
+        gs = np.asarray(g["gs_start"])
+        order = np.lexsort((gs, seq, codes))
+        toks = g["toks"].combine_chunks()
+        offs = np.asarray(toks.offsets).astype(np.int64)
+        ln = (offs[1:] - offs[:-1])[order]
+        gidx = np.repeat(offs[:-1][order] - np.cumsum(ln) + ln, ln) + np.arange(
+            int(ln.sum())
+        )
+        vals = np.asarray(toks.values)[gidx]
+        c_o, s_o = codes[order], seq[order]
+        brk = np.ones(len(order), dtype=bool)
+        brk[1:] = (c_o[1:] != c_o[:-1]) | (s_o[1:] != s_o[:-1])
+        starts = np.nonzero(brk)[0]
+        group_len = np.add.reduceat(ln, starts) if len(starts) else np.array([], np.int64)
+        chunk_offsets = np.zeros(len(starts) + 1, dtype=np.int64)
+        np.cumsum(group_len, out=chunk_offsets[1:])
+        n_docs = np.diff(np.concatenate([starts, [len(order)]]))
+        out_toks = pa.LargeListArray.from_arrays(
+            chunk_offsets, pa.array(vals, pa.int32())
+        ).cast(pa.list_(pa.int32()))
+        return pa.table(
+            {
+                "source": pc.take(src.dictionary, pa.array(c_o[starts])),
+                "seq_id": pa.array(s_o[starts]),
+                "tokens": out_toks,
+                "n_tok": pa.array(group_len.astype(np.int64)),
+                "n_docs": pa.array(n_docs.astype(np.int64)),
+            }
+        )
+
+    return (
+        slices.map_batches(tag_chunk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__cb")
+        .map_groups(assemble, batch_format="pyarrow")
+    )

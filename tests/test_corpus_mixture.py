@@ -178,3 +178,40 @@ def test_heavy_hitters_exact_under_aggressive_trim(ray_session):
 def test_heavy_hitters_rejects_bad_cap(ray_session):
     with pytest.raises(ValueError, match="cap"):
         corpus.heavy_hitter_words("/root/testdata/sf0.001", inv_phi=16, cap=8)
+
+
+def test_pack_sequences_tokens_matches_bruteforce(ray_session):
+    """Packed fixed-length token arrays equal a brute-force per-source
+    concat-and-chunk, including docs straddling chunk boundaries (L=64
+    forces many straddles on the fixture)."""
+    from realtime_clickstream_lakehouse_ray.functions.hashing import hash64
+    from realtime_clickstream_lakehouse_ray.functions.textstats import split_words
+    from realtime_clickstream_lakehouse_ray.sources.synth import VOCAB
+
+    sf, L = "/root/testdata/sf0.001", 64
+    got = (
+        mixture.pack_sequences_tokens(sf, seq_len=L)
+        .to_pandas()
+        .sort_values(["source", "seq_id"], ignore_index=True)
+    )
+    docs = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "source", "text"]
+    ).sort_by("doc_id")
+    words = split_words(docs["text"])
+    vals = (hash64(words.flatten()) % np.uint64(VOCAB)).astype(np.int32)
+    toks = pa.ListArray.from_arrays(words.offsets, pa.array(vals, pa.int32()))
+    src = np.asarray(docs["source"]).astype(str)
+    i = 0
+    for s in np.unique(src):
+        idx = np.nonzero(src == s)[0]
+        stream = np.concatenate([np.asarray(toks[j].values) for j in idx])
+        starts = np.concatenate([[0], np.cumsum([len(toks[j]) for j in idx])])
+        for q in range(-(-len(stream) // L)):
+            row = got.iloc[i]
+            assert (row["source"], row["seq_id"]) == (s, q)
+            assert np.array_equal(np.asarray(row["tokens"]), stream[q * L : (q + 1) * L])
+            assert row["n_docs"] == int(
+                np.sum((starts[:-1] < (q + 1) * L) & (starts[1:] > q * L))
+            )
+            i += 1
+    assert i == len(got)
