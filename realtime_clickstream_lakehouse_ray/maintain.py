@@ -26,9 +26,22 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--ops",
         default="compact,zorder",
-        help="comma list: compact,zorder,merge,update,delete,materialize-deletes,restore,rewrite-manifests,changes,expire,vacuum",
+        help="comma list: compact,zorder,merge,update,delete,materialize-deletes,restore,rewrite-manifests,changes,tag,drop-tag,metrics,expire,vacuum",
     )
     p.add_argument("--target-file-mb", type=int, default=128)
+    p.add_argument(
+        "--compact-partitions",
+        help="comma list scoping the compact op (OPTIMIZE ... WHERE analog)",
+    )
+    p.add_argument(
+        "--tag-name",
+        help="snapshot name for the tag / drop-tag ops (tagged snapshots "
+        "survive expire + vacuum)",
+    )
+    p.add_argument(
+        "--tag-version", type=int, default=None,
+        help="version to tag (default: current)",
+    )
     p.add_argument(
         "--zorder-incremental",
         action="store_true",
@@ -91,7 +104,14 @@ def main(argv: list[str] | None = None) -> int:
     results: dict[str, object] = {}
     for op in [o.strip() for o in args.ops.split(",") if o.strip()]:
         if op == "compact":
-            results[op] = table.compact(target_file_bytes=args.target_file_mb << 20)
+            results[op] = table.compact(
+                target_file_bytes=args.target_file_mb << 20,
+                partitions=(
+                    [x.strip() for x in args.compact_partitions.split(",")]
+                    if args.compact_partitions
+                    else None
+                ),
+            )
         elif op == "zorder":
             results[op] = table.zorder(
                 target_file_bytes=args.target_file_mb << 20,
@@ -171,6 +191,15 @@ def main(argv: list[str] | None = None) -> int:
             results[op] = table.version()
         elif op == "expire":
             results[op] = table.expire_snapshots(keep_last=args.keep_last)
+        elif op == "tag":
+            if not args.tag_name:
+                p.error("--tag-name required for the tag op")
+            results[op] = table.tag(args.tag_name, version=args.tag_version)
+        elif op == "drop-tag":
+            if not args.tag_name:
+                p.error("--tag-name required for the drop-tag op")
+            table.drop_tag(args.tag_name)
+            results[op] = table.tags()
         elif op == "metrics":
             results[op] = table.metrics()
         elif op == "vacuum":

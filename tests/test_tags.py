@@ -109,3 +109,34 @@ class TestScopedCompact:
 
     def test_empty_scope_is_noop(self, table):
         assert table.compact(target_file_bytes=TARGET, partitions=["nosuch"]) is None
+
+
+class TestMaintainCLI:
+    """tag / drop-tag / --compact-partitions through the ray-job CLI."""
+
+    def test_cli_tag_scoped_compact_droptag(self, tmp_path):
+        import json
+        import os
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        root = str(tmp_path / "tokens")
+        build_synthetic_table(root, 1_000, 100)
+        out = subprocess.run(
+            [
+                sys.executable, "-m", "realtime_clickstream_lakehouse_ray.maintain",
+                "--table", root, "--ops", "tag,compact,drop-tag",
+                "--tag-name", "audit", "--target-file-mb", "2",
+                "--compact-partitions", "web", "--num-cpus", "2",
+            ],
+            cwd=repo, capture_output=True, text=True,
+            env=dict(os.environ, RAY_ADDRESS="local"),
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        status = json.loads(out.stdout.strip().splitlines()[-1])
+        assert status["ops"]["tag"] == 1
+        assert status["ops"]["compact"] in (2, None)
+        assert status["ops"]["drop-tag"] == {}
+        t = Table.load(root)
+        assert {f.partition for f in t.files() if "bin" in f.path} <= {"web"}
