@@ -26,6 +26,7 @@ import json
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.json as pj
 import ray.data
 
 from realtime_clickstream_lakehouse_ray.schema import CLICK_SCHEMA, conform_table
@@ -36,6 +37,49 @@ OUT_SCHEMA = pa.schema(
 )
 
 
+def _parse_lines_vectorized(lines: list[str]) -> pa.Table | None:
+    """Fast path: block-parse the whole batch's JSON lines with Arrow's C++
+    JSON reader (one call, no per-row Python objects).  Returns the click
+    columns as strings, or ``None`` when the batch needs the tolerant
+    per-line path: any malformed line (the reader rejects the block), a
+    row-count mismatch, or a click field that parsed as a non-string type
+    (the slow path's ``json.dumps`` normalization and Arrow's cast disagree
+    on float formatting, so only all-string/null payloads take this path)."""
+    if not lines:
+        return None
+    try:
+        parsed = pj.read_json(
+            pa.BufferReader("\n".join(lines).encode("utf-8")),
+            parse_options=pj.ParseOptions(
+                newlines_in_values=False,
+                # pin the click fields to string (the reader would
+                # otherwise type-infer timestamp-shaped strings); a JSON
+                # number/bool/object in a pinned field fails the read and
+                # the batch takes the per-line path with its json.dumps
+                # normalization
+                explicit_schema=pa.schema(
+                    [pa.field(f.name, pa.string()) for f in CLICK_SCHEMA]
+                ),
+                unexpected_field_behavior="infer",
+            ),
+        )
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        return None
+    if parsed.num_rows != len(lines):
+        return None
+    cols: dict[str, pa.Array] = {}
+    null_col = pa.nulls(len(lines), pa.string())
+    for f in CLICK_SCHEMA:
+        if f.name not in parsed.column_names:
+            cols[f.name] = null_col
+            continue
+        col = parsed.column(f.name).combine_chunks()
+        if not (pa.types.is_string(col.type) or pa.types.is_null(col.type)):
+            return None
+        cols[f.name] = col.cast(pa.string())
+    return pa.table(cols)
+
+
 def parse_click_lines(
     batch: pa.Table,
     ingest_ts: str,
@@ -43,33 +87,43 @@ def parse_click_lines(
 ) -> pa.Table:
     """Raw JSON lines -> conformed click rows + reject marker.
 
-    JSON parsing is per line (the payloads are tiny); everything after the
-    parse — casts, null-fill, timestamp chain, date derivation — is
-    vectorized Arrow.  ``ingest_ts``/``fallback_now`` are caller-supplied
-    constants (the Lambda's ``time.strftime(gmtime())`` equivalent,
-    injected for determinism)."""
-    rows, status = [], []
-    for line in batch.column("text").to_pylist():
-        try:
-            obj = json.loads(line)
-            if not isinstance(obj, dict):
-                raise ValueError("not an object")
-            rows.append(obj)
-            status.append("valid")
-        except (json.JSONDecodeError, ValueError):
-            rows.append({})
-            status.append("malformed")
-    n = len(rows)
-    # build column-wise (from_pylist of empty dicts would drop the rows)
-    def as_str(v):  # writer-side CAST-to-string normalization (M9)
-        return v if (v is None or isinstance(v, str)) else json.dumps(v)
+    JSON parsing is vectorized (one Arrow C++ ``read_json`` call per
+    batch); a batch containing any malformed line falls back to a
+    tolerant per-line parse so rejects stay data, not exceptions.
+    Everything after the parse — casts, null-fill, timestamp chain, date
+    derivation — is vectorized Arrow.  ``ingest_ts``/``fallback_now`` are
+    caller-supplied constants (the Lambda's ``time.strftime(gmtime())``
+    equivalent, injected for determinism)."""
+    lines = batch.column("text").to_pylist()
+    n = len(lines)
+    tbl = _parse_lines_vectorized(lines)
+    if tbl is not None:
+        status = ["valid"] * n
+    else:
+        rows, status = [], []
+        for line in lines:
+            try:
+                obj = json.loads(line)
+                if not isinstance(obj, dict):
+                    raise ValueError("not an object")
+                rows.append(obj)
+                status.append("valid")
+            except (json.JSONDecodeError, ValueError):
+                rows.append({})
+                status.append("malformed")
 
-    tbl = pa.table(
-        {
-            f.name: pa.array([as_str(r.get(f.name)) for r in rows], type=pa.string())
-            for f in CLICK_SCHEMA
-        }
-    )
+        # build column-wise (from_pylist of empty dicts would drop the rows)
+        def as_str(v):  # writer-side CAST-to-string normalization (M9)
+            return v if (v is None or isinstance(v, str)) else json.dumps(v)
+
+        tbl = pa.table(
+            {
+                f.name: pa.array(
+                    [as_str(r.get(f.name)) for r in rows], type=pa.string()
+                )
+                for f in CLICK_SCHEMA
+            }
+        )
     tbl = conform_table(tbl, CLICK_SCHEMA)
     # M2: enrichment columns (only where absent — Lambda always sets them)
     tbl = tbl.set_column(
@@ -78,7 +132,9 @@ def parse_click_lines(
         pc.fill_null(tbl["ingest_ts"], ingest_ts),
     )
     req = pc.binary_join_element_wise(
-        "req-", pa.array([f"{i:08d}" for i in range(n)], type=pa.string()), ""
+        "req-",
+        pc.utf8_lpad(pa.array(np.arange(n)).cast(pa.string()), 8, padding="0"),
+        "",
     )
     tbl = tbl.set_column(
         tbl.column_names.index("request_id"), "request_id",
@@ -91,17 +147,36 @@ def parse_click_lines(
     )
     # M7: timestamp fallback chain — ISO parse, else ingest_ts, else constant
     def parse_iso(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+        # tolerant vectorized ISO-8601 parse: strip the UTC suffix, null out
+        # anything not shaped like an ISO timestamp (so it feeds the
+        # coalesce chain instead of failing the cast), then one Arrow
+        # string->timestamp cast for the whole column.  A residual
+        # shape-valid-but-impossible date ("2024-13-01") still raises, so
+        # the per-row numpy parse stays as the rescue path for that batch.
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        out = np.array(arr.to_pylist(), dtype=object)
-        parsed = np.full(len(out), np.datetime64("NaT"), dtype="datetime64[us]")
-        for i, v in enumerate(out):  # tolerant ISO-8601 parse w/ [.SSS]X
-            if v is None:
-                continue
-            try:
-                parsed[i] = np.datetime64(v.replace("Z", "").replace("+00:00", ""), "us")
-            except ValueError:
-                pass
-        return pa.array(parsed)
+        s = pc.replace_substring(arr.cast(pa.string()), "+00:00", "")
+        s = pc.replace_substring(s, "Z", "")
+        shaped = pc.match_substring_regex(
+            s, r"^\d{4}-\d{2}-\d{2}(T\d{2}:\d{2}(:\d{2}(\.\d{1,6})?)?)?$"
+        )
+        masked = pc.if_else(pc.fill_null(shaped, False), s, None)
+        try:
+            return masked.cast(pa.timestamp("us"))
+        except pa.ArrowInvalid:
+            out = np.array(arr.to_pylist(), dtype=object)
+            parsed = np.full(
+                len(out), np.datetime64("NaT"), dtype="datetime64[us]"
+            )
+            for i, v in enumerate(out):
+                if v is None:
+                    continue
+                try:
+                    parsed[i] = np.datetime64(
+                        v.replace("Z", "").replace("+00:00", ""), "us"
+                    )
+                except ValueError:
+                    pass
+            return pa.array(parsed)
 
     ts1 = parse_iso(tbl["timestamp"])
     ts2 = parse_iso(tbl["ingest_ts"])

@@ -210,3 +210,57 @@ def test_schema_inference_fallback_reader(tmp_path):
     # same enrichment
     out2 = read_click_json_infer([str(g)]).to_pandas()
     assert out2.loc[0, "status"] == "valid"
+
+
+def test_vectorized_parse_matches_perline_path(monkeypatch):
+    """The block-parse fast path (pyarrow.json) must be byte-identical to
+    the tolerant per-line path on any all-valid batch, and must refuse
+    batches it cannot represent exactly (malformed lines, non-string
+    fields) so they take the per-line path."""
+    import realtime_clickstream_lakehouse_ray.sources.clicks as C
+
+    valid = [
+        json.dumps(CANONICAL),
+        json.dumps({**CANONICAL, "element": None}),
+        json.dumps({**CANONICAL, "timestamp": "2023-09-15T14:30:45.123Z"}),
+        json.dumps({k: v for k, v in CANONICAL.items() if k != "timestamp"}),
+        json.dumps({"page": "/only-page"}),
+        json.dumps({"page": "/x", "extra_field": "ride-along"}),
+    ]
+    batch = pa.table({"text": pa.array(valid, pa.string())})
+    assert C._parse_lines_vectorized(valid) is not None
+    fast = C.parse_click_lines(batch, ingest_ts="2024-01-01T00:00:00Z")
+    monkeypatch.setattr(C, "_parse_lines_vectorized", lambda lines: None)
+    slow = C.parse_click_lines(batch, ingest_ts="2024-01-01T00:00:00Z")
+    assert fast.equals(slow)
+    monkeypatch.undo()
+
+    # refusal cases -> per-line path handles them as rejects / normalizes
+    assert C._parse_lines_vectorized(valid + ["{broken"]) is None
+    assert C._parse_lines_vectorized(['{"element": 7}']) is None
+    assert C._parse_lines_vectorized([]) is None
+
+    # fractional seconds, minute resolution, date-only, impossible date,
+    # garbage: vectorized M7 chain must match old per-row numpy semantics
+    lines = [
+        json.dumps({"timestamp": t})
+        for t in (
+            "2024-03-01T10:00:01.123Z",
+            "2024-03-01T10:00+00:00",
+            "2024-03-01",
+            "2024-13-99T00:00:00",
+            "garbage",
+        )
+    ]
+    out = C.parse_click_lines(
+        pa.table({"text": pa.array(lines, pa.string())}),
+        ingest_ts="2024-06-01T00:00:00Z",
+    )
+    got = [str(v) for v in out.column("event_ts").to_pylist()]
+    assert got == [
+        "2024-03-01 10:00:01.123000",
+        "2024-03-01 10:00:00",
+        "2024-03-01 00:00:00",
+        "2024-06-01 00:00:00",
+        "2024-06-01 00:00:00",
+    ]
