@@ -789,6 +789,7 @@ class Table:
         curve: str = "z",  # "z" (Morton) or "hilbert"
         write_concurrency: int | tuple[int, int] | None = None,  # kept for API compat
         incremental: bool = False,
+        method: str = "scatter",  # "scatter" (range exchange) or "sort"
     ) -> int | None:
         """Z-order clustering: zkey map_batches -> global range-partitioned
         sort -> size-targeted rewrite -> snapshot swap (remove all, add all).
@@ -800,6 +801,17 @@ class Table:
         only orphan files (vacuumable) and resumes from the last committed
         snapshot; per-partition lineage is recorded in the checkpoint
         manifest at completion.
+
+        ``method="scatter"`` (default): the all-to-all is executed as a
+        disk-backed range-partition exchange (stages/scatter.py) — sample
+        boundaries from a narrow dims-only read, scatter zkey-sorted runs
+        into per-bucket Arrow IPC fragments under ``_scratch/<job>/``, then
+        sort+write each bucket independently.  Two embarrassingly-parallel
+        map phases instead of Ray's object-store sort shuffle (profiled:
+        SortMap tasks spent 0.1-0.2 s sorting but 1.9 s wall; scaling
+        efficiency 0.40-0.51 vs 0.84 for the shuffle-free compact over the
+        same bytes), and the job becomes resumable at bucket granularity.
+        ``method="sort"`` keeps the push-based ``Dataset.sort`` shuffle.
 
         ``incremental=True`` (the liquid-clustering direction): sort ONLY
         files not already clustered under this (curve, dims) signature —
@@ -857,6 +869,11 @@ class Table:
                 p: i
                 for i, p in enumerate(sorted({f.partition for f in stat_files}))
             }
+        if method == "scatter":
+            return self._zorder_scatter(
+                stat_files, zdims, bounds, curve, part_rank, signature,
+                target_file_bytes, parent, job_id,
+            )
         ds = self._read_entries(stat_files)
         ds = ds.map_batches(
             add_zkey,
@@ -910,6 +927,161 @@ class Table:
         for i, (part, d) in enumerate(sorted(per_part.items())):
             ckpt.write_unit(f"part-{part}", {"unit": i, "partition": part, **d, "adds": [], "removes": []})
         ckpt.mark_committed(version)
+        return version
+
+    def _zorder_scatter(
+        self,
+        stat_files: list[FileEntry],
+        zdims: tuple[str, ...],
+        bounds: dict[str, tuple[int, int]],
+        curve: str,
+        part_rank: dict[str, int] | None,
+        signature: str,
+        target_file_bytes: int,
+        parent: int,
+        job_id: str,
+    ) -> int:
+        """Scatter/gather body of ``zorder(method="scatter")`` — see
+        ``stages/scatter.py`` for the exchange design and its multi-node
+        partitioning assumptions."""
+        import shutil
+
+        from realtime_clickstream_lakehouse_ray.stages.scatter import (
+            GatherWriter,
+            boundaries_from_sample,
+            make_scatter_writer,
+            sample_zkeys,
+        )
+
+        scratch = self.root / "_scratch" / job_id
+        plan_path = scratch / "PLAN.json"
+        total_bytes = sum(f.bytes for f in stat_files) or 1
+        total_rows = sum(f.rows for f in stat_files) or 1
+        rows_per_file = max(1, int(total_rows * target_file_bytes / total_bytes))
+        n_buckets = max(1, -(-total_bytes // target_file_bytes))
+        zkey_kwargs = dict(
+            dims=zdims,
+            bounds=bounds,
+            curve=curve,
+            part_rank=part_rank,
+            partition_col=self.partition_col,
+        )
+        t = time.perf_counter()
+        plan = None
+        if plan_path.is_file():  # resume: scatter already completed
+            try:
+                cand = json.loads(plan_path.read_text())
+                if all(
+                    (scratch / p).is_file()
+                    for fr in cand["frags"].values()
+                    for p in fr
+                ):
+                    plan = cand
+            except (json.JSONDecodeError, OSError, KeyError):
+                plan = None
+        if plan is None:
+            shutil.rmtree(scratch, ignore_errors=True)
+            # plan: boundaries from a narrow read (curve dims only — the
+            # wide tokens column never leaves storage in this pass)
+            narrow = sorted({*zdims, self.partition_col})
+            samples = [np.array([], dtype=np.uint64)]
+            sample_ds = self._read_entries(stat_files, columns=narrow).map_batches(
+                sample_zkeys,
+                fn_kwargs=zkey_kwargs,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            for b in sample_ds.iter_batches(batch_format="pyarrow"):
+                samples.append(np.asarray(b.column("zkey")))
+            boundaries = boundaries_from_sample(
+                np.concatenate(samples), int(n_buckets)
+            )
+            t = self._phase("plan", t)
+            # scatter: one embarrassingly-parallel pass over the data
+            frag_ds = self._read_entries(stat_files).map_batches(
+                make_scatter_writer(
+                    scratch=str(scratch), boundaries=boundaries, **zkey_kwargs
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            frags: dict[str, list[str]] = {}
+            for row in frag_ds.take_all():  # tiny: one row per fragment
+                frags.setdefault(str(row["bucket"]), []).append(row["path"])
+            plan = {
+                "boundaries": [int(x) for x in boundaries],
+                "frags": frags,
+                "rows_per_file": int(rows_per_file),
+            }
+            tmp = scratch / f".tmp-plan-{parent}"
+            scratch.mkdir(parents=True, exist_ok=True)
+            tmp.write_text(json.dumps(plan))
+            import os as _os
+
+            _os.replace(tmp, plan_path)
+            t = self._phase("scatter", t)
+        # gather: one unit per non-empty bucket, checkpoint-resumable
+        specs = [
+            {"unit": int(b), "frags": paths}
+            for b, paths in sorted(plan["frags"].items(), key=lambda kv: int(kv[0]))
+        ]
+        ckpt = JobCheckpoint(self.root, job_id)
+        if specs:
+            ncpu = (
+                int(ray.available_resources().get("CPU", 8))
+                if ray.is_initialized()
+                else 8
+            )
+            ray.data.from_items(make_spec_items(specs)).map_batches(
+                GatherWriter,
+                fn_constructor_kwargs=dict(
+                    root=str(self.root),
+                    schema=self.schema,
+                    partition_col=self.partition_col,
+                    scratch=str(scratch),
+                    job_id=job_id,
+                    rows_per_file=int(plan["rows_per_file"]),
+                    signature=signature,
+                ),
+                batch_format="pyarrow",
+                batch_size=1,
+                concurrency=max(1, min(len(specs), ncpu)),
+            ).count()  # consume; lineage flows into the checkpoint manifest
+        records = {
+            k: v for k, v in ckpt.list_units().items() if not k.startswith("part-")
+        }
+        missing = {str(s["unit"]) for s in specs} - set(records)
+        if missing:
+            raise RuntimeError(f"buckets did not complete: {sorted(missing)[:10]}")
+        t = self._phase("gather", t)
+        adds = [a for r in records.values() for a in r["adds"]]
+        removes = [f.path for f in stat_files]
+        version = self._commit_with_rebase(
+            adds,
+            removes,
+            "zorder",
+            parent,
+            job_id,
+            extra={"lineage": self._lineage_summary(records)},
+        )
+        # per-PARTITION lineage rollup alongside the per-bucket records
+        # (north-rule contract: input files, output files, row counts and
+        # token stats per partition in the checkpoint manifest)
+        per_part: dict[str, dict] = {}
+        for a in adds:
+            d = per_part.setdefault(
+                a["partition"], {"output_files": [], "rows": 0, "sum_tok": 0}
+            )
+            d["output_files"].append(a["path"])
+            d["rows"] += a.get("rows") or 0
+            d["sum_tok"] += a.get("sum_tok") or 0
+        for i, (part, d) in enumerate(sorted(per_part.items())):
+            ckpt.write_unit(
+                f"part-{part}",
+                {"unit": i, "partition": part, **d, "adds": [], "removes": []},
+            )
+        ckpt.mark_committed(version)
+        shutil.rmtree(scratch, ignore_errors=True)
         return version
 
     # ---- MERGE INTO -----------------------------------------------------
