@@ -982,10 +982,17 @@ class Table:
         if plan is None:
             shutil.rmtree(scratch, ignore_errors=True)
             # plan: boundaries from a narrow read (curve dims only — the
-            # wide tokens column never leaves storage in this pass)
+            # wide tokens column never leaves storage in this pass) over a
+            # stride-spaced SUBSET of files: zkeys are hash-dominated, so a
+            # file sample bounds the plan cost at 10^12 rows, and boundary
+            # error only shifts bucket sizes (gather splits oversized
+            # buckets into extra files — never a correctness issue)
+            max_sample_files = max(16, 4 * int(n_buckets) // 10)
+            stride = max(1, len(stat_files) // max_sample_files)
+            sample_files = stat_files[:: stride]
             narrow = sorted({*zdims, self.partition_col})
             samples = [np.array([], dtype=np.uint64)]
-            sample_ds = self._read_entries(stat_files, columns=narrow).map_batches(
+            sample_ds = self._read_entries(sample_files, columns=narrow).map_batches(
                 sample_zkeys,
                 fn_kwargs=zkey_kwargs,
                 batch_format="pyarrow",
@@ -1027,25 +1034,21 @@ class Table:
         ]
         ckpt = JobCheckpoint(self.root, job_id)
         if specs:
-            ncpu = (
-                int(ray.available_resources().get("CPU", 8))
-                if ray.is_initialized()
-                else 8
+            # stateless tasks, not an actor pool: per-unit state is trivial
+            # and tasks scale out instantly (no pool warm-up on short jobs)
+            gather = GatherWriter(
+                root=str(self.root),
+                schema=self.schema,
+                partition_col=self.partition_col,
+                scratch=str(scratch),
+                job_id=job_id,
+                rows_per_file=int(plan["rows_per_file"]),
+                signature=signature,
             )
             ray.data.from_items(make_spec_items(specs)).map_batches(
-                GatherWriter,
-                fn_constructor_kwargs=dict(
-                    root=str(self.root),
-                    schema=self.schema,
-                    partition_col=self.partition_col,
-                    scratch=str(scratch),
-                    job_id=job_id,
-                    rows_per_file=int(plan["rows_per_file"]),
-                    signature=signature,
-                ),
+                gather.__call__,
                 batch_format="pyarrow",
                 batch_size=1,
-                concurrency=max(1, min(len(specs), ncpu)),
             ).count()  # consume; lineage flows into the checkpoint manifest
         records = {
             k: v for k, v in ckpt.list_units().items() if not k.startswith("part-")

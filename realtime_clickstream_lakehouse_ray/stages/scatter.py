@@ -194,8 +194,6 @@ class GatherWriter:
         rows_per_file: int,
         signature: str,
     ):
-        pa.set_cpu_count(2)
-        pa.set_io_thread_count(2)
         from realtime_clickstream_lakehouse_ray.state.checkpoint import JobCheckpoint
 
         self.root = Path(root)
@@ -281,6 +279,11 @@ class GatherWriter:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import json
+
+        # run as stateless tasks: cap the pools in the task body (concurrent
+        # tasks each spawn a full-size Arrow pool otherwise)
+        pa.set_cpu_count(2)
+        pa.set_io_thread_count(2)
 
         from realtime_clickstream_lakehouse_ray.state.log import FileEntry
         from realtime_clickstream_lakehouse_ray.stages.writer import (
