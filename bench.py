@@ -129,12 +129,25 @@ def run_bench() -> dict:
     # but this VM's single virtual disk does not — measuring CPU scaling
     # against /dev/vda measures the disk, not the engine
     bench_root = os.environ.get("RCL_BENCH_ROOT", "/tmp/rcl_bench")
-    root = f"{bench_root}/{Path(SF_DIR).name}-cpus{NUM_CPUS}/tokens"
-    shutil.rmtree(Path(root).parent, ignore_errors=True)
+    table_path = os.environ.get("RCL_BENCH_TABLE")
+    if table_path:
+        # per-op-session mode: the parent owns the table directory (already
+        # copied from the master) and chains ops across child processes —
+        # this process times ONLY the ops named in RCL_BENCH_OPS, matching
+        # the north rule's deployment shape where each maintenance op is its
+        # own `ray job submit` job on a fresh driver
+        root = table_path
+    else:
+        root = f"{bench_root}/{Path(SF_DIR).name}-cpus{NUM_CPUS}/tokens"
+        shutil.rmtree(Path(root).parent, ignore_errors=True)
 
     # ---- build (untimed): deliberately small files --------------------
     prebuilt = os.environ.get("RCL_BENCH_PREBUILT")
-    if prebuilt:
+    if table_path:
+        from realtime_clickstream_lakehouse_ray.pipelines.table import Table
+
+        table = Table.load(root)
+    elif prebuilt:
         # scaling mode: the table was built ONCE at full parallelism by the
         # parent; each timed run works on a private copy (cheap on tmpfs)
         from realtime_clickstream_lakehouse_ray.pipelines.table import Table
@@ -173,24 +186,32 @@ def run_bench() -> dict:
     # every stage has thousands of units; RCL_BENCH_TARGET_MB emulates
     # that unit:cpu ratio at test scale).
     target_bytes = int(os.environ.get("RCL_BENCH_TARGET_MB", "128")) << 20
-    timed(
-        "compact",
-        lambda: table.compact(target_file_bytes=target_bytes, concurrency=(1, NUM_CPUS)),
-    )
-    timed(
-        "zorder",
-        lambda: table.zorder(target_file_bytes=target_bytes),
-    )
-    updates = gen_updates_chunk(n_rows, n_updates=n_rows // 20, n_inserts=n_rows // 50)
-    timed(
-        "merge",
-        lambda: table.merge(
-            updates, concurrency=(1, NUM_CPUS), target_file_bytes=target_bytes
-        ),
-    )
-    maintenance_sec = timings["compact"] + timings["zorder"] + timings["merge"]
-    # tokens that flowed through the three rewrite passes
-    tokens_per_sec = round(3 * sum_tok / maintenance_sec, 1)
+    ops = os.environ.get("RCL_BENCH_OPS", "compact,zorder,merge").split(",")
+    if "compact" in ops:
+        timed(
+            "compact",
+            lambda: table.compact(
+                target_file_bytes=target_bytes, concurrency=(1, NUM_CPUS)
+            ),
+        )
+    if "zorder" in ops:
+        timed(
+            "zorder",
+            lambda: table.zorder(target_file_bytes=target_bytes),
+        )
+    if "merge" in ops:
+        updates = gen_updates_chunk(
+            n_rows, n_updates=n_rows // 20, n_inserts=n_rows // 50
+        )
+        timed(
+            "merge",
+            lambda: table.merge(
+                updates, concurrency=(1, NUM_CPUS), target_file_bytes=target_bytes
+            ),
+        )
+    maintenance_sec = sum(timings.values())
+    # tokens that flowed through the rewrite passes run in this process
+    tokens_per_sec = round(len(timings) * sum_tok / maintenance_sec, 1)
 
     # ---- representative queries over the shared sf dir ----------------
     def consume(res):
@@ -203,7 +224,8 @@ def run_bench() -> dict:
 
     if os.environ.get("RCL_BENCH_SKIP_QUERIES") == "1":
         ray.shutdown()
-        shutil.rmtree(Path(root).parent, ignore_errors=True)
+        if not table_path:  # per-op mode: the parent owns the directory
+            shutil.rmtree(Path(root).parent, ignore_errors=True)
         return {
             "metric": "maintenance_lifecycle_sec",
             "value": round(maintenance_sec, 3),
@@ -227,7 +249,8 @@ def run_bench() -> dict:
     timed("decontaminate", lambda: consume(filters.decontaminate(SF_DIR)))
 
     ray.shutdown()
-    shutil.rmtree(Path(root).parent, ignore_errors=True)
+    if not table_path:
+        shutil.rmtree(Path(root).parent, ignore_errors=True)
     return {
         "metric": "maintenance_lifecycle_sec",
         "value": round(maintenance_sec, 3),
@@ -280,14 +303,23 @@ def run_scaling() -> dict:
         text=True, check=True, cwd=REPO,
     )
 
-    def run(ncpu: int) -> dict:
-        env = dict(
+    # Per-op sessions (default ON; RCL_SCALING_PER_OP_SESSION=0 restores the
+    # chained single-process form): each of compact / zorder / merge runs in
+    # its own fresh child process on the shared on-disk table, state chained
+    # through the snapshot log, only the op itself timed.  This matches the
+    # north rule's deployment shape — each maintenance op is a separate
+    # `ray job submit` job — and sidesteps the same-session tmpfs
+    # reread-of-own-fresh-writes artifact documented in BASELINE.md (merge
+    # measured 10.9 s in a fresh session vs 25-30 s in-band on identical
+    # table state).
+    per_op_session = os.environ.get("RCL_SCALING_PER_OP_SESSION", "1") == "1"
+
+    def _child_env(ncpu: int, **extra: str) -> dict:
+        return dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             RCL_BENCH_SKIP_QUERIES="1",
             RCL_BENCH_ROWS=str(n_rows),
-            RCL_BENCH_PREBUILT=master,
-            RCL_BENCH_PROBE="1",
             # units >> cpus at both levels (see run_bench); identical job
             # at both levels so the comparison stays apples-to-apples
             RCL_BENCH_TARGET_MB=os.environ.get("RCL_BENCH_TARGET_MB", "24"),
@@ -296,12 +328,46 @@ def run_scaling() -> dict:
             # N nodes) storage bandwidth scales with the cluster — tmpfs is
             # the single-box stand-in for storage-that-scales
             RCL_BENCH_ROOT=bench_root,
+            **extra,
         )
+
+    def _invoke(env: dict) -> dict:
         out = subprocess.run(
             [sys.executable, __file__], env=env, capture_output=True, text=True,
             check=True, cwd=REPO,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
+
+    def run(ncpu: int) -> dict:
+        if not per_op_session:
+            return _invoke(
+                _child_env(ncpu, RCL_BENCH_PREBUILT=master, RCL_BENCH_PROBE="1")
+            )
+        run_dir = f"{bench_root}/run-cpus{ncpu}"
+        root = f"{run_dir}/tokens"
+        shutil.rmtree(run_dir, ignore_errors=True)
+        shutil.copytree(master, root)
+        merged: dict = {}
+        for i, op in enumerate(("compact", "zorder", "merge")):
+            r = _invoke(
+                _child_env(
+                    ncpu,
+                    RCL_BENCH_TABLE=root,
+                    RCL_BENCH_OPS=op,
+                    # probe once per run (in-band with the first op's child)
+                    RCL_BENCH_PROBE="1" if i == 0 else "0",
+                )
+            )
+            if not merged:
+                merged = r
+            else:
+                merged["queries"].update(r["queries"])
+        shutil.rmtree(run_dir, ignore_errors=True)
+        merged["value"] = round(sum(merged["queries"].values()), 3)
+        merged["tokens_per_sec"] = round(
+            3 * merged["bench_tokens"] / merged["value"], 1
+        )
+        return merged
 
     # RCL_SCALING_REPS: interleaved (lo, hi) cycles; min-of-N per level.
     # On this VM identical runs vary up to 3.9x with hypervisor weather, so
