@@ -78,6 +78,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).select_columns(["source", "seq_id", "n_docs", "n_tok"]),
         "stratified_sample": mixture.stratified_sample,
         "training_shard_manifest": mixture.training_shard_manifest,
+        # max-context-length chunking: the chunk token arrays are
+        # pytest-verified; the oracle checks the (doc_id, chunk_id, n_tok)
+        # chunk relation
+        "split_sequences": lambda sf: mixture.split_sequences(sf).select_columns(
+            ["doc_id", "chunk_id", "n_tok"]
+        ),
+        # affine vocab renumbering: remapped values are pytest-verified
+        # (brute-force numpy recompute); the oracle checks the per-doc
+        # structure (doc_id, n_tok) is untouched
+        "vocab_remap": lambda sf: mixture.vocab_remap(sf).select_columns(
+            ["doc_id", "n_tok"]
+        ),
+        "balanced_resample": mixture.balanced_resample,
         # --- corpus statistics (explode/flat-map family) ----------------
         "word_freq_topk": corpus.word_freq_topk,
         "doc_rarity": corpus.doc_rarity,
@@ -792,6 +805,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(least(f, (seq_id + 1) * 2048)
                             - greatest(s, seq_id * 2048)) AS BIGINT) AS n_tok
             FROM exp GROUP BY 1, 2
+        """,
+        "split_sequences": f"""
+            WITH base AS (
+                SELECT doc_id, CAST(len({words}) AS BIGINT) AS n FROM documents
+            ),
+            exp AS (
+                SELECT doc_id, n,
+                       unnest(generate_series(0, (n - 1) // 128)) AS chunk_id
+                FROM base WHERE n > 0
+            )
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(least(128, n - chunk_id * 128) AS BIGINT) AS n_tok
+            FROM exp
+        """,
+        "vocab_remap": f"""
+            SELECT doc_id, CAST(len({words}) AS BIGINT) AS n_tok FROM documents
+        """,
+        "balanced_resample": """
+            WITH r AS (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY ((doc_id % 100000007) * 2654435761)
+                                    % 4294967296, doc_id
+                       ) AS rn
+                FROM documents
+            ),
+            t AS (
+                SELECT min(cnt) AS target FROM (
+                    SELECT count(*) AS cnt FROM documents GROUP BY source
+                )
+            )
+            SELECT doc_id, source FROM r, t WHERE rn <= target
         """,
         "pack_sequences_assign": """
             SELECT doc_id, source,

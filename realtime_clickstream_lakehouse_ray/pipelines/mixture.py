@@ -176,6 +176,174 @@ def training_shard_manifest(sf_dir: str, num_shards: int = 8) -> ray.data.Datase
     return ranked.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _doc_token_lists(t: pa.Table) -> pa.ListArray:
+    """Per-doc token arrays derived from text exactly as the maintenance
+    ingest does (per-word stable hash mod vocab) — the shared tokenizer
+    for every token-payload op so pytest can brute-force-verify values."""
+    from realtime_clickstream_lakehouse_ray.functions.hashing import hash64
+    from realtime_clickstream_lakehouse_ray.functions.textstats import split_words
+    from realtime_clickstream_lakehouse_ray.sources.synth import VOCAB
+
+    words = split_words(t["text"])
+    vals = (hash64(words.flatten()) % np.uint64(VOCAB)).astype(np.int32)
+    return pa.ListArray.from_arrays(words.offsets, pa.array(vals, pa.int32()))
+
+
+_SPLIT_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.int64()),
+        pa.field("chunk_id", pa.int64()),
+        pa.field("tokens", pa.list_(pa.int32())),
+        pa.field("n_tok", pa.int64()),
+    ]
+)
+
+
+def split_sequences(sf_dir: str, max_len: int = 128) -> ray.data.Dataset:
+    """Split every document's token array into consecutive chunks of at
+    most ``max_len`` tokens (last chunk short; empty docs emit nothing) —
+    the max-context-length splitting step of a pretraining pipeline.
+
+    Scale shape: embarrassingly parallel, ONE ``map_batches`` and zero
+    shuffles; the chunk rows are an offsets-only re-cut of the batch's
+    flat token values buffer (chunks of a doc are consecutive, so the
+    values child is reused as-is — no gather, no copy)."""
+    L = int(max_len)
+    if L <= 0:
+        raise ValueError("split_sequences requires max_len >= 1")
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _SPLIT_SCHEMA.empty_table()
+        toks = _doc_token_lists(t)
+        offs = np.asarray(toks.offsets).astype(np.int64)
+        n = offs[1:] - offs[:-1]
+        kidx = np.nonzero(n > 0)[0]
+        if not len(kidx):
+            return _SPLIT_SCHEMA.empty_table()
+        nk, base = n[kidx], offs[:-1][kidx]
+        n_chunks = (nk - 1) // L + 1
+        tot = int(n_chunks.sum())
+        rep = np.repeat(np.arange(len(kidx)), n_chunks)
+        within = np.arange(tot) - np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks)
+        # per-chunk end cut points tile [0, len(values)] because empty
+        # docs occupy zero width in the flat buffer
+        ends = np.minimum(base[rep] + (within + 1) * L, (base + nk)[rep])
+        new_offsets = np.concatenate([[0], ends])
+        out_toks = pa.ListArray.from_arrays(
+            pa.array(new_offsets.astype(np.int32), pa.int32()), toks.values
+        )
+        return pa.table(
+            {
+                "doc_id": pc.take(
+                    t["doc_id"].combine_chunks().cast(pa.int64()),
+                    pa.array(kidx[rep]),
+                ),
+                "chunk_id": pa.array(within.astype(np.int64)),
+                "tokens": out_toks,
+                "n_tok": pa.array(np.diff(new_offsets).astype(np.int64)),
+            },
+            schema=_SPLIT_SCHEMA,
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def vocab_remap(sf_dir: str, mult: int = 31, add: int = 7) -> ray.data.Dataset:
+    """Affine vocabulary remap ``tok -> (mult * tok + add) % VOCAB`` over
+    the flat token values buffer — the vocab-surgery step (merge/renumber
+    token ids after a tokenizer change).  ``VOCAB`` is prime, so any
+    ``mult`` not divisible by it makes the remap a bijection.
+
+    Scale shape: one ``map_batches``, no shuffle; the list offsets are
+    untouched (structure is copied by reference) and the remap is a single
+    vectorized pass over the values child."""
+    from realtime_clickstream_lakehouse_ray.sources.synth import VOCAB
+
+    if mult % VOCAB == 0:
+        raise ValueError("vocab_remap: mult must not be divisible by VOCAB")
+
+    def fn(t: pa.Table) -> pa.Table:
+        toks = _doc_token_lists(t)
+        vals = np.asarray(toks.values).astype(np.int64)
+        out = ((mult * vals + add) % VOCAB).astype(np.int32)
+        remapped = pa.ListArray.from_arrays(toks.offsets, pa.array(out, pa.int32()))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "tokens": remapped,
+                "n_tok": pc.list_value_length(remapped).cast(pa.int64()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def balanced_resample(sf_dir: str) -> ray.data.Dataset:
+    """Integer-exact per-source balancing: every source keeps exactly
+    ``target = min(per-source doc count)`` documents — the ones with the
+    smallest deterministic hash rank (ties by doc_id) — so the resampled
+    mixture is uniform across sources with zero RNG state.
+
+    Scale shape: per-source counts come from per-batch vectorized partials
+    (driver sees #sources × #batches tiny rows, never documents); the
+    rank-within-source filter is the distributed ordered-prefix-sum
+    primitive — ONE narrow sort of (okey, source, one), text never moves.
+    The order key packs (rank, doc_id) into int64 (rank < 2^32, doc_id <
+    2^31 asserted), preserving (rank, doc_id) order."""
+    ds = _read_docs(sf_dir, ["doc_id", "source"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        vc = t["source"].combine_chunks().value_counts()
+        return pa.table(
+            {
+                "source": vc.field("values"),
+                "cnt": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    counts = ds.map_batches(
+        partial_counts, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if counts.empty:
+        target = 0
+    else:
+        target = int(counts.groupby("source")["cnt"].sum().min())
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"]).astype(np.int64)
+        if len(ids) and (ids.min() < 0 or ids.max() >= (1 << 31)):
+            raise ValueError("balanced_resample requires doc_id in [0, 2^31)")
+        rk = ((ids % 100000007) * 2654435761) % 4294967296
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "source": t["source"],
+                "okey": pa.array(rk * np.int64(1 << 31) + ids),
+                "one": pa.array(np.ones(len(ids), dtype=np.int64)),
+            }
+        )
+
+    ranked = ordered_prefix_sum(
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True),
+        order_col="okey",
+        value_col="one",
+        by_col="source",
+        out_col="cum",
+    )
+    return ranked.map_batches(
+        lambda t: t.filter(pc.less_equal(t["cum"], target)).select(
+            ["doc_id", "source"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def pack_sequences_tokens(sf_dir: str, seq_len: int = 2048) -> ray.data.Dataset:
     """REAL sequence packing: produce the packed fixed-length token
     sequences themselves (not just the assignment) — per source, documents'

@@ -215,3 +215,101 @@ def test_pack_sequences_tokens_matches_bruteforce(ray_session):
             )
             i += 1
     assert i == len(got)
+
+
+def _fixture_tokens():
+    """Brute-force per-doc token arrays on the sf0.001 fixture, doc_id order."""
+    from realtime_clickstream_lakehouse_ray.functions.hashing import hash64
+    from realtime_clickstream_lakehouse_ray.functions.textstats import split_words
+    from realtime_clickstream_lakehouse_ray.sources.synth import VOCAB
+
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "source", "text"]
+    ).sort_by("doc_id")
+    words = split_words(docs["text"])
+    vals = (hash64(words.flatten()) % np.uint64(VOCAB)).astype(np.int32)
+    toks = pa.ListArray.from_arrays(words.offsets, pa.array(vals, pa.int32()))
+    return docs, toks
+
+
+def test_split_sequences_matches_bruteforce(ray_session):
+    """Chunk token arrays equal per-doc numpy slicing at L=32 (short last
+    chunks, multi-chunk docs), and chunks reassemble to the original doc."""
+    L = 32
+    got = (
+        mixture.split_sequences(SF, max_len=L)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"], ignore_index=True)
+    )
+    docs, toks = _fixture_tokens()
+    ids = np.asarray(docs["doc_id"])
+    i = 0
+    for j, d in enumerate(ids):
+        arr = np.asarray(toks[j].values)
+        for q in range(-(-len(arr) // L)):
+            row = got.iloc[i]
+            assert (row["doc_id"], row["chunk_id"]) == (d, q)
+            chunk = np.asarray(row["tokens"])
+            assert np.array_equal(chunk, arr[q * L : (q + 1) * L])
+            assert row["n_tok"] == len(chunk)
+            i += 1
+    assert i == len(got)
+
+
+def test_split_sequences_rejects_bad_len(ray_session):
+    with pytest.raises(ValueError, match="max_len"):
+        mixture.split_sequences(SF, max_len=0)
+
+
+def test_vocab_remap_matches_bruteforce(ray_session):
+    """Remapped values equal the affine map applied per element; offsets
+    (doc structure) untouched; bijection check on the whole corpus."""
+    from realtime_clickstream_lakehouse_ray.sources.synth import VOCAB
+
+    mult, add = 31, 7
+    got = (
+        mixture.vocab_remap(SF, mult=mult, add=add)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    docs, toks = _fixture_tokens()
+    assert np.array_equal(np.asarray(got["doc_id"]), np.asarray(docs["doc_id"]))
+    for j in range(len(docs)):
+        orig = np.asarray(toks[j].values).astype(np.int64)
+        exp = ((mult * orig + add) % VOCAB).astype(np.int32)
+        assert np.array_equal(np.asarray(got.iloc[j]["tokens"]), exp)
+    # bijection: distinct token count is invariant under the remap
+    all_orig = np.asarray(toks.values).astype(np.int64)
+    all_new = (mult * all_orig + add) % VOCAB
+    assert len(np.unique(all_orig)) == len(np.unique(all_new))
+
+
+def test_vocab_remap_rejects_degenerate_mult(ray_session):
+    from realtime_clickstream_lakehouse_ray.sources.synth import VOCAB
+
+    with pytest.raises(ValueError, match="mult"):
+        mixture.vocab_remap(SF, mult=VOCAB * 2)
+
+
+def test_balanced_resample_uniform_and_deterministic(ray_session):
+    """Every source keeps exactly min(per-source count) docs, and the kept
+    set equals the brute-force smallest-hash-rank selection."""
+    got = (
+        mixture.balanced_resample(SF)
+        .to_pandas()
+        .sort_values(["source", "doc_id"], ignore_index=True)
+    )
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "source"])
+    df = docs.to_pandas()
+    target = int(df.groupby("source").size().min())
+    sizes = got.groupby("source").size()
+    assert set(sizes.index) == set(df["source"].unique())
+    assert (sizes == target).all()
+    df["rk"] = ((df["doc_id"] % 100000007) * 2654435761) % 4294967296
+    exp = (
+        df.sort_values(["source", "rk", "doc_id"])
+        .groupby("source")
+        .head(target)[["doc_id", "source"]]
+        .sort_values(["source", "doc_id"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got[["doc_id", "source"]], exp)
