@@ -65,6 +65,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": filters.quality_filter,
         "decontaminate": filters.decontaminate,
         "embedding_outliers": filters.embedding_outliers,
+        # data-driven per-source length gate via the exact distributed
+        # quantile primitive (two streaming scans + broadcast cut table)
+        "length_percentile_filter": filters.length_percentile_filter,
         "repetition_stats": filters.repetition_stats,
         "pii_redact": filters.pii_redact,
         # --- mixture construction (deterministic, oracle-exact) ---------
@@ -91,6 +94,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "n_tok"]
         ),
         "balanced_resample": mixture.balanced_resample,
+        # integer-exact largest-remainder source quotas (Hamilton method)
+        "proportional_quota_sample": mixture.proportional_quota_sample,
         # --- corpus statistics (explode/flat-map family) ----------------
         "word_freq_topk": corpus.word_freq_topk,
         "doc_rarity": corpus.doc_rarity,
@@ -673,6 +678,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) WHERE rn <= 40
         """,
+        "length_percentile_filter": """
+            WITH q AS (
+                SELECT source, quantile_disc(n_chars, 0.10) AS cut
+                FROM documents GROUP BY source
+            )
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d JOIN q USING (source)
+            WHERE d.n_chars >= q.cut
+        """,
         "quality_filter": f"""
             SELECT doc_id, n_words, mean_word_len, top_word_ratio, uniq_ratio,
                    (n_words BETWEEN 20 AND 400)
@@ -838,6 +852,37 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
             SELECT doc_id, source FROM r, t WHERE rn <= target
+        """,
+        "proportional_quota_sample": """
+            WITH c AS (
+                SELECT source, count(*) AS cnt FROM documents GROUP BY source
+            ),
+            tot AS (SELECT sum(cnt) AS n FROM c),
+            base AS (
+                SELECT source, cnt,
+                       (300 * cnt) // n AS fl,
+                       (300 * cnt) % n AS rem
+                FROM c, tot
+            ),
+            lv AS (SELECT 300 - sum(fl) AS leftover FROM base),
+            q AS (
+                SELECT source,
+                       fl + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                                      <= leftover
+                            THEN 1 ELSE 0 END AS quota
+                FROM base, lv
+            ),
+            r AS (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY ((doc_id % 100000007) * 2654435761)
+                                    % 4294967296, doc_id
+                       ) AS rn
+                FROM documents
+            )
+            SELECT r.doc_id, r.source FROM r JOIN q USING (source)
+            WHERE rn <= quota
         """,
         "pack_sequences_assign": """
             SELECT doc_id, source,

@@ -330,3 +330,43 @@ def repetition_stats(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def length_percentile_filter(sf_dir: str, q: float = 0.10) -> ray.data.Dataset:
+    """Per-source length-percentile gate: drop every document whose
+    ``n_chars`` falls below its source's exact ``q``-th discrete
+    percentile — the data-driven version of a fixed min-length rule
+    (sources have different length profiles, so one global threshold
+    over- or under-prunes).
+
+    Scale shape: the cut points come from the exact distributed-selection
+    primitive (``quantile.quantile_disc_by`` — two streaming scans, no
+    sort, driver holds only occupied histogram bins), then one broadcast
+    of the tiny (source -> cut) table and one stateless filtering
+    ``map_batches``.  No shuffle anywhere."""
+    import pyarrow.compute as pc
+
+    from realtime_clickstream_lakehouse_ray.pipelines.quantile import (
+        quantile_disc_by,
+    )
+
+    ds = _read_docs(sf_dir, ["doc_id", "source", "n_chars"])
+    cuts = quantile_disc_by(ds, value_col="n_chars", group_col="source", qs={"cut": q})
+    cut_ref = ray.put(
+        dict(
+            zip(
+                np.asarray(cuts["source"]).astype(str),
+                np.asarray(cuts["cut"]),
+            )
+        )
+    )
+
+    def gate(t: pa.Table) -> pa.Table:
+        cut = ray.get(cut_ref)  # tiny broadcast dict, local fetch
+        src = np.asarray(t["source"]).astype(str)
+        thr = np.array([cut[s] for s in np.unique(src)])
+        thr_per_row = thr[np.searchsorted(np.unique(src), src)]
+        keep = np.asarray(t["n_chars"], dtype=np.float64) >= thr_per_row
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)

@@ -283,19 +283,9 @@ def vocab_remap(sf_dir: str, mult: int = 31, add: int = 7) -> ray.data.Dataset:
     )
 
 
-def balanced_resample(sf_dir: str) -> ray.data.Dataset:
-    """Integer-exact per-source balancing: every source keeps exactly
-    ``target = min(per-source doc count)`` documents — the ones with the
-    smallest deterministic hash rank (ties by doc_id) — so the resampled
-    mixture is uniform across sources with zero RNG state.
-
-    Scale shape: per-source counts come from per-batch vectorized partials
-    (driver sees #sources × #batches tiny rows, never documents); the
-    rank-within-source filter is the distributed ordered-prefix-sum
-    primitive — ONE narrow sort of (okey, source, one), text never moves.
-    The order key packs (rank, doc_id) into int64 (rank < 2^32, doc_id <
-    2^31 asserted), preserving (rank, doc_id) order."""
-    ds = _read_docs(sf_dir, ["doc_id", "source"])
+def _source_counts(ds: ray.data.Dataset):
+    """Per-source doc counts via per-batch vectorized partials — the
+    driver sees #sources × #batches tiny rows, never documents."""
 
     def partial_counts(t: pa.Table) -> pa.Table:
         vc = t["source"].combine_chunks().value_counts()
@@ -306,18 +296,24 @@ def balanced_resample(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    counts = ds.map_batches(
+    df = ds.map_batches(
         partial_counts, batch_format="pyarrow", zero_copy_batch=True
     ).to_pandas()
-    if counts.empty:
-        target = 0
-    else:
-        target = int(counts.groupby("source")["cnt"].sum().min())
+    if df.empty:
+        return df
+    return df.groupby("source")["cnt"].sum()
+
+
+def _rank_within_source(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Appends ``cum`` = 1-based rank within source by deterministic hash
+    order (ties by doc_id) via the ordered-prefix-sum primitive — ONE
+    narrow sort of (okey, source, one); the order key packs (rank, doc_id)
+    into int64 (rank < 2^32, doc_id < 2^31 asserted)."""
 
     def tag(t: pa.Table) -> pa.Table:
         ids = np.asarray(t["doc_id"]).astype(np.int64)
         if len(ids) and (ids.min() < 0 or ids.max() >= (1 << 31)):
-            raise ValueError("balanced_resample requires doc_id in [0, 2^31)")
+            raise ValueError("source-rank sampling requires doc_id in [0, 2^31)")
         rk = ((ids % 100000007) * 2654435761) % 4294967296
         return pa.table(
             {
@@ -328,14 +324,72 @@ def balanced_resample(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    ranked = ordered_prefix_sum(
+    return ordered_prefix_sum(
         ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True),
         order_col="okey",
         value_col="one",
         by_col="source",
         out_col="cum",
     )
-    return ranked.map_batches(
+
+
+def proportional_quota_sample(sf_dir: str, total: int = 300) -> ray.data.Dataset:
+    """Weighted mixture construction: allocate an integer per-source quota
+    proportional to source size by the largest-remainder (Hamilton)
+    method — quotas sum EXACTLY to ``total`` (when ``total`` ≤ corpus
+    size) with no RNG — then keep each source's ``quota`` smallest-hash-
+    rank documents.
+
+    Scale shape: quotas derive from the tiny per-source count table on the
+    driver (#sources rows); membership is the same one-narrow-sort rank
+    filter as ``balanced_resample`` with a per-source threshold looked up
+    vectorized from the broadcast quota table."""
+    ds = _read_docs(sf_dir, ["doc_id", "source"])
+    counts = _source_counts(ds)
+    if len(counts) == 0:
+        return ds.limit(0)
+    srcs = np.array(sorted(counts.index), dtype=object)
+    cnt = counts.loc[srcs].to_numpy(dtype=np.int64)
+    n = int(cnt.sum())
+    fl = (total * cnt) // n
+    rem = (total * cnt) % n
+    leftover = int(total - fl.sum())
+    # +1 to the `leftover` largest remainders; ties broken by source name
+    # ascending (matches the SQL ORDER BY rem DESC, source)
+    order = np.lexsort((srcs, -rem))
+    bump = np.zeros(len(srcs), dtype=np.int64)
+    bump[order[:leftover]] = 1
+    quota = dict(zip(srcs, fl + bump))
+    quota_ref = ray.put(quota)
+
+    def gate(t: pa.Table) -> pa.Table:
+        q = ray.get(quota_ref)
+        src = np.asarray(t["source"]).astype(object)
+        uniq = np.unique(src)
+        thr = np.array([q[s] for s in uniq], dtype=np.int64)
+        keep = np.asarray(t["cum"]) <= thr[np.searchsorted(uniq, src)]
+        return t.filter(pa.array(keep)).select(["doc_id", "source"])
+
+    return _rank_within_source(ds).map_batches(
+        gate, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def balanced_resample(sf_dir: str) -> ray.data.Dataset:
+    """Integer-exact per-source balancing: every source keeps exactly
+    ``target = min(per-source doc count)`` documents — the ones with the
+    smallest deterministic hash rank (ties by doc_id) — so the resampled
+    mixture is uniform across sources with zero RNG state.
+
+    Scale shape: per-source counts come from per-batch vectorized partials
+    (driver sees #sources × #batches tiny rows, never documents); the
+    rank-within-source filter is the distributed ordered-prefix-sum
+    primitive (``_rank_within_source``) — ONE narrow sort, text never
+    moves."""
+    ds = _read_docs(sf_dir, ["doc_id", "source"])
+    counts = _source_counts(ds)
+    target = int(counts.min()) if len(counts) else 0
+    return _rank_within_source(ds).map_batches(
         lambda t: t.filter(pc.less_equal(t["cum"], target)).select(
             ["doc_id", "source"]
         ),

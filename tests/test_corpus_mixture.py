@@ -313,3 +313,39 @@ def test_balanced_resample_uniform_and_deterministic(ray_session):
         .sort_values(["source", "doc_id"], ignore_index=True)
     )
     pd.testing.assert_frame_equal(got[["doc_id", "source"]], exp)
+
+
+def test_proportional_quota_sample_exact_total(ray_session):
+    """Quotas sum exactly to the requested total (largest remainder), are
+    proportional to source sizes, and the kept set equals brute force."""
+    total = 101
+    got = (
+        mixture.proportional_quota_sample(SF, total=total)
+        .to_pandas()
+        .sort_values(["source", "doc_id"], ignore_index=True)
+    )
+    assert len(got) == total
+    df = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "source"]
+    ).to_pandas()
+    cnt = df.groupby("source").size().sort_index()
+    n = int(cnt.sum())
+    fl = (total * cnt) // n
+    rem = (total * cnt) % n
+    leftover = int(total - fl.sum())
+    order = rem.rename("rem").reset_index().sort_values(
+        ["rem", "source"], ascending=[False, True]
+    )["source"]
+    quota = fl.copy()
+    quota.loc[order.iloc[:leftover]] += 1
+    sizes = got.groupby("source").size()
+    for s in cnt.index:
+        assert sizes.get(s, 0) == quota[s]
+    df["rk"] = ((df["doc_id"] % 100000007) * 2654435761) % 4294967296
+    exp = pd.concat(
+        [
+            g.sort_values(["rk", "doc_id"]).head(int(quota[s]))
+            for s, g in df.groupby("source")
+        ]
+    )[["doc_id", "source"]].sort_values(["source", "doc_id"], ignore_index=True)
+    pd.testing.assert_frame_equal(got[["doc_id", "source"]], exp)

@@ -244,3 +244,33 @@ class TestShardManifest:
         a = out.sort_values("doc_id", ignore_index=True)
         b = again.sort_values("doc_id", ignore_index=True)
         assert a.equals(b)
+
+
+def test_length_percentile_filter_planted(tmp_path):
+    """Per-source p10 gate: source A's shortest-of-ten is dropped while an
+    equal-length doc in short-profile source B survives (the reason the
+    gate is per-source, not global)."""
+    # source a: n_chars 10,20,...,100 -> p10 cut = 10 (rank ceil(0.1*10)=1)
+    # but quantile_disc keeps values >= cut, so 10 survives; use 11 docs so
+    # the cut lands above the minimum: 10..110, rank ceil(1.1)=2 -> cut=20
+    rows_a = [(i, "a", 10 * (i + 1)) for i in range(11)]
+    rows_b = [(100 + i, "b", 5 + i) for i in range(11)]  # 5..15, cut=6
+    ids, srcs, ncs = zip(*(rows_a + rows_b))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "source": pa.array(srcs, pa.string()),
+                "n_chars": pa.array(ncs, pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = (
+        filters.length_percentile_filter(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    # source a: doc 0 (n_chars=10 < 20) dropped; source b: doc 100 (5 < 6)
+    # dropped even though 5-15 are all far below source a's cut
+    assert set(got["doc_id"]) == (set(range(1, 11)) | set(range(101, 111)))
