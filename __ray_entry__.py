@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- corpus statistics (explode/flat-map family) ----------------
         "word_freq_topk": corpus.word_freq_topk,
         "doc_rarity": corpus.doc_rarity,
+        # integer-exact phrase-level quality score (two-pass DF broadcast)
+        "ngram_novelty": corpus.ngram_novelty,
         "chunk_documents": corpus.chunk_documents,
         "token_histogram": corpus.token_histogram,
         "corpus_rollup": corpus.corpus_rollup,
@@ -144,6 +146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": clickstream.events_funnel,
         "events_user_rank": window.events_user_rank,
         "events_sliding_counts": window.events_sliding_counts,
+        # streaming allowed-lateness gate via the ordered-prefix-max primitive
+        "events_watermark_filter": window.events_watermark_filter,
         "customer_order_lag": window.customer_order_lag,
         "top_lineitems_per_supplier": window.top_lineitems_per_supplier,
         "daily_distinct_users": window.daily_distinct_users,
@@ -527,6 +531,25 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS n_win
             FROM events
         """,
+        "events_watermark_filter": """
+            WITH a AS (
+                SELECT event_id, user_id, ts,
+                       event_id
+                       + CAST(((event_id % 100000007) * 2654435761)
+                              % 4294967296 % 101 AS BIGINT) - 50 AS arr
+                FROM events
+            ),
+            w AS (
+                SELECT event_id, user_id, ts,
+                       max(ts) OVER (
+                           ORDER BY arr, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ) AS wm
+                FROM a
+            )
+            SELECT event_id, user_id, ts FROM w
+            WHERE wm IS NULL OR epoch_us(ts) >= epoch_us(wm) - 21600000000
+        """,
         "events_pivot": """
             SELECT user_id,
                    count(*) FILTER (WHERE event_type = 'click')    AS n_click,
@@ -761,6 +784,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT word, CAST(count(*) AS BIGINT) AS n
             FROM (SELECT unnest({words}) AS word FROM documents)
             GROUP BY word ORDER BY n DESC, word LIMIT 100
+        """,
+        "ngram_novelty": f"""
+            WITH d AS (SELECT doc_id, {words} AS l FROM documents),
+            bg AS (
+                SELECT doc_id, l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] AS g
+                FROM d, UNNEST(range(len(l) - 2)) AS t(i)
+            ),
+            df AS (SELECT g, count(DISTINCT doc_id) AS dd FROM bg GROUP BY g)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(count(*) FILTER (WHERE dd >= 2) AS BIGINT) AS n_shared,
+                   CAST(count(*) FILTER (WHERE dd >= 2) AS DOUBLE) / count(*)
+                       AS shared_ratio
+            FROM bg JOIN df USING (g)
+            GROUP BY doc_id
         """,
         "doc_rarity": f"""
             WITH w AS (SELECT doc_id, unnest({words}) AS word FROM documents),

@@ -93,3 +93,75 @@ def ordered_prefix_sum(
     return sorted_ds.map_batches(
         add_cum, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+#: "no predecessor" marker emitted by :func:`ordered_prefix_max` — callers
+#: treat it as SQL NULL (the window frame is empty).
+PREFIX_MAX_NONE = np.iinfo(np.int64).min
+
+
+def ordered_prefix_max(
+    ds: ray.data.Dataset,
+    order_col: str,
+    value_col: str,
+    out_col: str = "wm",
+) -> ray.data.Dataset:
+    """EXCLUSIVE global running maximum of ``value_col`` in ``order_col``
+    order (SQL ``MAX(v) OVER (ORDER BY o ROWS BETWEEN UNBOUNDED PRECEDING
+    AND 1 PRECEDING)``) — the streaming-watermark primitive.  Appends
+    ``out_col`` (int64; ``PREFIX_MAX_NONE`` where the frame is empty).
+
+    Same shape as :func:`ordered_prefix_sum`: ONE narrow sort, a per-block
+    (min order key, block max) summary pass (#blocks rows on the driver),
+    then a per-block vectorized ``np.maximum.accumulate`` seeded with the
+    exclusive running max of the preceding blocks' maxima.  ``order_col``
+    values must be globally unique so equal keys cannot straddle blocks."""
+    sorted_ds = ds.sort(order_col).materialize()
+
+    def block_summary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"__min_order": pa.array([], type=pa.int64()),
+                 "__max": pa.array([], type=pa.int64())}
+            )
+        return pa.table(
+            {
+                "__min_order": pa.array(
+                    [int(np.asarray(t[order_col]).min())], type=pa.int64()
+                ),
+                "__max": pa.array(
+                    [int(np.asarray(t[value_col]).max())], type=pa.int64()
+                ),
+            }
+        )
+
+    summaries = (
+        sorted_ds.map_batches(
+            block_summary, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .to_pandas()  # one row per block
+        .sort_values("__min_order", kind="mergesort", ignore_index=True)
+    )
+    carries: dict[int, int] = {}
+    running = PREFIX_MAX_NONE
+    for mo, mx in summaries.itertuples(index=False):
+        carries[int(mo)] = running
+        running = max(running, int(mx))
+    carry_ref = ray.put(carries)
+
+    def add_wm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], type=pa.int64()))
+        carry = ray.get(carry_ref)[int(np.asarray(t[order_col]).min())]
+        v = np.asarray(t[value_col]).astype(np.int64)
+        incl = np.maximum.accumulate(v)
+        excl = np.empty(len(v), dtype=np.int64)
+        excl[0] = carry
+        if len(v) > 1:
+            excl[1:] = np.maximum(incl[:-1], carry)
+        return t.append_column(out_col, pa.array(excl))
+
+    return sorted_ds.map_batches(
+        add_wm, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

@@ -425,3 +425,116 @@ def heavy_hitter_words(sf_dir: str, inv_phi: int = 512, cap: int = 1024) -> pa.T
     ok = counts * inv_phi >= total
     out = pa.table({"word": pa.array(cand[ok]), "n": pa.array(counts[ok])})
     return out.sort_by([("n", "descending"), ("word", "ascending")])
+
+
+# ---------------------------------------------------------------------------
+def _doc_ngram_rows(t: pa.Table, n: int) -> tuple[np.ndarray, pa.Array]:
+    """Per-batch (doc_row, ngram-string) pairs: word n-grams built with
+    n Arrow takes + ONE binary_join_element_wise — fully vectorized, no
+    per-row Python."""
+    words = split_words(t["text"])
+    offsets = np.asarray(words.offsets, dtype=np.int64)
+    lengths = np.diff(offsets)
+    flat = words.flatten()
+    total = len(flat)
+    if total < n or len(t) == 0:
+        return np.empty(0, dtype=np.int64), pa.array([], pa.string())
+    doc_per_pos = np.repeat(np.arange(len(t), dtype=np.int64), lengths)
+    # an n-gram starting at position i is valid iff i and i+n-1 fall in
+    # the same document
+    valid = doc_per_pos[: total - n + 1] == doc_per_pos[n - 1:]
+    idx = np.flatnonzero(valid)
+    if not len(idx):
+        return np.empty(0, dtype=np.int64), pa.array([], pa.string())
+    parts = [flat.take(pa.array(idx + j)) for j in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    return doc_per_pos[idx], grams
+
+
+def ngram_novelty(sf_dir: str, n: int = 3) -> ray.data.Dataset:
+    """Per-document n-gram novelty — the integer-exact cousin of LM-based
+    quality scoring: for each document, how many of its word ``n``-gram
+    occurrences also appear in at least one OTHER document
+    (``n_shared``), the total (``n_grams``), and the shared ratio.  Low
+    ratio = novel text; ratio 1.0 = boilerplate assembled from corpus-
+    common phrases.  Documents with fewer than ``n`` words emit no row
+    (they have no n-grams), matching the oracle's inner join.
+
+    Scale shape (two passes, the ``tfidf_top_terms`` broadcast regime):
+
+      pass 1  per-batch partials collapse to DISTINCT (ngram, doc) pairs
+              before the shuffle, then ``groupby(ngram).sum`` computes
+              document frequency; only grams with df >= 2 survive —
+              broadcast ONCE as a sorted hash64 set (phrase-vocabulary
+              sized; the documented large-set fallback is the bucketed
+              hash join on the gram hash, as in ``ngram_jaccard_dedup``).
+      pass 2  one stateless vectorized ``map_batches``: rebuild grams,
+              membership via searchsorted, two bincounts per batch.
+
+    The broadcast membership test uses 64-bit gram hashes (collision
+    odds ~(distinct grams)^2 / 2^64 — negligible, same contract as the
+    engine's other hashed-identity kernels)."""
+    from realtime_clickstream_lakehouse_ray.functions.broadcast import get_broadcast
+    from realtime_clickstream_lakehouse_ray.functions.hashing import hash64
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        doc_rows, grams = _doc_ngram_rows(t, n)
+        if not len(doc_rows):
+            return pa.table(
+                {"g": pa.array([], pa.string()), "n_part": pa.array([], pa.int64())}
+            )
+        uniq, codes = np.unique(np.asarray(grams).astype(object), return_inverse=True)
+        # distinct (gram, doc) pairs within the batch
+        key = codes.astype(np.int64) * len(t) + doc_rows
+        gcode = np.unique(key) // len(t)
+        n_docs = np.bincount(gcode, minlength=len(uniq)).astype(np.int64)
+        return pa.table({"g": pa.array(uniq.astype(str)), "n_part": pa.array(n_docs)})
+
+    df = (
+        docs.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("g")
+        .aggregate(Sum("n_part", alias_name="df"))
+    )
+
+    def shared_partial(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.greater_equal(t["df"], 2))
+        return pa.table({"h": pa.array(np.sort(hash64(keep["g"])))})
+
+    shared_parts = df.map_batches(
+        shared_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    shared_ref = ray.put(np.sort(shared_parts["h"].to_numpy().astype(np.uint64)))
+
+    def score(t: pa.Table) -> pa.Table:
+        doc_rows, grams = _doc_ngram_rows(t, n)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_grams": pa.array([], pa.int64()),
+                "n_shared": pa.array([], pa.int64()),
+                "shared_ratio": pa.array([], pa.float64()),
+            }
+        )
+        if not len(doc_rows):
+            return empty
+        shared = get_broadcast(shared_ref)
+        h = hash64(grams)
+        pos = np.searchsorted(shared, h)
+        in_r = pos < len(shared)
+        member = np.zeros(len(h), dtype=bool)
+        member[in_r] = shared[pos[in_r]] == h[in_r]
+        total = np.bincount(doc_rows, minlength=len(t)).astype(np.int64)
+        hit = np.bincount(doc_rows[member], minlength=len(t)).astype(np.int64)
+        has = total > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(np.asarray(t["doc_id"])[has]),
+                "n_grams": pa.array(total[has]),
+                "n_shared": pa.array(hit[has]),
+                "shared_ratio": pa.array(hit[has] / total[has]),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -263,3 +263,65 @@ def events_sliding_counts(sf_dir: str, window_s: int = 1800) -> ray.data.Dataset
         .groupby("__bucket")
         .map_groups(win_bucket, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+def events_watermark_filter(sf_dir: str, late_after_s: int = 21600) -> ray.data.Dataset:
+    """Streaming late-data gate: drop every event whose event time trails
+    the watermark — the maximum event time over all EARLIER-ARRIVING
+    events, any user — by more than ``late_after_s`` seconds.  This is the
+    allowed-lateness semantics of a streaming engine's event-time window
+    (the reference's Spark Structured Streaming job relies on
+    ``withWatermark``-style bounds implicitly via availableNow batches).
+
+    The events table records event time only, so arrival order is
+    simulated by a deterministic integer jitter permutation
+    (``arr = event_id + hash(event_id) % 101 - 50`` — a locally shuffled,
+    globally ordered stream, the realistic shape of a distributed
+    ingest); the identical integer expression runs in the SQL oracle, so
+    the check is exact.
+
+    Scale shape: the watermark is the engine's ordered-prefix-MAX
+    primitive (``functions.prefix.ordered_prefix_max``) — ONE narrow sort
+    of (okey, ts_us) + two streaming passes with a #blocks-row driver
+    summary — followed by a stateless vectorized gate.  Nothing about the
+    stream is held on the driver."""
+    from realtime_clickstream_lakehouse_ray.functions.prefix import (
+        PREFIX_MAX_NONE,
+        ordered_prefix_max,
+    )
+
+    late_us = int(late_after_s) * 1_000_000
+
+    def tag(t: pa.Table) -> pa.Table:
+        eid = np.asarray(t["event_id"]).astype(np.int64)
+        if len(eid) and (eid.min() < 0 or eid.max() >= (1 << 31)):
+            raise ValueError(
+                "events_watermark_filter requires event_id in [0, 2^31) "
+                "(the arrival key packs (arr, event_id) into int64)"
+            )
+        jit = ((eid % 100000007) * 2654435761) % 4294967296 % 101
+        arr = eid + jit - 50
+        ts_us = np.asarray(t["ts"]).astype("datetime64[us]").astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "ts_us": pa.array(ts_us),
+                "okey": pa.array(arr * (1 << 31) + eid),
+            }
+        )
+
+    tagged = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"]).map_batches(
+        tag, batch_format="pyarrow", zero_copy_batch=True
+    )
+    with_wm = ordered_prefix_max(tagged, order_col="okey", value_col="ts_us", out_col="wm")
+
+    def gate(t: pa.Table) -> pa.Table:
+        wm = np.asarray(t["wm"])
+        ts_us = np.asarray(t["ts_us"])
+        keep = (wm == PREFIX_MAX_NONE) | (ts_us >= wm - late_us)
+        return t.filter(pa.array(keep)).select(["event_id", "user_id", "ts"])
+
+    return with_wm.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)

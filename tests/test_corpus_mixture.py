@@ -349,3 +349,62 @@ def test_proportional_quota_sample_exact_total(ray_session):
         ]
     )[["doc_id", "source"]].sort_values(["source", "doc_id"], ignore_index=True)
     pd.testing.assert_frame_equal(got[["doc_id", "source"]], exp)
+
+
+def test_ngram_novelty_planted(tmp_path, ray_session):
+    """Trigram novelty vs a hand-computed reference: a doc assembled
+    entirely from another doc's phrases scores 1.0; a fully novel doc
+    scores 0.0; <3-word docs emit no row."""
+    texts = {
+        0: "the cat sat on the mat",        # trigrams: 4
+        1: "the cat sat on the mat today",  # shares doc 0's 4, adds 2 novel
+        2: "completely novel words here",   # 2 trigrams, none shared
+        3: "too short",                     # no trigram -> no row
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(texts), pa.int64()),
+                "text": pa.array(list(texts.values()), pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = (
+        corpus.ngram_novelty(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert list(got["doc_id"]) == [0, 1, 2]
+    assert list(got["n_grams"]) == [4, 5, 2]
+    # doc 1's "on the mat"/"the mat today" tail: only the first 4 positions
+    # ("the cat sat".."on the mat") also occur in doc 0
+    assert list(got["n_shared"]) == [4, 4, 0]
+    assert list(got["shared_ratio"]) == [1.0, 0.8, 0.0]
+
+
+def test_ngram_novelty_brute_force(ray_session):
+    """Exact match against a pure-Python reference on the sf0.001 corpus."""
+    from collections import Counter
+
+    got = (
+        corpus.ngram_novelty(SF)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    df = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    doc_grams, dfreq = {}, Counter()
+    for did, text in zip(df["doc_id"], df["text"]):
+        w = text.split()
+        grams = [" ".join(w[i : i + 3]) for i in range(len(w) - 2)]
+        doc_grams[did] = grams
+        dfreq.update(set(grams))
+    rows = []
+    for did in sorted(doc_grams):
+        grams = doc_grams[did]
+        if not grams:
+            continue
+        shared = sum(1 for g in grams if dfreq[g] >= 2)
+        rows.append((did, len(grams), shared, shared / len(grams)))
+    exp = pd.DataFrame(rows, columns=["doc_id", "n_grams", "n_shared", "shared_ratio"])
+    pd.testing.assert_frame_equal(got, exp.astype({"doc_id": "int64", "n_grams": "int64", "n_shared": "int64"}))

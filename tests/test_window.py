@@ -144,3 +144,73 @@ def test_sliding_counts_peer_and_boundary(tmp_path):
     assert out.loc[2, "n_win"] == 3  # includes both at exactly -1800s
     assert out.loc[3, "n_win"] == 1
     assert out.loc[4, "n_win"] == 1
+
+
+class TestOrderedPrefixMax:
+    def test_matches_pandas_cummax_shift(self, ray_session):
+        from realtime_clickstream_lakehouse_ray.functions.prefix import (
+            PREFIX_MAX_NONE,
+            ordered_prefix_max,
+        )
+
+        rng = np.random.default_rng(11)
+        n = 20_000
+        df = pd.DataFrame(
+            {
+                "okey": rng.permutation(n).astype(np.int64),
+                "v": rng.integers(-(10**9), 10**9, n),
+            }
+        )
+        got = (
+            ordered_prefix_max(
+                ray.data.from_pandas(df).repartition(16),
+                order_col="okey", value_col="v", out_col="wm",
+            )
+            .to_pandas()
+            .sort_values("okey", ignore_index=True)
+        )
+        exp = df.sort_values("okey", ignore_index=True)
+        wm = exp["v"].cummax().shift(1)
+        exp_wm = wm.fillna(PREFIX_MAX_NONE).astype(np.int64)
+        assert (got["wm"].to_numpy() == exp_wm.to_numpy()).all()
+
+
+class TestWatermarkFilter:
+    def test_matches_pandas_reference(self, tmp_path, ray_session):
+        """Late-event gate vs a pandas replay of the same jittered arrival
+        order; the fixture's random timestamps guarantee genuine drops."""
+        from realtime_clickstream_lakehouse_ray.pipelines import window as W
+
+        rng = np.random.default_rng(5)
+        n = 3_000
+        eid = np.arange(n, dtype=np.int64)
+        base = np.datetime64("2024-03-01T00:00:00", "us")
+        ts = base + rng.integers(0, 86_400 * 30, n) * np.timedelta64(1_000_000, "us")
+        tbl = pa.table(
+            {
+                "event_id": pa.array(eid),
+                "ts": pa.array(ts),
+                "user_id": pa.array(rng.integers(0, 50, n)),
+                "event_type": pa.array(["view"] * n),
+                "value": pa.array(np.zeros(n)),
+                "props": pa.array(["{}"] * n),
+            }
+        )
+        import pyarrow.parquet as pq
+
+        pq.write_table(tbl, str(tmp_path / "events.parquet"))
+        late_after_s = 21_600
+        got = (
+            W.events_watermark_filter(str(tmp_path), late_after_s=late_after_s)
+            .to_pandas()
+            .sort_values("event_id", ignore_index=True)
+        )
+        jit = ((eid % 100000007) * 2654435761) % 4294967296 % 101
+        order = np.lexsort((eid, eid + jit - 50))
+        ts_us = ts.astype("datetime64[us]").astype(np.int64)[order]
+        wm = pd.Series(ts_us).cummax().shift(1)
+        keep_sorted = wm.isna() | (ts_us >= wm - late_after_s * 1_000_000)
+        kept_ids = np.sort(eid[order][keep_sorted.to_numpy()])
+        n_dropped = n - len(kept_ids)
+        assert 0 < n_dropped < n  # fixture exercises the drop path
+        assert (got["event_id"].to_numpy() == kept_ids).all()
