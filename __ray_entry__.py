@@ -175,6 +175,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- maintenance engine (SURVEY.md §2.12, the north rule) -------
         "maintenance_compact": maintenance.maintenance_compact,
         "maintenance_zorder": maintenance.maintenance_zorder,
+        # stats-based file skipping over a clustered snapshot
+        "maintenance_pruned_scan": maintenance.maintenance_pruned_scan,
         "maintenance_merge": maintenance.maintenance_merge,
         "maintenance_delete": maintenance.maintenance_delete,
         "maintenance_update": maintenance.maintenance_update,
@@ -1096,6 +1098,11 @@ def oracle_sql() -> dict[str, str]:
         # --- maintenance: post-op scans as SQL-checkable relations ------
         "maintenance_compact": docs_scan,
         "maintenance_zorder": docs_scan,
+        "maintenance_pruned_scan": (
+            f"WITH base AS ({_DOCS_BASE}) "
+            f"SELECT {_DOC_KEY} AS doc_id, CAST(nt AS BIGINT) AS n_tok, source "
+            f"FROM base WHERE nt BETWEEN 45 AND 63"
+        ),
         "maintenance_delete": (
             f"WITH base AS ({_DOCS_BASE}) "
             f"SELECT {_DOC_KEY} AS doc_id, CAST(nt AS BIGINT) AS n_tok, source "

@@ -340,3 +340,45 @@ def maintenance_delete_mor(sf_dir: str) -> pa.Table:
     if not first.equals(second):  # defense in depth for the driver check
         raise AssertionError("DV materialization changed the visible relation")
     return second
+
+
+def maintenance_pruned_scan(sf_dir: str, lo: int = 45, hi: int = 63) -> pa.Table:
+    """Stats-based file skipping (the engine's answer to the reference's
+    ``parquet.filterPushdown``, glue_stream.py:295-301, made useful by
+    clustering): ingest -> cluster by (partition, n_tok) so files tile
+    narrow n_tok ranges -> ``scan(min_n_tok=lo, max_n_tok=hi)`` plans
+    ``read_parquet`` over ONLY the files whose manifest stats overlap the
+    band -> the exact row predicate runs vectorized inside the read
+    tasks.  Raises unless the stats prune actually skipped files, so the
+    driver-checked row carries the file-skipping claim (the same
+    defense-in-depth pattern as ``maintenance_compact_partition``)."""
+    t = build_from_documents(sf_dir, _scratch_root(sf_dir, "prune"), rows_per_file=64)
+    # 2-dim (partition, n_tok) degenerates to a partition-led n_tok sort —
+    # exactly what min/max pruning wants; small targets force many files
+    t.zorder(dims=("source", "n_tok"), target_file_bytes=16 << 10)
+    n_all = len(t.files())
+    n_planned = len(
+        [
+            f
+            for f in t.files()
+            if (f.max_n_tok is None or f.max_n_tok >= lo)
+            and (f.min_n_tok is None or f.min_n_tok <= hi)
+        ]
+    )
+    if not n_planned < n_all:
+        raise AssertionError(
+            f"stats prune skipped nothing ({n_planned}/{n_all} files planned)"
+        )
+
+    def row_filter(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(b["n_tok"], lo), pc.less_equal(b["n_tok"], hi))
+        return b.filter(keep)
+
+    ds = t.scan(
+        min_n_tok=lo, max_n_tok=hi, columns=["doc_id", "n_tok", "source"]
+    ).map_batches(row_filter, batch_format="pyarrow", zero_copy_batch=True)
+    got = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+    got = got.set_column(
+        got.column_names.index("n_tok"), "n_tok", got["n_tok"].cast(pa.int64())
+    )
+    return got.sort_by("doc_id").combine_chunks()

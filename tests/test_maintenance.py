@@ -441,3 +441,25 @@ class TestMetrics:
         # timestamps present and non-decreasing
         ts = [r["timestamp"] for r in m]
         assert all(a <= b for a, b in zip(ts, ts[1:]))
+
+
+class TestPrunedScan:
+    def test_file_skipping_and_exact_band(self, ray_session):
+        """The stats prune must skip a meaningful share of the clustered
+        files, and the returned relation must equal a brute-force filter
+        of the documents table."""
+        import pyarrow.parquet as pq
+
+        from realtime_clickstream_lakehouse_ray.pipelines import maintenance as M
+
+        sf = "/root/testdata/sf0.001"
+        got = M.maintenance_pruned_scan(sf)  # raises if nothing was skipped
+        docs = pq.read_table(sf + "/documents.parquet", columns=["doc_id", "text", "source"])
+        nt = np.array([len(s.split()) for s in docs["text"].to_pylist()], dtype=np.int64)
+        keep = (nt >= 45) & (nt <= 63)
+        ids = np.asarray(docs["doc_id"])[keep]
+        exp_ids = sorted(f"doc-{i:012d}" for i in ids)
+        assert got["doc_id"].to_pylist() == exp_ids
+        got_nt = dict(zip(got["doc_id"].to_pylist(), np.asarray(got["n_tok"])))
+        exp_nt = {f"doc-{i:012d}": int(v) for i, v in zip(ids, nt[keep])}
+        assert got_nt == exp_nt
