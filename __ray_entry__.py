@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_counts": window.events_sliding_counts,
         # streaming allowed-lateness gate via the ordered-prefix-max primitive
         "events_watermark_filter": window.events_watermark_filter,
+        # sequential pattern mining: top 3-step event-type paths
+        "events_user_paths": window.events_user_paths,
         "customer_order_lag": window.customer_order_lag,
         "top_lineitems_per_supplier": window.top_lineitems_per_supplier,
         "daily_distinct_users": window.daily_distinct_users,
@@ -532,6 +534,20 @@ def oracle_sql() -> dict[str, str]:
                        RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW
                    ) AS BIGINT) AS n_win
             FROM events
+        """,
+        "events_user_paths": """
+            WITH s AS (
+                SELECT user_id, event_type,
+                       lead(event_type, 1) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+                       lead(event_type, 2) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS t3
+                FROM events
+            )
+            SELECT event_type || '>' || t2 || '>' || t3 AS path,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM s WHERE t3 IS NOT NULL
+            GROUP BY path ORDER BY n DESC, path LIMIT 20
         """,
         "events_watermark_filter": """
             WITH a AS (

@@ -325,3 +325,61 @@ def events_watermark_filter(sf_dir: str, late_after_s: int = 21600) -> ray.data.
         return t.filter(pa.array(keep)).select(["event_id", "user_id", "ts"])
 
     return with_wm.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+def events_user_paths(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    """Sequential pattern mining: the ``k`` most common 3-step event-type
+    paths users walk (consecutive triples in each user's event-time
+    order; ties on count break by path string, so the set is exact).
+
+    Scale shape: the same one-bucket-shuffle template as the other
+    windows; inside a bucket, triples are counted with NO per-row string
+    work — event types factorize to small integer codes, a triple packs
+    into one int (cardinality ≤ |types|³), and only the ≤|types|³
+    DISTINCT triples are ever rendered back to strings.  Per-bucket
+    partial counts shuffle (#buckets × ≤|types|³ tiny rows) into one
+    ``groupby(path).sum``, then the repo's exact distributed top-k."""
+    from realtime_clickstream_lakehouse_ray.pipelines.relational import topk
+
+    num_buckets = _num_buckets()
+
+    def tag(t: pa.Table) -> pa.Table:
+        return _tag_bucket(
+            t.select(["event_id", "user_id", "ts", "event_type"]),
+            "user_id",
+            num_buckets,
+        )
+
+    def paths_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"path": pd.Series([], dtype=object),
+                              "n_part": pd.Series([], dtype=np.int64)})
+        if len(g) < 3:
+            return empty
+        g = g.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort", ignore_index=True
+        )
+        uid = g["user_id"].to_numpy()
+        codes, types = pd.factorize(g["event_type"])
+        same = (uid[:-2] == uid[1:-1]) & (uid[1:-1] == uid[2:])
+        idx = np.flatnonzero(same)
+        if not len(idx):
+            return empty
+        c = len(types)
+        packed = (codes[idx] * c + codes[idx + 1]) * c + codes[idx + 2]
+        uniq, cnt = np.unique(packed, return_counts=True)
+        t1, rest = np.divmod(uniq, c * c)
+        t2, t3 = np.divmod(rest, c)
+        tarr = types.to_numpy().astype(object)
+        path = tarr[t1] + ">" + tarr[t2] + ">" + tarr[t3]  # ≤|types|³ rows
+        return pd.DataFrame({"path": path, "n_part": cnt.astype(np.int64)})
+
+    counts = (
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+        .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(paths_bucket, batch_format="pandas")
+        .groupby("path")
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+    return topk(counts, keys=[("n", "descending"), ("path", "ascending")], k=k)

@@ -214,3 +214,26 @@ class TestWatermarkFilter:
         n_dropped = n - len(kept_ids)
         assert 0 < n_dropped < n  # fixture exercises the drop path
         assert (got["event_id"].to_numpy() == kept_ids).all()
+
+
+class TestUserPaths:
+    def test_matches_pandas_reference(self, ray_session):
+        from realtime_clickstream_lakehouse_ray.pipelines import window as W
+
+        sf = "/root/testdata/sf0.001"
+        got = W.events_user_paths(sf, k=20).to_pandas()
+        ev = pd.read_parquet(
+            sf + "/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+        ).sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+        et = ev["event_type"].to_numpy().astype(object)
+        uid = ev["user_id"].to_numpy()
+        same = (uid[:-2] == uid[1:-1]) & (uid[1:-1] == uid[2:])
+        p = et[:-2][same] + ">" + et[1:-1][same] + ">" + et[2:][same]
+        exp = (
+            pd.Series(p).value_counts().rename_axis("path").reset_index(name="n")
+            .sort_values(["n", "path"], ascending=[False, True], ignore_index=True)
+            .head(20)
+        )
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), exp.astype({"n": "int64"})
+        )
