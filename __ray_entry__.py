@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rarity": corpus.doc_rarity,
         # integer-exact phrase-level quality score (two-pass DF broadcast)
         "ngram_novelty": corpus.ngram_novelty,
+        # inter-source contamination matrix (exact trigram Jaccard)
+        "source_ngram_overlap": corpus.source_ngram_overlap,
         "chunk_documents": corpus.chunk_documents,
         "token_histogram": corpus.token_histogram,
         "corpus_rollup": corpus.corpus_rollup,
@@ -802,6 +804,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT word, CAST(count(*) AS BIGINT) AS n
             FROM (SELECT unnest({words}) AS word FROM documents)
             GROUP BY word ORDER BY n DESC, word LIMIT 100
+        """,
+        "source_ngram_overlap": f"""
+            WITH d AS (SELECT source, {words} AS l FROM documents),
+            g AS (
+                SELECT DISTINCT source,
+                       l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] AS g
+                FROM d, UNNEST(range(len(l) - 2)) AS t(i)
+            ),
+            cnt AS (SELECT source, count(*) AS nn FROM g GROUP BY source),
+            inter AS (
+                SELECT a.source AS source_a, b.source AS source_b,
+                       count(*) AS n_inter
+                FROM g a JOIN g b USING (g)
+                WHERE a.source < b.source
+                GROUP BY 1, 2
+            )
+            SELECT source_a, source_b,
+                   CAST(n_inter AS BIGINT) AS n_inter,
+                   CAST(ca.nn + cb.nn - n_inter AS BIGINT) AS n_union,
+                   CAST(n_inter AS DOUBLE) / (ca.nn + cb.nn - n_inter) AS jaccard
+            FROM inter
+            JOIN cnt ca ON ca.source = source_a
+            JOIN cnt cb ON cb.source = source_b
         """,
         "ngram_novelty": f"""
             WITH d AS (SELECT doc_id, {words} AS l FROM documents),

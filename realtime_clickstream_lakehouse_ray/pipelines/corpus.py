@@ -538,3 +538,147 @@ def ngram_novelty(sf_dir: str, n: int = 3) -> ray.data.Dataset:
         )
 
     return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def source_ngram_overlap(sf_dir: str, n: int = 3, num_buckets: int = 64) -> pa.Table:
+    """Inter-source contamination matrix: for every pair of sources, the
+    exact Jaccard similarity of their DISTINCT word-``n``-gram sets
+    (``n_inter``, ``n_union``, ``jaccard``; pairs sharing nothing are
+    omitted, matching the oracle's inner join).  This is the corpus-level
+    mix diagnostic run before weighting sources in a training mixture —
+    two "different" crawls with jaccard ~1 are the same data twice.
+
+    Scale shape: batches emit DISTINCT (gram-hash, source-code) pairs
+    (per-batch dedup first), bucketed by gram hash so every copy of a
+    gram lands in one bucket — per-bucket distinct IS global distinct.
+    Inside a bucket each gram's source set becomes a uint64 BITMASK
+    (``bitwise_or.reduceat`` — no per-gram Python); distinct masks
+    (a handful of patterns) expand to per-source and per-pair counts.
+    Only #buckets × ≤|sources|² partial rows reach the driver — the
+    corpus never does.  Supports ≤64 sources (the bitmask width); the
+    documented wider fallback is a second bucket level on source-code
+    blocks.  Gram identity is the 58-bit truncated hash64 (collision
+    odds negligible, same contract as the engine's other hashed-identity
+    kernels)."""
+    from realtime_clickstream_lakehouse_ray.functions.broadcast import get_broadcast
+    from realtime_clickstream_lakehouse_ray.functions.hashing import hash64
+
+    docs = _read_docs(sf_dir, ["source", "text"])
+
+    empty = pa.table(
+        {
+            "source_a": pa.array([], pa.string()),
+            "source_b": pa.array([], pa.string()),
+            "n_inter": pa.array([], pa.int64()),
+            "n_union": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    # tiny: the distinct source list (broadcast as the global code table)
+    src_partials = docs.map_batches(
+        lambda t: pa.table({"source": pc.unique(t["source"].combine_chunks())}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()
+    sources = np.sort(src_partials["source"].unique().astype(object))
+    n_src = len(sources)
+    if n_src == 0:
+        return empty
+    if n_src > 64:
+        raise ValueError(
+            f"source_ngram_overlap supports <=64 sources (bitmask width), got {n_src}"
+        )
+    src_ref = ray.put(sources)
+
+    def explode(t: pa.Table) -> pa.Table:
+        out_empty = pa.table(
+            {"key": pa.array([], pa.uint64()), "__gb": pa.array([], pa.int32())}
+        )
+        srcs = get_broadcast(src_ref)
+        tt = pa.table(
+            {"doc_id": pa.array(np.arange(len(t), dtype=np.int64)), "text": t["text"]}
+        )
+        rows, grams = _doc_ngram_rows(tt, n)
+        if not len(rows):
+            return out_empty
+        h58 = hash64(grams) >> np.uint64(6)  # 58-bit gram id; 6 bits for code
+        sc = np.searchsorted(srcs, np.asarray(t["source"]).astype(object)[rows])
+        key = np.unique(h58 * np.uint64(64) + sc.astype(np.uint64))
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "__gb": pa.array(
+                    ((key >> np.uint64(6)) % np.uint64(num_buckets)).astype(np.int32)
+                ),
+            }
+        )
+
+    def bucket_partials(g: pd.DataFrame) -> pd.DataFrame:
+        uk = np.unique(g["key"].to_numpy().astype(np.uint64))
+        h = uk >> np.uint64(6)
+        sc = (uk & np.uint64(63)).astype(np.int64)
+        first = np.ones(len(h), dtype=bool)
+        first[1:] = h[1:] != h[:-1]
+        starts = np.flatnonzero(first)
+        masks = np.bitwise_or.reduceat(
+            np.uint64(1) << sc.astype(np.uint64), starts
+        )
+        um, mc = np.unique(masks, return_counts=True)
+        per_src = np.zeros(n_src, dtype=np.int64)
+        inter = np.zeros(n_src * n_src, dtype=np.int64)
+        # loop over DISTINCT source-set patterns (≤ min(2^n_src, grams);
+        # in practice a handful), never over grams
+        for m, c in zip(um, mc):
+            bits = np.flatnonzero(
+                (m >> np.arange(n_src, dtype=np.uint64)) & np.uint64(1)
+            )
+            per_src[bits] += int(c)
+            if len(bits) >= 2:
+                a, b = np.triu_indices(len(bits), k=1)
+                np.add.at(inter, bits[a] * n_src + bits[b], int(c))
+        rows = {"kind": [], "code": [], "n": []}
+        nz = np.flatnonzero(per_src)
+        rows["kind"] += ["src"] * len(nz)
+        rows["code"] += nz.tolist()
+        rows["n"] += per_src[nz].tolist()
+        nz = np.flatnonzero(inter)
+        rows["kind"] += ["pair"] * len(nz)
+        rows["code"] += nz.tolist()
+        rows["n"] += inter[nz].tolist()
+        return pd.DataFrame(rows)
+
+    partials = (
+        docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__gb")
+        .map_groups(bucket_partials, batch_format="pandas")
+        .to_pandas()  # ≤ num_buckets × (n_src + n_src²) tiny rows
+    )
+    if partials.empty:
+        return empty
+    agg = partials.groupby(["kind", "code"])["n"].sum()
+    per_src = np.zeros(n_src, dtype=np.int64)
+    for (kind, code), v in agg.items():
+        if kind == "src":
+            per_src[code] = v
+    out_a, out_b, out_i, out_u = [], [], [], []
+    for (kind, code), v in sorted(agg.items()):
+        if kind != "pair":
+            continue
+        a, b = divmod(int(code), n_src)
+        out_a.append(sources[a])
+        out_b.append(sources[b])
+        out_i.append(int(v))
+        out_u.append(int(per_src[a] + per_src[b] - v))
+    if not out_a:
+        return empty
+    return pa.table(
+        {
+            "source_a": pa.array(out_a, pa.string()),
+            "source_b": pa.array(out_b, pa.string()),
+            "n_inter": pa.array(out_i, pa.int64()),
+            "n_union": pa.array(out_u, pa.int64()),
+            "jaccard": pa.array(
+                np.array(out_i, dtype=np.float64) / np.array(out_u, dtype=np.float64)
+            ),
+        }
+    ).sort_by([("source_a", "ascending"), ("source_b", "ascending")])

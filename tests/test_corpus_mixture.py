@@ -408,3 +408,30 @@ def test_ngram_novelty_brute_force(ray_session):
         rows.append((did, len(grams), shared, shared / len(grams)))
     exp = pd.DataFrame(rows, columns=["doc_id", "n_grams", "n_shared", "shared_ratio"])
     pd.testing.assert_frame_equal(got, exp.astype({"doc_id": "int64", "n_grams": "int64", "n_shared": "int64"}))
+
+
+def test_source_ngram_overlap_planted(tmp_path, ray_session):
+    """Two sources with identical gram sets score jaccard 1.0; a disjoint
+    source appears in no pair row (inner-join semantics)."""
+    docs = [
+        (0, "a", "one two three four"),      # grams: {one two three, two three four}
+        (1, "b", "one two three four"),      # same set as a
+        (2, "b", "one two three"),           # subset — adds nothing new to b
+        (3, "c", "five six seven eight"),    # disjoint
+    ]
+    ids, srcs, txts = zip(*docs)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "source": pa.array(srcs, pa.string()),
+                "text": pa.array(txts, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = corpus.source_ngram_overlap(str(tmp_path)).to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r.source_a, r.source_b) == ("a", "b")
+    assert r.n_inter == 2 and r.n_union == 2 and r.jaccard == 1.0
