@@ -181,6 +181,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maintenance_zorder": maintenance.maintenance_zorder,
         # stats-based file skipping over a clustered snapshot
         "maintenance_pruned_scan": maintenance.maintenance_pruned_scan,
+        # BACKWARD schema evolution: add-column + null-filled scan
+        "maintenance_schema_evolution": maintenance.maintenance_schema_evolution,
         "maintenance_merge": maintenance.maintenance_merge,
         "maintenance_delete": maintenance.maintenance_delete,
         "maintenance_update": maintenance.maintenance_update,
@@ -1143,6 +1145,15 @@ def oracle_sql() -> dict[str, str]:
             f"WITH base AS ({_DOCS_BASE}) "
             f"SELECT {_DOC_KEY} AS doc_id, CAST(nt AS BIGINT) AS n_tok, source "
             f"FROM base WHERE nt BETWEEN 45 AND 63"
+        ),
+        "maintenance_schema_evolution": (
+            f"WITH base AS ({_DOCS_BASE}) "
+            f"SELECT {_DOC_KEY} AS doc_id, CAST(nt AS BIGINT) AS n_tok, source, "
+            f"       CAST(NULL AS DOUBLE) AS quality FROM base "
+            f"UNION ALL "
+            f"SELECT 'doc-' || lpad(CAST(id + 2000000 AS VARCHAR), 12, '0') AS doc_id, "
+            f"       CAST(nt AS BIGINT) AS n_tok, source, CAST(nt AS DOUBLE) AS quality "
+            f"FROM base"
         ),
         "maintenance_delete": (
             f"WITH base AS ({_DOCS_BASE}) "

@@ -382,3 +382,46 @@ def maintenance_pruned_scan(sf_dir: str, lo: int = 45, hi: int = 63) -> pa.Table
         got.column_names.index("n_tok"), "n_tok", got["n_tok"].cast(pa.int64())
     )
     return got.sort_by("doc_id").combine_chunks()
+
+
+def maintenance_schema_evolution(sf_dir: str) -> pa.Table:
+    """BACKWARD schema evolution through the oracle gate (the reference's
+    Glue registry contract, glue/main.tf:38-66 + sink mergeSchema,
+    glue_stream.py:345): ingest -> ADD nullable ``quality`` double ->
+    append NEW rows (re-keyed +2_000_000) that carry the column -> scan.
+    Old files are never rewritten; the scan null-fills ``quality`` for
+    pre-evolution rows, and the oracle states the exact NULL/value split."""
+    t = build_from_documents(sf_dir, _scratch_root(sf_dir, "evolve"))
+    t.evolve_schema([pa.field("quality", pa.float64())])
+
+    def new_rows(docs: pa.Table) -> pa.Table:
+        base = doc_to_tokens(docs)
+        ids = pc.add(docs["doc_id"].combine_chunks(), 2_000_000)
+        doc_id = pc.binary_join_element_wise(
+            "doc-", pc.utf8_lpad(pc.cast(ids, pa.string()), 12, "0"), ""
+        )
+        return pa.table(
+            {
+                "doc_id": doc_id,
+                "tokens": base["tokens"],
+                "n_tok": base["n_tok"],
+                "source": base["source"],
+                "quality": base["n_tok"].cast(pa.float64()),
+            }
+        )
+
+    tune_context()
+    t.append(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+        ).map_batches(new_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    got = pa.concat_tables(
+        ray.get(
+            t.scan(columns=["doc_id", "n_tok", "source", "quality"]).to_arrow_refs()
+        )
+    )
+    got = got.set_column(
+        got.column_names.index("n_tok"), "n_tok", got["n_tok"].cast(pa.int64())
+    )
+    return got.sort_by("doc_id").combine_chunks()

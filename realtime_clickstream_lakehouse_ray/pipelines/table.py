@@ -366,11 +366,26 @@ class Table:
             drop_key_after = True
         if read_cols is None:
             read_kwargs.setdefault("schema", self.schema)
+            ds = ray.data.read_parquet(paths, **read_kwargs)
         elif all(c in self.schema.names for c in read_cols):
+            # Project via an explicit schema with NO columns= argument: Ray's
+            # parquet datasource decides column presence from the FIRST
+            # fragment's physical schema only, which silently drops (or
+            # schema-mismatches) a column added by schema evolution when the
+            # snapshot mixes pre- and post-evolution files.  The Arrow
+            # scanner projects AND null-fills by schema alone, uniformly per
+            # fragment, and still prunes unrequested columns at the read.
             read_kwargs.setdefault(
                 "schema", pa.schema([self.schema.field(c) for c in read_cols])
             )
-        ds = ray.data.read_parquet(paths, columns=read_cols, **read_kwargs)
+            # files physically carry every column (the hive dirs are layout,
+            # not the column's only home), so path-partition parsing is
+            # unnecessary — and with no columns= argument Ray would re-add
+            # the partition column the schema projection just pruned
+            read_kwargs.setdefault("partitioning", None)
+            ds = ray.data.read_parquet(paths, **read_kwargs)
+        else:
+            ds = ray.data.read_parquet(paths, columns=read_cols, **read_kwargs)
         if dv_paths:
             ref = ray.put((str(self.root), dv_paths, self.key_col))
             key_col = self.key_col

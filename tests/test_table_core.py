@@ -127,6 +127,35 @@ class TestSchemaEvolution:
         assert out2["lang"].to_pylist() == out["lang"].to_pylist()
         assert out2.schema.field("lang").type == pa.string()
 
+    def test_projected_scan_over_mixed_schema_files(self, tmp_path_factory):
+        """A COLUMN-PROJECTED scan must null-fill an evolved column even
+        when the snapshot mixes pre- and post-evolution files and the
+        read plan's first fragment predates the evolution (regression:
+        Ray's parquet datasource infers column presence from the first
+        fragment only, so the projected read used to schema-mismatch)."""
+        import pyarrow as pa
+
+        from realtime_clickstream_lakehouse_ray.util import to_arrow_table
+
+        root = str(tmp_path_factory.mktemp("evolve_proj") / "tokens")
+        t = build_synthetic_table(root, 2_000, rows_per_file=100)  # many old files
+        t.evolve_schema([pa.field("lang", pa.string())])
+        new = pa.table(
+            {
+                "doc_id": pa.array([f"doc-n{i}" for i in range(3)]),
+                "tokens": pa.array([[1], [2, 3], [4]], pa.list_(pa.int32())),
+                "n_tok": pa.array([1, 2, 1], pa.int32()),
+                "source": pa.array(["web"] * 3),
+                "lang": pa.array(["en", "fr", "en"]),
+            }
+        )
+        t.append(new)
+        out = to_arrow_table(t.scan(columns=["doc_id", "lang"])).sort_by("doc_id")
+        assert out.column_names == ["doc_id", "lang"]
+        langs = out["lang"].to_pylist()
+        assert langs.count(None) == 2_000 and len(langs) == 2_003
+        assert out.schema.field("lang").type == pa.string()
+
     def test_incompatible_evolution_rejected(self, tmp_path_factory):
         import pyarrow as pa
         import pytest as _pytest
