@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # data-driven per-source length gate via the exact distributed
         # quantile primitive (two streaming scans + broadcast cut table)
         "length_percentile_filter": filters.length_percentile_filter,
+        "length_outliers": filters.length_outliers,
         "repetition_stats": filters.repetition_stats,
         "pii_redact": filters.pii_redact,
         # --- mixture construction (deterministic, oracle-exact) ---------
@@ -101,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rarity": corpus.doc_rarity,
         # integer-exact phrase-level quality score (two-pass DF broadcast)
         "ngram_novelty": corpus.ngram_novelty,
+        "vocab_oov_rate": corpus.vocab_oov_rate,
         # inter-source contamination matrix (exact trigram Jaccard)
         "source_ngram_overlap": corpus.source_ngram_overlap,
         "chunk_documents": corpus.chunk_documents,
@@ -153,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sequential pattern mining: top 3-step event-type paths
         "events_user_paths": window.events_user_paths,
         "customer_order_lag": window.customer_order_lag,
+        "customer_cumulative_spend": window.customer_cumulative_spend,
         "top_lineitems_per_supplier": window.top_lineitems_per_supplier,
         "daily_distinct_users": window.daily_distinct_users,
         # mergeable cardinality sketch (oracle-exact integer registers)
@@ -659,6 +662,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders
             ) WHERE days_since_prev IS NOT NULL
         """,
+        "customer_cumulative_spend": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+                       AS cum_spend_cents
+            FROM orders
+        """,
         "top_lineitems_per_supplier": """
             SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (
                 SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
@@ -731,6 +742,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.source, d.n_chars
             FROM documents d JOIN q USING (source)
             WHERE d.n_chars >= q.cut
+        """,
+        "length_outliers": """
+            -- exact integer z-gate: |x-mean| > 2*std as a HUGEINT quadratic
+            WITH m AS (
+                SELECT source,
+                       CAST(count(*) AS HUGEINT) AS cnt,
+                       CAST(sum(n_chars) AS HUGEINT) AS s,
+                       CAST(sum(n_chars * n_chars) AS HUGEINT) AS ssq
+                FROM documents GROUP BY source
+            )
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d JOIN m USING (source)
+            WHERE (m.cnt * d.n_chars - m.s) * (m.cnt * d.n_chars - m.s)
+                  > 4 * (m.cnt * m.ssq - m.s * m.s)
         """,
         "quality_filter": f"""
             SELECT doc_id, n_words, mean_word_len, top_word_ratio, uniq_ratio,
@@ -829,6 +854,22 @@ def oracle_sql() -> dict[str, str]:
             FROM inter
             JOIN cnt ca ON ca.source = source_a
             JOIN cnt cb ON cb.source = source_b
+        """,
+        "vocab_oov_rate": f"""
+            WITH w AS (SELECT source, unnest({words}) AS word FROM documents),
+            v AS (
+                SELECT word FROM (
+                    SELECT word, count(*) AS n FROM w
+                    GROUP BY word ORDER BY n DESC, word LIMIT 200
+                )
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(count(DISTINCT word) AS BIGINT) AS n_distinct,
+                   CAST(count(*) FILTER (
+                       WHERE word NOT IN (SELECT word FROM v)) AS BIGINT)
+                       AS n_oov
+            FROM w GROUP BY source
         """,
         "ngram_novelty": f"""
             WITH d AS (SELECT doc_id, {words} AS l FROM documents),

@@ -682,3 +682,86 @@ def source_ngram_overlap(sf_dir: str, n: int = 3, num_buckets: int = 64) -> pa.T
             ),
         }
     ).sort_by([("source_a", "ascending"), ("source_b", "ascending")])
+
+
+def vocab_oov_rate(sf_dir: str, vocab_k: int = 200) -> pa.Table:
+    """Per-source vocabulary coverage: total word occurrences, distinct
+    words, and out-of-vocabulary occurrences vs the global top-``vocab_k``
+    corpus vocabulary — the "does source X speak the corpus's language"
+    signal a mixture designer reads before weighting sources (high OOV =
+    domain shift / noise).  All three measures are integer-exact.
+
+    Scale shape, three partial-then-finalize legs and ONE tiny broadcast:
+      - vocab:     the existing ``word_freq_topk`` aggregate (ties broken
+                   by word, deterministic), k rows to the driver;
+      - totals:    per-batch (source, n_words, n_oov) partials against the
+                   broadcast vocab set -> Sum per source (no raw words
+                   shuffle; OOV test is one vectorized ``np.isin``);
+      - distinct:  per-batch DISTINCT (source, word) combiner -> bucket by
+                   ``hash(word)`` (a word lives in ONE bucket, so bucket
+                   counts never double-count) -> per-source Sum — the
+                   ``daily_distinct_users`` template.
+    Finalize merges three #source-row tables on the driver."""
+    from realtime_clickstream_lakehouse_ray.functions.hashing import hash64
+
+    vocab = (
+        word_freq_topk(sf_dir, k=vocab_k).to_pandas()["word"].to_numpy().astype(str)
+    )
+    vocab_ref = ray.put(np.sort(vocab))
+
+    def totals_partial(t: pa.Table) -> pa.Table:
+        v = ray.get(vocab_ref)  # tiny broadcast, local fetch
+        words = split_words(t["text"])
+        lens = np.asarray(pc.list_value_length(words), dtype=np.int64)
+        src = np.repeat(np.asarray(t["source"]).astype(str), lens)
+        flat = np.asarray(words.flatten()).astype(str)
+        uniq, inv = np.unique(src, return_inverse=True)
+        n_words = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        oov = ~np.isin(flat, v)
+        n_oov = np.bincount(inv[oov], minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {"source": pa.array(uniq), "w_p": pa.array(n_words),
+             "o_p": pa.array(n_oov)}
+        )
+
+    docs = _read_docs(sf_dir, ["source", "text"])
+    totals = (
+        docs.map_batches(totals_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("w_p", alias_name="n_words"), Sum("o_p", alias_name="n_oov"))
+        .to_pandas()  # rows = #sources
+    )
+
+    num_buckets = 32
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        words = split_words(t["text"])
+        lens = np.asarray(pc.list_value_length(words), dtype=np.int64)
+        pairs = pa.table(
+            {
+                "source": pa.array(np.repeat(np.asarray(t["source"]).astype(str), lens)),
+                "word": words.flatten(),
+            }
+        )
+        distinct = pa.TableGroupBy(pairs, ["source", "word"]).aggregate([])
+        bucket = (hash64(distinct["word"]) % np.uint64(num_buckets)).astype(np.int32)
+        return distinct.append_column("__bucket", pa.array(bucket))
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["source", "word"]].drop_duplicates()
+        out = d.groupby("source", sort=False).size().reset_index(name="d_p")
+        out["d_p"] = out["d_p"].astype(np.int64)
+        return out
+
+    distinct = (
+        docs.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(count_bucket, batch_format="pandas")
+        .groupby("source")
+        .aggregate(Sum("d_p", alias_name="n_distinct"))
+        .to_pandas()
+    )
+    out = totals.merge(distinct, on="source")[
+        ["source", "n_words", "n_distinct", "n_oov"]
+    ]
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -370,3 +370,73 @@ def length_percentile_filter(sf_dir: str, q: float = 0.10) -> ray.data.Dataset:
         return t.filter(pa.array(keep))
 
     return ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def length_outliers(sf_dir: str, k: int = 2) -> ray.data.Dataset:
+    """Per-source length-anomaly screen: flag every document whose
+    ``n_chars`` deviates from its source's mean by more than ``k``
+    standard deviations — the z-score outlier gate of a curation
+    pipeline, computed EXACTLY in integer arithmetic (no float mean/std,
+    so the flagged set is reproducible bit-for-bit and SQL-checkable).
+
+    |x - mean| > k*std  is evaluated as  (cnt*x - s)^2 > k^2*(cnt*ssq - s^2)
+    over exact integer moments (s = sum, ssq = sum of squares).  The
+    driver reduces each source's quadratic to two integer cutoffs via
+    ``math.isqrt`` —  outlier iff  x <= lo_cut  or  x >= hi_cut  — so the
+    row-side gate is one vectorized int comparison.
+
+    Scale shape: pass 1 = per-batch (source, cnt, s, ssq) partials ->
+    tiny groupby (rows = #sources); driver math on that tiny table; pass
+    2 = broadcast cutoff dict + one stateless filtering ``map_batches``.
+    No shuffle of data rows anywhere.  Moments use Python ints on the
+    driver, so ssq overflow is impossible at any corpus size (the
+    per-batch int64 partials hold to ~2*10^5 batches of 2^31-char docs)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, ["doc_id", "source", "n_chars"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = np.asarray(t["n_chars"], dtype=np.int64)
+        src = np.asarray(t["source"]).astype(str)
+        uniq, inv = np.unique(src, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        s = np.zeros(len(uniq), dtype=np.int64)  # int64 scatter-add: exact
+        ssq = np.zeros(len(uniq), dtype=np.int64)  # (bincount weights= is float64)
+        np.add.at(s, inv, x)
+        np.add.at(ssq, inv, x * x)
+        return pa.table(
+            {"source": pa.array(uniq), "cnt_p": pa.array(cnt),
+             "s_p": pa.array(s), "ssq_p": pa.array(ssq)}
+        )
+
+    mom = (
+        ds.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("cnt_p", alias_name="cnt"), Sum("s_p", alias_name="s"),
+                   Sum("ssq_p", alias_name="ssq"))
+        .to_pandas()  # rows = #sources: tiny by construction
+    )
+    cuts: dict[str, tuple[int, int]] = {}
+    for src, cnt, s, ssq in mom[["source", "cnt", "s", "ssq"]].itertuples(index=False):
+        cnt, s, ssq = int(cnt), int(s), int(ssq)  # exact big-int math
+        thr = math.isqrt(k * k * (cnt * ssq - s * s))
+        # (cnt*x - s)^2 > K  <=>  |cnt*x - s| >= thr+1  (integers)
+        lo_cut = (s - thr - 1) // cnt  # x <= lo_cut  <=>  cnt*x - s <= -thr-1
+        hi_cut = -((-(s + thr + 1)) // cnt)  # ceil div: cnt*x - s >= thr+1
+        cuts[str(src)] = (lo_cut, hi_cut)
+    cut_ref = ray.put(cuts)
+
+    def gate(t: pa.Table) -> pa.Table:
+        cut = ray.get(cut_ref)  # tiny broadcast dict, local fetch
+        src = np.asarray(t["source"]).astype(str)
+        uniq = np.unique(src)
+        lo = np.array([cut[s][0] for s in uniq], dtype=np.int64)
+        hi = np.array([cut[s][1] for s in uniq], dtype=np.int64)
+        idx = np.searchsorted(uniq, src)
+        x = np.asarray(t["n_chars"], dtype=np.int64)
+        keep = (x <= lo[idx]) | (x >= hi[idx])
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)

@@ -25,6 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Sum
 
@@ -383,3 +384,50 @@ def events_user_paths(sf_dir: str, k: int = 20) -> ray.data.Dataset:
         .aggregate(Sum("n_part", alias_name="n"))
     )
     return topk(counts, keys=[("n", "descending"), ("path", "ascending")], k=k)
+
+
+def customer_cumulative_spend(sf_dir: str) -> ray.data.Dataset:
+    """Running total per customer — SQL ``SUM(spend) OVER (PARTITION BY
+    o_custkey ORDER BY o_orderdate, o_orderkey)`` — on the distributed
+    ordered-prefix-sum primitive (``functions/prefix.py``): ONE narrow
+    sort over (order key, custkey, cents), then two streaming passes
+    (per-block group partials -> driver offset table -> per-block
+    vectorized cumsum).  No per-key Python, no per-row state.
+
+    The composite ORDER BY packs into one int64 sort key
+    ``epoch_days * 2^32 + o_orderkey`` — bounds asserted explicitly (a
+    clear error beats silent wraparound; cf. ADVICE on int packing).
+    Spend is exact integer cents (``round(price*100)``), so the running
+    sums are associative and reproducible at any block split."""
+    from realtime_clickstream_lakehouse_ray.functions.prefix import ordered_prefix_sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        days = pc.cast(
+            pc.days_between(pa.scalar(0).cast(pa.timestamp("us")), t["o_orderdate"]),
+            pa.int64(),
+        )
+        key = np.asarray(t["o_orderkey"], dtype=np.int64)
+        d = np.asarray(days, dtype=np.int64)
+        if len(key) and (key.min() < 0 or key.max() >= 2**32 or d.max() >= 2**30):
+            raise ValueError(
+                "customer_cumulative_spend: o_orderkey must fit uint32 and "
+                "o_orderdate in [1970, ~2^30 days) for the packed sort key"
+            )
+        cents = np.rint(np.asarray(t["o_totalprice"]) * 100.0).astype(np.int64)
+        return pa.table(
+            {
+                "__ord": pa.array((d << np.int64(32)) | key),
+                "o_custkey": t["o_custkey"],
+                "o_orderkey": t["o_orderkey"],
+                "spend_cents": pa.array(cents),
+            }
+        )
+
+    ds = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return ordered_prefix_sum(
+        ds, order_col="__ord", value_col="spend_cents", by_col="o_custkey",
+        out_col="cum_spend_cents",
+    ).select_columns(["o_custkey", "o_orderkey", "cum_spend_cents"])
