@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proportional_quota_sample": mixture.proportional_quota_sample,
         # --- corpus statistics (explode/flat-map family) ----------------
         "word_freq_topk": corpus.word_freq_topk,
+        # adjacent-pair counts (the BPE-merge-candidate / bigram-LM step)
+        "bigram_topk": corpus.bigram_topk,
         "doc_rarity": corpus.doc_rarity,
         # integer-exact phrase-level quality score (two-pass DF broadcast)
         "ngram_novelty": corpus.ngram_novelty,
@@ -132,6 +134,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # semantic clustering assignment (nearest prototype by cosine) —
         # the bucketing step of semantic dedup / diversity balancing
         "embedding_cluster_assign": ann.embedding_cluster_assign,
+        # int8 affine quantization + integer-exact search over the codes
+        "embedding_quantize": ann.embedding_quantize,
+        "knn_quantized": ann.knn_quantized,
         # --- multimodal (stubbed codec, real plumbing) ------------------
         "image_metadata": multimodal.image_metadata,
         "image_features": multimodal.image_features_flat,
@@ -203,6 +208,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maintenance_restore": maintenance.maintenance_restore,
         # shallow clone + change feed + CDC apply = incremental replication
         "maintenance_replicate": maintenance.maintenance_replicate,
+        # CDF-maintained materialized view (incremental aggregate)
+        "maintenance_incremental_agg": maintenance.maintenance_incremental_agg,
     }
 
 
@@ -390,6 +397,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+        """,
+        "embedding_quantize": """
+            WITH e AS (
+                SELECT vec_id,
+                       generate_subscripts(embedding, 1) - 1 AS dim,
+                       CAST(unnest(embedding) AS DOUBLE) AS v
+                FROM embeddings
+            ), s AS (
+                SELECT dim, min(v) AS mn, max(v) AS mx FROM e GROUP BY dim
+            )
+            SELECT e.vec_id, CAST(e.dim AS BIGINT) AS dim,
+                   CAST(CASE WHEN s.mx = s.mn THEN 0
+                        ELSE least(greatest(
+                            floor(((e.v - s.mn) * 255.0) / (s.mx - s.mn) + 0.5),
+                            0.0), 255.0) END AS BIGINT) AS q
+            FROM e JOIN s USING (dim)
+        """,
+        "knn_quantized": """
+            WITH e AS (
+                SELECT vec_id,
+                       generate_subscripts(embedding, 1) - 1 AS dim,
+                       CAST(unnest(embedding) AS DOUBLE) AS v
+                FROM embeddings
+            ), s AS (
+                SELECT dim, min(v) AS mn, max(v) AS mx FROM e GROUP BY dim
+            ), q AS (
+                SELECT e.vec_id, e.dim,
+                       CAST(CASE WHEN s.mx = s.mn THEN 0
+                            ELSE least(greatest(
+                                floor(((e.v - s.mn) * 255.0)
+                                      / (s.mx - s.mn) + 0.5),
+                                0.0), 255.0) END AS BIGINT) AS qv
+                FROM e JOIN s USING (dim)
+            ), sc AS (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       SUM(a.qv * b.qv) AS score
+                FROM q a JOIN q b USING (dim)
+                WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id
+                GROUP BY 1, 2
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY score DESC, neighbor_id) AS rn
+                FROM sc
+            )
+            SELECT query_id, neighbor_id, CAST(score AS BIGINT) AS score
+            FROM r WHERE rn <= 10
         """,
         "embedding_cluster_assign": """
             SELECT e.vec_id, c.cluster_id FROM embeddings e, LATERAL (
@@ -832,6 +886,17 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest({words}) AS word FROM documents)
             GROUP BY word ORDER BY n DESC, word LIMIT 100
         """,
+        "bigram_topk": f"""
+            WITH wrds AS (SELECT {words} AS w FROM documents),
+            g AS (
+                SELECT unnest(list_transform(
+                           generate_series(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1])) AS bigram
+                FROM wrds WHERE len(w) >= 2
+            )
+            SELECT bigram, CAST(count(*) AS BIGINT) AS n
+            FROM g GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100
+        """,
         "source_ngram_overlap": f"""
             WITH d AS (SELECT source, {words} AS l FROM documents),
             g AS (
@@ -1224,6 +1289,19 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT id, nt + 7 AS nt, source FROM base WHERE id % 20 = 0
                 UNION ALL SELECT id + 1000000 AS id, nt, source FROM base WHERE id % 50 = 0
             )
+        """,
+        "maintenance_incremental_agg": f"""
+            WITH base AS ({_DOCS_BASE}),
+            merged AS (
+                SELECT id, nt, source FROM base WHERE id % 20 <> 0
+                UNION ALL SELECT id, nt + 7 AS nt, source FROM base
+                    WHERE id % 20 = 0
+                UNION ALL SELECT id + 1000000 AS id, nt, source FROM base
+                    WHERE id % 50 = 0
+            )
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS sum_n_tok
+            FROM merged WHERE nt < 60 GROUP BY source
         """,
         "maintenance_merge": f"""
             WITH base AS ({_DOCS_BASE})

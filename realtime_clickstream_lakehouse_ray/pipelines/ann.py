@@ -282,3 +282,168 @@ def knn_ivf(
     return _merge_partials(
         pa.concat_tables(ray.get(partials.to_arrow_refs())), k
     )
+
+
+# ---- int8 quantization (embedding compression for storage/serving) -------
+#
+# Per-dimension affine min/max quantization to [0, 255].  min/max are
+# order-independent, so the fitted scale is bit-exact across engines, and
+# the quantized codes (one double expression per element, no accumulation)
+# are oracle-checkable.  The quantized space also makes similarity search
+# integer-exact: int products summed in int64 have no float-order issue.
+
+
+def _dim_minmax(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension global (min, max) via per-batch partials: each block
+    emits ``dim`` tiny rows; the shuffle moves dims x blocks rows, never
+    vectors.  The driver holds 2 x dim doubles."""
+    from ray.data.aggregate import Max, Min
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "mn": pa.array([], pa.float64()),
+                    "mx": pa.array([], pa.float64()),
+                }
+            )
+        _, mat = _to_matrix(t)
+        d = mat.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(d, dtype=np.int64)),
+                "mn": pa.array(mat.min(axis=0)),
+                "mx": pa.array(mat.max(axis=0)),
+            }
+        )
+
+    agg = (
+        _emb_ds(sf_dir)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dim")
+        .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
+        .to_pandas()
+        .sort_values("dim")
+    )
+    return agg["mn"].to_numpy(), agg["mx"].to_numpy()
+
+
+def _quantize(mat: np.ndarray, mn: np.ndarray, mx: np.ndarray) -> np.ndarray:
+    """Affine per-dim codes in [0, 255] — the arithmetic is written as ONE
+    double expression per element (sub, mul, div, add, floor) so DuckDB
+    evaluating the identical formula produces identical bits; degenerate
+    dims (mx == mn) code to 0."""
+    span = mx - mn
+    safe = np.where(span == 0.0, 1.0, span)
+    q = np.floor(((mat - mn) * 255.0) / safe + 0.5)
+    q = np.where(span == 0.0, 0.0, q)
+    return np.clip(q, 0.0, 255.0).astype(np.int64)
+
+
+def embedding_quantize(sf_dir: str) -> ray.data.Dataset:
+    """Quantize every embedding to per-dim int8 codes, exploded to
+    ``(vec_id, dim, q)`` rows (the storage layout a feature store or a
+    PQ-style index builder consumes).  Two streaming passes: the tiny
+    min/max aggregate above, then one stateless ``map_batches`` with the
+    (2 x dim) scale broadcast — no shuffle of vector data, no driver
+    materialization."""
+    mn, mx = _dim_minmax(sf_dir)
+    ref = ray.put((mn, mx))
+
+    def encode(t: pa.Table) -> pa.Table:
+        lo, hi = get_broadcast(ref)
+        ids, mat = _to_matrix(t)
+        q = _quantize(mat, lo, hi)
+        n, d = q.shape
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, d)),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
+                "q": pa.array(q.reshape(-1)),
+            }
+        )
+
+    return _emb_ds(sf_dir).map_batches(
+        encode, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def knn_quantized(sf_dir: str, k: int = 10, n_queries: int = 5) -> pa.Table:
+    """Exact top-k by integer dot product in the quantized space — the
+    similarity search an int8-compressed index serves.  Scores are sums
+    of int products (< 2^53, so the float64 matmul is exact and
+    order-independent) — unlike cosine over doubles, every engine agrees
+    bit-for-bit, so the ranking itself is oracle-checked.  Same scale
+    shape as ``knn_bruteforce``: broadcast quantized query matrix,
+    per-batch partial top-k, tiny partial merge."""
+    mn, mx = _dim_minmax(sf_dir)
+    # query rows via the pushed-down id filter (raw doubles — the cosine
+    # loader normalizes, which would corrupt the affine codes)
+    tbl = pa.concat_tables(
+        ray.get(
+            _emb_ds(sf_dir, filter=pads.field("vec_id") < n_queries).to_arrow_refs()
+        )
+    )
+    ids_raw, mat_raw = _to_matrix(tbl)
+    order = np.argsort(ids_raw)
+    q_ids = ids_raw[order]
+    q_codes = _quantize(mat_raw[order], mn, mx).astype(np.float64)
+    ref = ray.put((q_ids, q_codes, mn, mx))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        qi, qc, lo, hi = get_broadcast(ref)
+        ids, sub = _to_matrix(t)
+        codes = _quantize(sub, lo, hi).astype(np.float64)
+        scores = qc @ codes.T  # exact: int-valued doubles < 2^53
+        out_q, out_n, out_s = [], [], []
+        kk = min(k + 1, scores.shape[1])
+        for row in range(len(qi)):
+            top = np.argpartition(-scores[row], kk - 1)[:kk]
+            out_q.append(np.full(len(top), qi[row]))
+            out_n.append(ids[top])
+            out_s.append(scores[row][top].astype(np.int64))
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "score": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    merged = pa.concat_tables(
+        ray.get(
+            _emb_ds(sf_dir)
+            .map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
+            .to_arrow_refs()
+        )
+    )
+    q = np.asarray(merged["query_id"])
+    n = np.asarray(merged["neighbor_id"])
+    s = np.asarray(merged["score"])
+    keep = q != n
+    q, n, s = q[keep], n[keep], s[keep]
+    rows = []
+    for qi in np.unique(q):
+        m = q == qi
+        order = np.lexsort((n[m], -s[m]))[:k]
+        rows.append(
+            pa.table(
+                {
+                    "query_id": pa.array(np.full(len(order), qi)),
+                    "neighbor_id": pa.array(n[m][order]),
+                    "score": pa.array(s[m][order]),
+                }
+            )
+        )
+    if not rows:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.int64()),
+            }
+        )
+    return pa.concat_tables(rows).sort_by(
+        [("query_id", "ascending"), ("neighbor_id", "ascending")]
+    )

@@ -765,3 +765,52 @@ def vocab_oov_rate(sf_dir: str, vocab_k: int = 200) -> pa.Table:
         ["source", "n_words", "n_distinct", "n_oov"]
     ]
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _bigram_partials(t: pa.Table) -> pa.Table:
+    """Explode one batch's text into adjacent word pairs and pre-combine
+    counts — the first step of BPE/vocabulary induction and of n-gram LM
+    estimation, run over text words so the oracle can state the exact
+    relation.  Fully vectorized: the left-position index set is every
+    flattened word position except each document's last, built from the
+    ListArray offsets; pair strings come from one Arrow ``take`` +
+    ``binary_join_element_wise``; the batch collapses with an Arrow C++
+    hash-groupby before anything is shuffled (same partial-then-finalize
+    discipline as ``word_frequencies``)."""
+    words = split_words(t["text"])
+    offsets = np.asarray(words.offsets, dtype=np.int64)
+    flat = words.flatten()
+    mask = np.ones(len(flat), dtype=bool)
+    ends = offsets[1:] - 1  # each doc's final word position
+    ends = ends[ends >= offsets[:-1]]  # drop empty docs
+    mask[ends] = False
+    left_idx = np.nonzero(mask)[0]
+    left = flat.take(pa.array(left_idx, pa.int64()))
+    right = flat.take(pa.array(left_idx + 1, pa.int64()))
+    grams = pc.binary_join_element_wise(left, right, " ")
+    agg = pa.table({"bigram": grams}).group_by("bigram").aggregate([("bigram", "count")])
+    return pa.table(
+        {"bigram": agg["bigram"], "n_part": agg["bigram_count"].cast(pa.int64())}
+    )
+
+
+def bigram_frequencies(sf_dir: str) -> ray.data.Dataset:
+    """Global adjacent-word-pair -> total occurrence count (the pair
+    statistics a BPE-style tokenizer trainer consumes)."""
+    return (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(_bigram_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bigram")
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+
+
+def bigram_topk(sf_dir: str, k: int = 100) -> ray.data.Dataset:
+    """Top-k corpus word bigrams (ties broken by bigram text, so the set
+    is exact) — the candidate-merge ranking step of tokenizer training,
+    distributed as partial counts + the no-global-sort top-k."""
+    return topk(
+        bigram_frequencies(sf_dir),
+        keys=[("n", "descending"), ("bigram", "ascending")],
+        k=k,
+    )

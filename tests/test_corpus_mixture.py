@@ -435,3 +435,36 @@ def test_source_ngram_overlap_planted(tmp_path, ray_session):
     r = got.iloc[0]
     assert (r.source_a, r.source_b) == ("a", "b")
     assert r.n_inter == 2 and r.n_union == 2 and r.jaccard == 1.0
+
+
+def test_bigram_partials_planted(ray_session, tmp_path):
+    """Bigram extraction on crafted docs: empty docs and one-word docs
+    emit nothing; pairs never cross document boundaries."""
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["a b c", "", "solo", "b c"]),
+        }
+    )
+    out = corpus._bigram_partials(docs).to_pandas().set_index("bigram")["n_part"]
+    # "c" (doc 0 end) never pairs with "solo" or "b" from later docs
+    assert out.to_dict() == {"a b": 1, "b c": 2}
+
+
+def test_bigram_topk_tiebreak(ray_session, tmp_path):
+    import ray as _ray
+
+    p = tmp_path / "documents.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["z y z y", "a b a b"]),
+            }
+        ),
+        p,
+    )
+    got = corpus.bigram_topk(str(tmp_path), k=3).to_pandas()
+    # counts: "z y" 2? no: doc0 bigrams = [z y, y z, z y] -> z y:2, y z:1
+    # doc1 = [a b, b a, a b] -> a b:2, b a:1; top-3 by (n desc, bigram asc)
+    assert list(map(tuple, got.to_numpy())) == [("a b", 2), ("z y", 2), ("b a", 1)]

@@ -345,3 +345,47 @@ class TestSubstringDupSpans:
         pd.testing.assert_frame_equal(
             got.astype("int64"), exp.astype("int64"), check_dtype=False
         )
+
+
+def test_quantize_codes_bounds_and_extremes():
+    import numpy as np
+
+    from realtime_clickstream_lakehouse_ray.pipelines.ann import _quantize
+
+    mat = np.array([[0.0, 5.0, -1.0], [1.0, 5.0, 3.0]])
+    mn, mx = mat.min(0), mat.max(0)
+    q = _quantize(mat, mn, mx)
+    # min -> 0, max -> 255, degenerate dim (constant) -> 0
+    assert q[:, 0].tolist() == [0, 255]
+    assert q[:, 1].tolist() == [0, 0]
+    assert q[:, 2].tolist() == [0, 255]
+    assert q.min() >= 0 and q.max() <= 255
+
+
+def test_knn_quantized_ranks_against_bruteforce_int(ray_session):
+    """Integer-dot ranking over quantized codes equals a brute-force
+    numpy recompute on the same corpus."""
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    from realtime_clickstream_lakehouse_ray.pipelines.ann import (
+        _dim_minmax,
+        _quantize,
+        knn_quantized,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = knn_quantized(sf, k=5, n_queries=3).to_pandas()
+    t = pq_.read_table(f"{sf}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"])
+    mat = np.asarray(t["embedding"].combine_chunks().values).reshape(len(ids), -1)
+    mn, mx = _dim_minmax(sf)
+    codes = _quantize(mat.astype(np.float64), mn, mx)
+    order = np.argsort(ids)
+    ids, codes = ids[order], codes[order]
+    for qi in range(3):
+        scores = codes[qi] @ codes.T
+        cand = [(int(-scores[j]), int(ids[j])) for j in range(len(ids)) if ids[j] != qi]
+        expect = sorted(cand)[:5]
+        sub = got[got.query_id == qi]
+        assert sorted(zip((-sub.score).astype(int), sub.neighbor_id.astype(int))) == expect
