@@ -850,6 +850,14 @@ class Table:
         # every dim fills its full 21-bit slot in the interleave
         bounds: dict[str, tuple[int, int]] = {}
         all_files = self.files(parent)
+        # Idempotent rerun: if every live file already carries this
+        # (curve, dims) clustering signature the snapshot IS the output of
+        # this op — a rerun (e.g. after a crash that landed AFTER the
+        # commit) converges as a no-op instead of stacking a second
+        # identical rewrite.  Applies to both regimes; the incremental
+        # regime additionally narrows the input to unclustered files.
+        if all_files and all(f.clustered == signature for f in all_files):
+            return None
         stat_files = (
             [f for f in all_files if f.clustered != signature]
             if incremental
