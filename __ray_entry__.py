@@ -184,6 +184,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts": relational.customer_order_counts,
         "cheapest_supplier_per_part": relational.cheapest_supplier_per_part,
         "q5_nation_revenue": relational.q5_nation_revenue,
+        # one-pass GROUPING SETS / ROLLUP (multi-level aggregate)
+        "orders_rollup": relational.orders_rollup,
+        # distributed INTERSECT / EXCEPT set operators
+        "purchasing_clickers": relational.purchasing_clickers,
+        "urgent_only_customers": relational.urgent_only_customers,
+        # regime-choosing planner join (broadcast vs bucketed by footer stats)
+        "supplier_nation_roster": relational.supplier_nation_roster,
+        # keyed interval-overlap join (temporal non-equi join)
+        "events_interval_overlap": clickstream.events_interval_overlap,
+        # PMI counting core: mergeable co-occurrence matrix partials
+        "word_cooccurrence": corpus.word_cooccurrence,
         # --- maintenance engine (SURVEY.md §2.12, the north rule) -------
         "maintenance_compact": maintenance.maintenance_compact,
         "maintenance_zorder": maintenance.maintenance_zorder,
@@ -1333,5 +1344,57 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT id, nt + 7 AS nt, source FROM base WHERE id % 20 = 0
                 UNION ALL SELECT id + 1000000 AS id, nt, source FROM base WHERE id % 50 = 0
             )
+        """,
+        "orders_rollup": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n,
+                   SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents
+            FROM orders
+            GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "purchasing_clickers": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "urgent_only_customers": """
+            SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            EXCEPT
+            SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        """,
+        "supplier_nation_roster": """
+            SELECT s_suppkey, s_name, n_name
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        """,
+        "events_interval_overlap": """
+            WITH a AS (
+                SELECT user_id, event_id AS a_id,
+                       epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e
+                FROM events WHERE event_type = 'click'
+            ), b AS (
+                SELECT user_id, event_id AS b_id,
+                       epoch_us(ts) - 600000000 AS s, epoch_us(ts) + 600000000 AS e
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT a.user_id, a_id, b_id,
+                   CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT) AS overlap_us
+            FROM a JOIN b ON a.user_id = b.user_id AND a.s <= b.e AND b.s <= a.e
+        """,
+        "word_cooccurrence": """
+            WITH dw AS (
+                SELECT DISTINCT doc_id, w.word AS word
+                FROM documents,
+                     unnest(string_split_regex(trim(text), '\\s+')) AS w(word)
+            ), n AS (SELECT count(*) AS n_docs FROM documents),
+            vocab AS (
+                SELECT word FROM dw GROUP BY word
+                HAVING count(*) >= (SELECT CAST(ceil(0.05 * n_docs) AS BIGINT) FROM n)
+            ), fdw AS (
+                SELECT doc_id, word FROM dw WHERE word IN (SELECT word FROM vocab)
+            )
+            SELECT a.word AS w1, b.word AS w2, CAST(count(*) AS BIGINT) AS n_pair
+            FROM fdw a JOIN fdw b ON a.doc_id = b.doc_id AND a.word < b.word
+            GROUP BY a.word, b.word
+            HAVING count(*) >= 2
         """,
     }

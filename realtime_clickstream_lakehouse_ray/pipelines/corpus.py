@@ -814,3 +814,112 @@ def bigram_topk(sf_dir: str, k: int = 100) -> ray.data.Dataset:
         keys=[("n", "descending"), ("bigram", "ascending")],
         k=k,
     )
+
+
+def word_cooccurrence(
+    sf_dir: str, df_frac: float = 0.05, min_pair: int = 2
+) -> pa.Table:
+    """Word co-occurrence pair mining (the counting core of PMI phrase
+    scoring): for every pair of frequent words, in how many documents do
+    BOTH appear.  The PMI numerator/denominator counts are emitted exactly
+    (n_pair here, per-word df from pass 1), so the score itself is one
+    driver-side log away — kept out of the relation so the oracle
+    comparison stays integer-exact.
+
+    Scale shape — the mergeable-matrix regime:
+
+      pass 1  distinct-(doc, word) per-batch partials -> groupby(word)
+              document frequency; the vocabulary is cut at
+              ``df >= ceil(df_frac * n_docs)`` (a few hundred head words),
+              sorted, broadcast ONCE.
+      pass 2  per batch, a boolean docs x V membership matrix M and ONE
+              integer matmul ``M.T @ M`` produce the batch's FULL pairwise
+              co-occurrence count matrix — a constant-size
+              (V*(V-1)/2-cell) partial that merges by ADDITION, exactly
+              like the HLL registers / partial blooms: the driver reduces
+              bytes, never rows, and no pair row ever enters a shuffle.
+
+    A document is one Arrow row, so rows never split across batches and
+    per-batch distinctness is per-document distinctness.  At vocabularies
+    too large for V² cells, the documented fallback is the packed-pair
+    groupby used by ``dedup._bucket_candidate_pairs``."""
+    import math
+
+    from realtime_clickstream_lakehouse_ray.functions.broadcast import get_broadcast
+
+    docs = _read_docs(sf_dir, ["text"])
+    n_docs = docs.count()
+    min_df = int(math.ceil(df_frac * n_docs))
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        words = split_words(t["text"])
+        lens = np.asarray(pc.list_value_length(words)).astype(np.int64)
+        flat = np.asarray(words.flatten()).astype(object)
+        if not len(flat):
+            return pa.table(
+                {"word": pa.array([], pa.string()), "n_part": pa.array([], pa.int64())}
+            )
+        uniq, codes = np.unique(flat, return_inverse=True)
+        rows = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        key = codes.astype(np.int64) * len(t) + rows  # distinct (word, doc)
+        wcode = np.unique(key) // len(t)
+        dfc = np.bincount(wcode, minlength=len(uniq)).astype(np.int64)
+        return pa.table({"word": pa.array(uniq.astype(str)), "n_part": pa.array(dfc)})
+
+    df_tbl = (
+        docs.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("word")
+        .aggregate(Sum("n_part", alias_name="df"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["df"], min_df)).select(["word"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas()
+    )
+    vocab = np.sort(df_tbl["word"].to_numpy(dtype=object))
+    V = len(vocab)
+    if V < 2:
+        return pa.table(
+            {
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "n_pair": pa.array([], pa.int64()),
+            }
+        )
+    vocab_ref = ray.put(vocab)
+
+    def cooc_partial(t: pa.Table) -> pa.Table:
+        vc = get_broadcast(vocab_ref)
+        words = split_words(t["text"])
+        lens = np.asarray(pc.list_value_length(words)).astype(np.int64)
+        flat = np.asarray(words.flatten()).astype(object)
+        rows = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        idx = np.searchsorted(vc, flat)
+        in_r = idx < len(vc)
+        hit = np.zeros(len(flat), dtype=bool)
+        hit[in_r] = vc[idx[in_r]] == flat[in_r]
+        m = np.zeros((len(t), len(vc)), dtype=np.int64)
+        m[rows[hit], idx[hit]] = 1
+        p = m.T @ m  # V x V co-occurrence counts for this batch
+        iu, ju = np.triu_indices(len(vc), k=1)
+        return pa.table(
+            {"cells": pa.array([p[iu, ju].astype(np.int64).tobytes()], pa.large_binary())}
+        )
+
+    parts = docs.map_batches(
+        cooc_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # constant-size byte partials, reduced driver-side (bloom pattern)
+    n_cells = V * (V - 1) // 2
+    acc = np.zeros(n_cells, dtype=np.int64)
+    for row in parts:
+        acc += np.frombuffer(row["cells"], dtype=np.int64)
+    iu, ju = np.triu_indices(V, k=1)
+    keep = acc >= min_pair
+    return pa.table(
+        {
+            "w1": pa.array(vocab[iu[keep]].astype(str)),
+            "w2": pa.array(vocab[ju[keep]].astype(str)),
+            "n_pair": pa.array(acc[keep]),
+        }
+    )

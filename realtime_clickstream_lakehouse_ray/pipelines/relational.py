@@ -974,3 +974,251 @@ def urgent_order_lineitems(sf_dir: str, num_buckets: int | None = None) -> ray.d
     return bucket_hash_join(
         probe, build, "l_orderkey", "o_orderkey", num_buckets=num_buckets, how="semi"
     )
+
+
+# ---------------------------------------------------------------------------
+def orders_rollup(sf_dir: str) -> pa.Table:
+    """GROUPING SETS / ``GROUP BY ROLLUP(o_orderstatus, o_orderpriority)``
+    in ONE pass over the data (multi-level aggregation, the Athena-on-Delta
+    reporting shape the reference's latent SQL surface implies,
+    /root/reference/README.md:113).
+
+    The scan computes per-batch partials at the FINEST grain only; every
+    coarser level (per-status, grand total) derives from the tiny finest
+    aggregate — |status| x |priority| rows — on the driver.  At 100 TB the
+    data is read once and the rollup costs one small groupby, never one
+    scan per grouping set.  Sums ride the exact integer cent grid (``_e``)
+    so all levels hash-match DuckDB bit-for-bit."""
+    import pandas as pd
+
+    ds = _read(
+        sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority", "o_totalprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "o_orderstatus": t["o_orderstatus"],
+                    "o_orderpriority": t["o_orderpriority"],
+                    "cents": _e(t["o_totalprice"], 100),
+                }
+            )
+            .group_by(["o_orderstatus", "o_orderpriority"])
+            .aggregate([("cents", "sum"), ("cents", "count")])
+        )
+        return pa.table(
+            {
+                "o_orderstatus": g["o_orderstatus"],
+                "o_orderpriority": g["o_orderpriority"],
+                "cents_part": g["cents_sum"].cast(pa.int64()),
+                "n_part": g["cents_count"].cast(pa.int64()),
+            }
+        )
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Sum("n_part", alias_name="n"), Sum("cents_part", alias_name="sum_cents"))
+        .to_pandas()
+    )
+    lvl1 = (
+        fine.groupby("o_orderstatus", as_index=False)[["n", "sum_cents"]]
+        .sum()
+        .assign(o_orderpriority=None)
+    )
+    total = pd.DataFrame(
+        {
+            "o_orderstatus": [None],
+            "o_orderpriority": [None],
+            "n": [fine["n"].sum()],
+            "sum_cents": [fine["sum_cents"].sum()],
+        }
+    )
+    cols = ["o_orderstatus", "o_orderpriority", "n", "sum_cents"]
+    out = pd.concat([fine[cols], lvl1[cols], total[cols]], ignore_index=True)
+    return pa.table(
+        {
+            "o_orderstatus": pa.array(out["o_orderstatus"], pa.string()),
+            "o_orderpriority": pa.array(out["o_orderpriority"], pa.string()),
+            "n": pa.array(out["n"].astype("int64")),
+            "sum_cents": pa.array(out["sum_cents"].astype("int64")),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+def set_op(
+    a: ray.data.Dataset,
+    b: ray.data.Dataset,
+    key: str,
+    how: str,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed ``INTERSECT`` / ``EXCEPT`` (DISTINCT set semantics) on a
+    single key column — the SQL set operators Ray Data has no verb for.
+
+    Each side pre-collapses per batch to DISTINCT keys (so the shuffle
+    moves at most vocabulary-sized partials, not rows), both sides tag
+    ``bucket = hash(key) % B`` and union into ONE shuffle; inside each
+    bucket group membership resolves for all keys at once with two
+    ``np.unique`` calls + ``np.intersect1d`` / ``np.setdiff1d``.
+    Partitioning assumption: all copies of one key land in one bucket
+    (guaranteed by hashing the key), so per-bucket set algebra is exact."""
+    from realtime_clickstream_lakehouse_ray.functions.hashing import hash64
+
+    if how not in ("intersect", "except"):
+        raise ValueError(f"how must be 'intersect' or 'except', got {how!r}")
+    if num_buckets is None:
+        ncpu = int(ray.available_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        num_buckets = max(4, ncpu)
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            u = pc.unique(t[key].combine_chunks())
+            bucket = (hash64(u) % np.uint64(num_buckets)).astype(np.int32)
+            return pa.table(
+                {
+                    key: u,
+                    "__bucket": pa.array(bucket),
+                    "__side": pa.array(np.full(len(u), side, dtype=np.int8)),
+                }
+            )
+
+        return fn
+
+    at = a.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True)
+    bt = b.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True)
+
+    def resolve(g: pa.Table) -> pa.Table:
+        side = np.asarray(g["__side"])
+        vals = np.asarray(g[key])
+        ua = np.unique(vals[side == 0])
+        ub = np.unique(vals[side == 1])
+        out = np.intersect1d(ua, ub) if how == "intersect" else np.setdiff1d(ua, ub)
+        return pa.table({key: pa.array(out, g.schema.field(key).type)})
+
+    return at.union(bt).groupby("__bucket").map_groups(
+        resolve, batch_format="pyarrow"
+    )
+
+
+def _event_users(sf_dir: str, event_type: str) -> ray.data.Dataset:
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return ds.map_batches(
+        lambda t, et=event_type: t.filter(pc.equal(t["event_type"], et)).select(
+            ["user_id"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _collect_keys(ds: ray.data.Dataset, key: str, dtype: pa.DataType) -> pa.Table:
+    """Schema-stable collect for key-only set-op results: an all-empty
+    result still carries its column (Ray's union/groupby can emit
+    schemaless empty bundles, which would drop the column on
+    ``to_pandas``)."""
+    parts = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return pa.table({key: pa.array([], dtype)})
+    return pa.concat_tables(parts)
+
+
+def purchasing_clickers(sf_dir: str) -> pa.Table:
+    """INTERSECT: distinct users who clicked AND purchased."""
+    out = set_op(
+        _event_users(sf_dir, "click"), _event_users(sf_dir, "purchase"),
+        "user_id", "intersect",
+    )
+    return _collect_keys(out, "user_id", pa.int64())
+
+
+def urgent_only_customers(sf_dir: str) -> pa.Table:
+    """EXCEPT: customers with an urgent order but NO low-priority one —
+    the set-difference operator over two filtered scans of one table."""
+
+    def keys(priority: str) -> ray.data.Dataset:
+        return _read(
+            sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]
+        ).map_batches(
+            lambda t, p=priority: t.filter(
+                pc.equal(t["o_orderpriority"], p)
+            ).select(["o_custkey"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    return _collect_keys(
+        set_op(keys("1-URGENT"), keys("5-LOW"), "o_custkey", "except"),
+        "o_custkey",
+        pa.int64(),
+    )
+
+
+# ---------------------------------------------------------------------------
+def broadcast_hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_on: str,
+    right_on: str,
+) -> ray.data.Dataset:
+    """Broadcast (map-side) inner hash join: the right side fully
+    materializes ONCE, ships to the object store via ``ray.put``, and every
+    left batch resolves matches with one vectorized pandas merge — zero
+    shuffle.  Only correct to *choose* when the right side is small; that
+    decision belongs to ``auto_hash_join`` below."""
+    import pandas as pd
+
+    from realtime_clickstream_lakehouse_ray.functions.broadcast import get_broadcast
+
+    right_tbl = pa.concat_tables(ray.get(right.to_arrow_refs()))
+    ref = ray.put(right_tbl.to_pandas())
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        r = get_broadcast(ref)
+        return df.merge(r, left_on=left_on, right_on=right_on, how="inner")
+
+    return left.map_batches(probe, batch_format="pandas")
+
+
+DEFAULT_BROADCAST_BYTES = 64 << 20  # past this, ship-per-node beats a shuffle no more
+
+
+def auto_hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_on: str,
+    right_on: str,
+    broadcast_threshold_bytes: int = DEFAULT_BROADCAST_BYTES,
+) -> ray.data.Dataset:
+    """Regime-choosing inner join (the engine's small planner): estimate the
+    build side's bytes from dataset metadata (``size_bytes()`` reads parquet
+    footers, never data) and pick
+
+    - BROADCAST when the build side fits comfortably in a worker heap —
+      one ``ray.put``, zero shuffle; or
+    - the explicit bucketed hash join (one shuffle moving each row once)
+      when it does not.
+
+    This is the decision Spark's AQE makes with
+    ``autoBroadcastJoinThreshold``; here it is explicit, testable, and
+    based on file-footer stats so planning costs no I/O."""
+    est = right.size_bytes()
+    if est is not None and est <= broadcast_threshold_bytes:
+        return broadcast_hash_join(left, right, left_on, right_on)
+    return bucket_hash_join(left, right, left_on, right_on, how="inner")
+
+
+def supplier_nation_roster(sf_dir: str) -> ray.data.Dataset:
+    """Planner-driven join demo: supplier ⋈ nation through
+    ``auto_hash_join`` — nation's footer says ~KB, so the broadcast regime
+    is chosen (the bucketed regime is equality-tested in pytest)."""
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_nationkey"])
+    nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    out = auto_hash_join(sup, nat, "s_nationkey", "n_nationkey")
+    return out.map_batches(
+        lambda t: t.select(["s_suppkey", "s_name", "n_name"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
