@@ -142,6 +142,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": multimodal.image_features_flat,
         "frame_samples": multimodal.frame_samples,
         "audio_features": multimodal.audio_features,
+        # real headerless-RGB decode leg (codec-free, like the PCM leg)
+        "rgb_channel_stats": multimodal.rgb_channel_stats,
+        # real 2x2 average-pool resize (binary in -> smaller binary out;
+        # pytest-verified against a reshape reference, no SQL oracle)
+        "rgb_downsample": multimodal.rgb_downsample,
         # --- clickstream conformance (SURVEY.md §2.3 M1-M9) -------------
         "events_normalized": clickstream.events_normalized,
         "events_partition_counts": clickstream.events_partition_counts,
@@ -1344,6 +1349,27 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT id, nt + 7 AS nt, source FROM base WHERE id % 20 = 0
                 UNION ALL SELECT id + 1000000 AS id, nt, source FROM base WHERE id % 50 = 0
             )
+        """,
+        "rgb_channel_stats": """
+            -- headerless interleaved-RGB decode as char arithmetic over
+            -- the same ASCII payload bytes (the audio oracle's pattern)
+            WITH d AS (
+                SELECT doc_id, text,
+                       CAST(3 * (length(text) // 3) AS INT) AS nb
+                FROM documents
+            ), s AS (
+                SELECT doc_id, text, unnest(range(nb)) AS j FROM d WHERE nb > 0
+            ), b AS (
+                SELECT doc_id, CAST(j % 3 AS BIGINT) AS channel,
+                       ord(substr(text, CAST(j + 1 AS INT), 1)) AS v
+                FROM s
+            )
+            SELECT doc_id, channel,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(v) AS BIGINT) AS sum_v,
+                   CAST(min(v) AS BIGINT) AS min_v,
+                   CAST(max(v) AS BIGINT) AS max_v
+            FROM b GROUP BY doc_id, channel
         """,
         "orders_rollup": """
             SELECT o_orderstatus, o_orderpriority,

@@ -107,3 +107,37 @@ def audio_features(sf_dir: str) -> ray.data.Dataset:
         batch_size=512,
         concurrency=_pool_size(),
     )
+
+
+def rgb_channel_stats(sf_dir: str) -> ray.data.Dataset:
+    """Second REAL image leg: payloads decoded as headerless interleaved
+    RGB u8 (no codec library needed, the image analog of the s16le PCM
+    audio leg), per-channel integer stats per document — exact against a
+    DuckDB char-arithmetic oracle over the same bytes."""
+    from realtime_clickstream_lakehouse_ray.stages.multimodal import RgbRawFeatures
+
+    return _payload_ds(sf_dir).map_batches(
+        RgbRawFeatures,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=256,
+        concurrency=_pool_size(),
+    )
+
+
+def rgb_downsample(sf_dir: str, width: int = 16) -> ray.data.Dataset:
+    """REAL resize plumbing: 2x2 average-pool every payload's raw-RGB
+    pixels at fixed width; binary in, smaller binary out (the
+    shape every thumbnail / patch-extraction stage shares).  Verified in
+    pytest against a per-image reshape reference; the oracle-checkable
+    slice (pooled byte counts) rides ``rgb_channel_stats``."""
+    from realtime_clickstream_lakehouse_ray.stages.multimodal import RgbDownsample
+
+    return _payload_ds(sf_dir).map_batches(
+        RgbDownsample,
+        fn_constructor_kwargs=dict(width=width),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=256,
+        concurrency=_pool_size(),
+    )

@@ -190,3 +190,152 @@ class AudioFeatures:
                 "n_zero_cross": pa.array(n_cross, pa.int64()),
             }
         )
+
+
+def _binary_flat(payloads) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets[int64, n+1], flat u8 data) views over an Arrow binary
+    column — zero-copy access to every row's bytes at once."""
+    big = (
+        payloads.combine_chunks().cast(pa.large_binary())
+        if isinstance(payloads, pa.ChunkedArray)
+        else payloads.cast(pa.large_binary())
+    )
+    offsets = np.frombuffer(
+        big.buffers()[1], dtype=np.int64, count=len(big) + 1, offset=big.offset * 8
+    )
+    data = np.frombuffer(big.buffers()[2], dtype=np.uint8)
+    return offsets, data
+
+
+class RgbRawFeatures:
+    """Second REAL image leg (alongside the stubbed-codec ``ImageFeatures``
+    and the real-PCM ``AudioFeatures``): the payload is RAW interleaved
+    RGB u8 — headerless, so like PCM it decodes with NO codec library —
+    and the stage emits exact per-channel integer statistics.  Trailing
+    bytes that don't complete an RGB triple are discarded (the decode
+    contract), and sub-pixel payloads emit no rows.
+
+    batch in : (doc_id, payload: binary)
+    batch out: (doc_id, channel, n, sum_v, min_v, max_v) — one row per
+               (doc, channel in 0..2), all int64, oracle-exact.
+
+    Fully vectorized across rows: one pass builds (row, channel) keys for
+    every usable byte; sums via ``np.bincount(weights=...)``, extrema via
+    ``np.minimum.at`` / ``np.maximum.at`` — no per-row Python."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        offsets, data = _binary_flat(t["payload"])
+        lengths = offsets[1:] - offsets[:-1]
+        usable = 3 * (lengths // 3)
+        n_rows = len(lengths)
+        doc_ids = np.asarray(t["doc_id"])
+        total = int(lengths.sum())
+        if total == 0 or usable.sum() == 0:
+            empty = pa.array([], pa.int64())
+            return pa.table(
+                {"doc_id": empty, "channel": empty, "n": empty,
+                 "sum_v": empty, "min_v": empty, "max_v": empty}
+            )
+        row_of = np.repeat(np.arange(n_rows, dtype=np.int64), lengths)
+        pos_in_row = np.arange(total, dtype=np.int64) - np.repeat(
+            offsets[:-1] - offsets[0], lengths
+        )
+        keep = pos_in_row < np.repeat(usable, lengths)
+        vals = data[offsets[0]: offsets[0] + total][keep].astype(np.int64)
+        rows_k = row_of[keep]
+        chan = pos_in_row[keep] % 3
+        key = rows_k * 3 + chan
+        n_keys = n_rows * 3
+        sums = np.bincount(key, weights=vals, minlength=n_keys).astype(np.int64)
+        counts = np.bincount(key, minlength=n_keys).astype(np.int64)
+        mins = np.full(n_keys, 256, dtype=np.int64)
+        maxs = np.full(n_keys, -1, dtype=np.int64)
+        np.minimum.at(mins, key, vals)
+        np.maximum.at(maxs, key, vals)
+        present = counts > 0
+        idx = np.nonzero(present)[0]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[idx // 3]),
+                "channel": pa.array(idx % 3),
+                "n": pa.array(counts[idx]),
+                "sum_v": pa.array(sums[idx]),
+                "min_v": pa.array(mins[idx]),
+                "max_v": pa.array(maxs[idx]),
+            }
+        )
+
+
+class RgbDownsample:
+    """REAL resize: 2x2 average-pool over raw interleaved-RGB payloads of
+    fixed pixel width ``width`` (headerless decode, like the PCM leg).
+    Rows truncate to whole pixel rows; odd trailing pixel rows/columns are
+    dropped by the pool (floor semantics), and outputs are exact
+    ``(a+b+c+d)//4`` integer means — deterministic, pytest-verified
+    against a per-image reshape reference.
+
+    batch in : (doc_id, payload: binary)
+    batch out: (doc_id, out_h, out_w, pooled: binary)
+
+    The pool's four taps gather through ONE set of global index arrays
+    built from the Arrow offsets — every image in the batch pools in the
+    same few numpy ops (no per-row Python)."""
+
+    def __init__(self, width: int = 16):
+        if width < 2 or width % 2:
+            raise ValueError("width must be an even pixel count >= 2")
+        self.width = width
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        W = self.width
+        Wo = W // 2
+        offsets, data = _binary_flat(t["payload"])
+        lengths = offsets[1:] - offsets[:-1]
+        npix = lengths // 3
+        H = npix // W
+        Ho = H // 2
+        out_vals = Ho * Wo * 3  # bytes per pooled image
+        n_rows = len(lengths)
+        total_out = int(out_vals.sum())
+        doc_ids = np.asarray(t["doc_id"])
+        if total_out == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array(doc_ids[:0]),
+                    "out_h": pa.array([], pa.int64()),
+                    "out_w": pa.array([], pa.int64()),
+                    "pooled": pa.array([], pa.large_binary()),
+                }
+            )
+        q = np.arange(total_out, dtype=np.int64) - np.repeat(
+            np.cumsum(out_vals) - out_vals, out_vals
+        )
+        io = q // (Wo * 3)
+        rem = q % (Wo * 3)
+        jo = rem // 3
+        c = rem % 3
+        base = (
+            np.repeat(offsets[:-1], out_vals)
+            + ((2 * io) * W + 2 * jo) * 3
+            + c
+        )
+        d64 = data.astype(np.int64)
+        pooled = (
+            d64[base] + d64[base + 3] + d64[base + W * 3] + d64[base + W * 3 + 3]
+        ) // 4
+        out_offsets = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(out_vals, out=out_offsets[1:])
+        pooled_arr = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(),
+            n_rows,
+            [None, pa.py_buffer(out_offsets.tobytes()),
+             pa.py_buffer(pooled.astype(np.uint8).tobytes())],
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids),
+                "out_h": pa.array(Ho),
+                "out_w": pa.array(np.full(n_rows, Wo, dtype=np.int64)),
+                "pooled": pooled_arr,
+            }
+        )

@@ -389,3 +389,80 @@ def test_knn_quantized_ranks_against_bruteforce_int(ray_session):
         expect = sorted(cand)[:5]
         sub = got[got.query_id == qi]
         assert sorted(zip((-sub.score).astype(int), sub.neighbor_id.astype(int))) == expect
+
+
+def test_rgb_downsample_matches_reshape_reference():
+    """RgbDownsample's global-index pooling equals the obvious per-image
+    reshape + 2x2 floor-mean, including odd trailing rows/cols and
+    sub-image payloads."""
+    import numpy as np
+    import pyarrow as pa
+
+    from realtime_clickstream_lakehouse_ray.stages.multimodal import RgbDownsample
+
+    rng = np.random.default_rng(7)
+    W = 16
+    payloads, expected = [], []
+    for npx in [0, 2, W * 2, W * 4, W * 5 + 3, W * 31 + 7]:
+        raw = rng.integers(0, 256, size=npx * 3, dtype=np.uint8)
+        payloads.append(raw.tobytes() + b"x" * int(rng.integers(0, 3)))
+        H = npx // W
+        Ho, Wo = H // 2, W // 2
+        if Ho == 0:
+            expected.append((Ho, Wo, b""))
+            continue
+        img = raw[: H * W * 3].reshape(H, W, 3).astype(np.int64)
+        pooled = (
+            img[0 : 2 * Ho : 2, 0 : 2 * Wo * 2 : 2][:, :Wo]
+            + img[1 : 2 * Ho : 2, 0 : 2 * Wo * 2 : 2][:, :Wo]
+            + img[0 : 2 * Ho : 2, 1 : 2 * Wo * 2 : 2][:, :Wo]
+            + img[1 : 2 * Ho : 2, 1 : 2 * Wo * 2 : 2][:, :Wo]
+        ) // 4
+        expected.append((Ho, Wo, pooled.astype(np.uint8).tobytes()))
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(payloads), dtype=np.int64)),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    out = RgbDownsample(width=W)(t)
+    got = {
+        d: (h, w, p)
+        for d, h, w, p in zip(
+            out["doc_id"].to_pylist(),
+            out["out_h"].to_pylist(),
+            out["out_w"].to_pylist(),
+            out["pooled"].to_pylist(),
+        )
+    }
+    assert len(got) == len(payloads)
+    for i, (ho, wo, pb) in enumerate(expected):
+        gh, gw, gp = got[i]
+        assert (gh, gw) == (ho, wo), f"doc {i}: dims {gh}x{gw} != {ho}x{wo}"
+        assert gp == pb, f"doc {i}: pooled bytes differ"
+
+
+def test_rgb_features_discard_partial_triples():
+    import numpy as np
+    import pyarrow as pa
+
+    from realtime_clickstream_lakehouse_ray.stages.multimodal import RgbRawFeatures
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "payload": pa.array(
+                [bytes([10, 20, 30, 40, 50, 60, 99]), b"ab", b""], pa.binary()
+            ),
+        }
+    )
+    out = RgbRawFeatures()(t).to_pydict()
+    rows = set(zip(out["doc_id"], out["channel"], out["n"], out["sum_v"],
+                   out["min_v"], out["max_v"]))
+    # doc 1: two full pixels, trailing 0x63 discarded; docs 2/3 emit nothing
+    assert rows == {
+        (1, 0, 2, 50, 10, 40),
+        (1, 1, 2, 70, 20, 50),
+        (1, 2, 2, 90, 30, 60),
+    }
