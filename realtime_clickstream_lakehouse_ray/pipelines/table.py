@@ -652,6 +652,7 @@ class Table:
             "unit": unit,
             "partition": part,
             "files": [f.path for f in files],
+            "bytes": int(sum(f.bytes or 0 for f in files)),
             "out": f"{self.partition_col}={part}/{tag}-bin{unit:06d}.parquet",
         }
         dvs = {f.path: f.dv for f in files if f.dv}
@@ -670,7 +671,17 @@ class Table:
         """Execute bin rewrites as an actor-pool Ray Data pipeline and return
         the authoritative per-unit lineage records from the checkpoint."""
         ckpt = JobCheckpoint(self.root, job_id)
-        ds = ray.data.from_items(make_spec_items(bins))
+        # LPT order: feed the pool biggest bins first so the straggler tail
+        # is a small unit, not a big one — cuts makespan by up to max(unit)
+        # at every pool size with zero cost (unit ids and outputs unchanged)
+        bins = sorted(bins, key=lambda b: -b.get("bytes", 0))
+        # one block per unit: from_items' default blocking packs several
+        # units into one block = one actor task, so a block of LPT-ordered
+        # big units becomes a straggler; per-unit blocks give the pool
+        # true dynamic load balancing (work-stealing granularity = 1 unit)
+        ds = ray.data.from_items(
+            make_spec_items(bins), override_num_blocks=len(bins)
+        )
         # FIXED-size pool sized to the unit count: an autoscaling pool
         # starting at one actor serializes short rewrite jobs (measured
         # ~20x on 20-unit jobs)
@@ -726,6 +737,22 @@ class Table:
         done = self.log.find_commit_by_job(job_id)
         if done is not None:
             return done
+        # Idempotent rerun: if the CURRENT snapshot is itself the output of
+        # a compact with this exact config, a rerun (e.g. after a crash
+        # that landed AFTER the commit) converges as a no-op.  Without this
+        # a rerun keeps re-packing sub-90%-of-target remainder files into
+        # ever-fewer files — productive once, but "resume" must converge to
+        # the already-committed state, not keep optimizing.
+        cfg = {
+            "target_file_bytes": int(target_file_bytes),
+            "partitions": sorted(partitions) if partitions is not None else None,
+        }
+        parent_payload = self.log.read_version(parent) if parent else {}
+        if (
+            parent_payload.get("operation") == "compact"
+            and parent_payload.get("config") == cfg
+        ):
+            return None
         t = __import__("time").perf_counter()
         files = self.files(parent)
         if partitions is not None:
@@ -741,7 +768,7 @@ class Table:
         removes = [p for r in records.values() for p in r["removes"]]
         version = self._commit_with_rebase(
             adds, removes, "compact", parent, job_id,
-            extra={"lineage": self._lineage_summary(records)},
+            extra={"lineage": self._lineage_summary(records), "config": cfg},
         )
         JobCheckpoint(self.root, job_id).mark_committed(version)
         return version
@@ -1228,7 +1255,15 @@ class Table:
         if src_unit is None:
             n_units = max(1, int(source.nbytes / max(1, target_file_bytes)))
             step = -(-source.num_rows // n_units)
-            write_task = ray.remote(num_cpus=1)(write_slice_task)
+            # num_cpus=0: the broadcast-regime source is small by definition
+            # (<= broadcast_max_rows), so these slice writes are seconds of
+            # I/O-bound work — at num_cpus=1 the task group was monopolizing
+            # every CPU slot ahead of the rewrite pool's FIXED-size actors
+            # (Ray places FIFO), serializing "overlapped" work: measured
+            # ~5 s of the merge wall at 4 CPUs / 2 M rows that vanished at
+            # num_cpus=0, where the pool places instantly and the append
+            # genuinely overlaps the rewrite.
+            write_task = ray.remote(num_cpus=0)(write_slice_task)
             src_futures = [
                 write_task.remote(
                     source.slice(i * step, step),
