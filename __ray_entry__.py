@@ -170,6 +170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_distinct_users": window.daily_distinct_users,
         # mergeable cardinality sketch (oracle-exact integer registers)
         "hll_user_registers": sketch.hll_user_registers,
+        # one-pass mergeable quantile sketch (KLL; rank-error pytest)
+        "kll_quantiles": sketch.kll_quantiles,
         # exact distributed quantiles (two-pass histogram selection)
         "order_price_quantiles": quantile.order_price_quantiles,
         # --- relational surface (SURVEY.md §2.5-§2.7) -------------------

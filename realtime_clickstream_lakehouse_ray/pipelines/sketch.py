@@ -100,3 +100,151 @@ def hll_estimate(registers: pa.Table, p: int = HLL_P) -> float:
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)
     return float(est)
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketch (Karnin–Lall–Liberty, FOCS'16): the one-pass
+# mergeable-quantiles path next to the engine's exact two-pass selection
+# (pipelines/quantile.py).  At 10^12 rows the exact path costs two full
+# scans; a KLL summary is a per-batch CONSTANT-size partial that merges
+# associatively — same contract as the HLL registers above.
+#
+# Determinism contract: compaction keeps odd-or-even survivors chosen by a
+# splitmix64 hash of (level, generation counter), so identical input blocks
+# produce identical sketches — reproducible across reruns, no RNG state.
+# ---------------------------------------------------------------------------
+_KLL_K = 200  # top-level capacity; eps ~ 1.7%/k per the KLL bound
+
+
+def _splitmix_bit(level: int, gen: int) -> int:
+    m = 1 << 64
+    z = ((level + 1) * 0x9E3779B97F4A7C15 + gen * 0xBF58476D1CE4E5B9) % m
+    z ^= z >> 30
+    z = (z * 0xBF58476D1CE4E5B9) % m
+    z ^= z >> 27
+    return z & 1
+
+
+class KllSketch:
+    """Float KLL sketch: levels[i] holds items each representing 2^i input
+    rows.  ``add_sorted`` / ``merge`` / ``compact`` are all vectorized."""
+
+    def __init__(self, k: int = _KLL_K):
+        self.k = k
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self.n = 0
+        self._gen = 0
+
+    def _cap(self, level: int) -> int:
+        # geometric decay c=2/3 toward the top (classic KLL schedule)
+        depth = len(self.levels) - 1 - level
+        return max(8, int(self.k * (2.0 / 3.0) ** depth))
+
+    def add(self, vals: np.ndarray) -> None:
+        if not len(vals):
+            return
+        self.levels[0] = np.concatenate([self.levels[0], vals.astype(np.float64)])
+        self.n += len(vals)
+        self._compress()
+
+    def merge(self, other: "KllSketch") -> None:
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, dtype=np.float64))
+        for i, lv in enumerate(other.levels):
+            if len(lv):
+                self.levels[i] = np.concatenate([self.levels[i], lv])
+        self.n += other.n
+        self._compress()
+
+    def _compress(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            if len(self.levels[i]) <= self._cap(i):
+                i += 1
+                continue
+            buf = np.sort(self.levels[i])
+            off = _splitmix_bit(i, self._gen)
+            self._gen += 1
+            survivors = buf[off::2]
+            if i + 1 == len(self.levels):
+                self.levels.append(np.empty(0, dtype=np.float64))
+            self.levels[i + 1] = np.concatenate([self.levels[i + 1], survivors])
+            self.levels[i] = np.empty(0, dtype=np.float64)
+        # drop trailing empty levels the loop may have left behind
+        while len(self.levels) > 1 and not len(self.levels[-1]):
+            self.levels.pop()
+
+    def quantile(self, q: float) -> float:
+        items, weights = [], []
+        for i, lv in enumerate(self.levels):
+            if len(lv):
+                items.append(lv)
+                weights.append(np.full(len(lv), 1 << i, dtype=np.int64))
+        vals = np.concatenate(items)
+        w = np.concatenate(weights)
+        order = np.argsort(vals, kind="mergesort")
+        vals, w = vals[order], w[order]
+        cum = np.cumsum(w)
+        target = q * cum[-1]
+        return float(vals[np.searchsorted(cum, target, side="left").clip(0, len(vals) - 1)])
+
+    # -- serialization (rides a Dataset as one binary row per partial) ----
+    def to_bytes(self) -> bytes:
+        import io
+
+        bio = io.BytesIO()
+        header = np.array([self.n, self.k, len(self.levels)], dtype=np.int64)
+        bio.write(header.tobytes())
+        for lv in self.levels:
+            bio.write(np.array([len(lv)], dtype=np.int64).tobytes())
+            bio.write(lv.tobytes())
+        return bio.getvalue()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "KllSketch":
+        n, k, n_levels = np.frombuffer(b, dtype=np.int64, count=3)
+        s = cls(k=int(k))
+        s.n = int(n)
+        s.levels = []
+        off = 24
+        for _ in range(int(n_levels)):
+            ln = int(np.frombuffer(b, dtype=np.int64, count=1, offset=off)[0])
+            off += 8
+            s.levels.append(np.frombuffer(b, dtype=np.float64, count=ln, offset=off).copy())
+            off += 8 * ln
+        return s
+
+
+def kll_quantiles(
+    sf_dir: str,
+    column: str = "o_totalprice",
+    table: str = "orders",
+    qs: tuple[float, ...] = (0.01, 0.25, 0.5, 0.75, 0.99),
+    k: int = _KLL_K,
+) -> pa.Table:
+    """One-pass approximate quantiles: each batch builds a KLL partial
+    (constant-size, serialized binary), the driver merges BYTES — the data
+    is scanned exactly once and never shuffled.  Accuracy is rank-error
+    eps ~ O(1/k), property-tested in pytest against the exact quantiles
+    (no SQL oracle by design: the sketch is approximate)."""
+    tune_context()
+    ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=[column])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = KllSketch(k=k)
+        s.add(np.asarray(t[column]).astype(np.float64))
+        return pa.table({"sketch": pa.array([s.to_bytes()], pa.large_binary())})
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    acc = KllSketch(k=k)
+    for row in parts:
+        acc.merge(KllSketch.from_bytes(row["sketch"]))
+    return pa.table(
+        {
+            "q": pa.array(list(qs), pa.float64()),
+            "value": pa.array([acc.quantile(q) for q in qs], pa.float64()),
+            "n": pa.array([acc.n] * len(qs), pa.int64()),
+        }
+    )

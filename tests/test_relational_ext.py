@@ -141,3 +141,47 @@ class TestRollup:
         for s, (ns, cs) in lvl1.items():
             idx = [i for i in fine_idx if status[i] == s]
             assert n[idx].sum() == ns and cents[idx].sum() == cs
+
+
+class TestKll:
+    def test_rank_error_and_determinism(self):
+        import numpy as np
+
+        from realtime_clickstream_lakehouse_ray.pipelines.sketch import KllSketch
+
+        rng = np.random.default_rng(3)
+        data = rng.lognormal(3, 1, 200_000)
+        acc = KllSketch()
+        for chunk in np.array_split(data, 37):
+            s = KllSketch()
+            s.add(chunk)
+            acc.merge(KllSketch.from_bytes(s.to_bytes()))  # bytes round-trip
+        assert acc.n == len(data)
+        exact = np.sort(data)
+        for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+            rank = np.searchsorted(exact, acc.quantile(q)) / len(data)
+            assert abs(rank - q) < 0.03
+        # deterministic: same partials -> identical sketch state
+        acc2 = KllSketch()
+        for chunk in np.array_split(data, 37):
+            s = KllSketch()
+            s.add(chunk)
+            acc2.merge(s)
+        assert [a.tolist() for a in acc.levels] == [a.tolist() for a in acc2.levels]
+
+    def test_pipeline_close_to_exact(self):
+        import duckdb
+
+        from realtime_clickstream_lakehouse_ray.pipelines.sketch import kll_quantiles
+
+        out = kll_quantiles(SF_DIR).to_pydict()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'"
+        )
+        n = con.execute("SELECT count(*) FROM orders").fetchone()[0]
+        for q, v in zip(out["q"], out["value"]):
+            rank = con.execute(
+                "SELECT count(*) FROM orders WHERE o_totalprice <= ?", [v]
+            ).fetchone()[0] / n
+            assert abs(rank - q) < 0.03, (q, rank)
