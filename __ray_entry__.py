@@ -165,6 +165,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sequential pattern mining: top 3-step event-type paths
         "events_user_paths": window.events_user_paths,
         "customer_order_lag": window.customer_order_lag,
+        # NTILE equal-frequency binning window function
+        "events_user_ntile": window.events_user_ntile,
+        # FULL OUTER bucketed join of two per-customer aggregates
+        "priority_customer_matrix": relational.priority_customer_matrix,
         "customer_cumulative_spend": window.customer_cumulative_spend,
         "top_lineitems_per_supplier": window.top_lineitems_per_supplier,
         "daily_distinct_users": window.daily_distinct_users,
@@ -172,6 +176,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_user_registers": sketch.hll_user_registers,
         # one-pass mergeable quantile sketch (KLL; rank-error pytest)
         "kll_quantiles": sketch.kll_quantiles,
+        # content-defined chunking (gear CDC): chunk relation + dup stats
+        "cdc_chunks": dedup.cdc_chunks,
+        "cdc_dup_chunks": dedup.cdc_dup_chunks,
         # exact distributed quantiles (two-pass histogram selection)
         "order_price_quantiles": quantile.order_price_quantiles,
         # --- relational surface (SURVEY.md §2.5-§2.7) -------------------
@@ -1372,6 +1379,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(v) AS BIGINT) AS min_v,
                    CAST(max(v) AS BIGINT) AS max_v
             FROM b GROUP BY doc_id, channel
+        """,
+        "events_user_ntile": """
+            SELECT event_id, user_id,
+                   CAST(NTILE(4) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS BIGINT) AS tile
+            FROM events
+        """,
+        "priority_customer_matrix": """
+            WITH u AS (
+                SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_urgent
+                FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+            ), l AS (
+                SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_low
+                FROM orders WHERE o_orderpriority = '5-LOW' GROUP BY 1
+            )
+            SELECT COALESCE(u.o_custkey, l.o_custkey) AS custkey,
+                   u.n_urgent, l.n_low
+            FROM u FULL OUTER JOIN l ON u.o_custkey = l.o_custkey
         """,
         "orders_rollup": """
             SELECT o_orderstatus, o_orderpriority,

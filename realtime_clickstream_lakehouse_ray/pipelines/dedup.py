@@ -999,3 +999,152 @@ def substring_dup_spans(sf_dir: str, window: int = 32) -> ray.data.Dataset:
         .groupby("__db")
         .map_groups(spans, batch_format="pyarrow")
     )
+
+
+# ---- content-defined chunking (CDC) --------------------------------------
+_CDC_WINDOW = 16
+_M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _splitmix64_np(x: np.ndarray) -> np.ndarray:
+    z = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)) & _M64
+    z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _M64
+    z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _M64
+    return z ^ (z >> np.uint64(31))
+
+
+_GEAR = _splitmix64_np(np.arange(256))
+
+
+def cdc_chunk_table(
+    payload: "pa.Array", doc_ids: np.ndarray, mask_bits: int = 6, window: int = _CDC_WINDOW
+) -> pa.Table:
+    """Content-defined chunking of binary/utf8 payloads (the FastCDC/gear
+    family used by storage dedup and long-document near-dup pipelines):
+    cut wherever an XOR-gear rolling hash of the last ``window`` bytes has
+    ``mask_bits`` low zero bits -> expected chunk ~2^mask_bits bytes, and
+    boundaries move WITH content (insertions only perturb chunks that
+    overlap the edit — the shift-resistance property exact fixed-size
+    blocking lacks; pytest asserts it).
+
+    Fully vectorized and batch-composition-invariant: the rolling hash is
+    ``XOR_{k<W} GEAR[b[i-k]] << k`` computed over the batch's flat byte
+    buffer in W shifted XOR passes; positions whose window would cross a
+    document boundary are simply invalid cut sites (the hash there is
+    polluted by the neighbor doc, but those positions are masked OUT, so a
+    document chunks identically no matter which batch it rides in).
+    Chunk fingerprints are position-mixed byte hashes XOR-reduced per
+    chunk with ONE ``np.bitwise_xor.reduceat`` — no per-chunk Python.
+
+    Returns (doc_id, chunk_idx, start, length, fp:int64) — one row per
+    chunk; zero-length docs emit no rows."""
+    big = (
+        payload.combine_chunks().cast(pa.large_binary())
+        if isinstance(payload, pa.ChunkedArray)
+        else payload.cast(pa.large_binary())
+    )
+    offsets = np.frombuffer(
+        big.buffers()[1], dtype=np.int64, count=len(big) + 1, offset=big.offset * 8
+    )
+    base = offsets[0]
+    lengths = offsets[1:] - offsets[:-1]
+    data = np.frombuffer(big.buffers()[2], dtype=np.uint8)[base: base + int(lengths.sum())]
+    n = len(data)
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "chunk_idx": pa.array([], pa.int64()),
+            "start": pa.array([], pa.int64()),
+            "length": pa.array([], pa.int64()),
+            "fp": pa.array([], pa.int64()),
+        }
+    )
+    if n == 0:
+        return empty
+    g = _GEAR[data]
+    h = g.copy()
+    for k in range(1, window):
+        h[k:] ^= g[:-k] << np.uint64(k)
+    # valid cut sites: window fully inside the doc, and never at a doc's
+    # byte 0 (a cut there is the chunk start already)
+    row_of = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+    pos_in_doc = np.arange(n, dtype=np.int64) - np.repeat(offsets[:-1] - base, lengths)
+    mask = np.uint64((1 << mask_bits) - 1)
+    cuts = (h & mask == 0) & (pos_in_doc >= window - 1) & (pos_in_doc > 0)
+    cut_idx = np.nonzero(cuts)[0]
+    # chunk starts: every doc start + every cut position; reduceat segments
+    doc_starts = (offsets[:-1] - base)[lengths > 0]
+    starts = np.unique(np.concatenate([doc_starts, cut_idx]))
+    seg_doc = row_of[starts]
+    seg_end = np.append(starts[1:], n)
+    # a doc's last segment ends at the doc end, not the next doc's start —
+    # by construction seg boundaries include every doc start, so seg_end
+    # never crosses a doc boundary
+    seg_len = seg_end - starts
+    pos_in_chunk = np.arange(n, dtype=np.int64) - np.repeat(starts, seg_len)
+    mixed = _splitmix64_np(
+        data.astype(np.uint64)
+        ^ ((pos_in_chunk.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) & _M64)
+    )
+    fp = np.bitwise_xor.reduceat(mixed, starts)
+    # chunk_idx within each doc
+    dstart_idx = np.searchsorted(starts, doc_starts)
+    seg_per_doc = np.diff(np.append(dstart_idx, len(starts)))
+    chunk_idx = np.arange(len(starts), dtype=np.int64) - np.repeat(dstart_idx, seg_per_doc)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids[seg_doc]),
+            "chunk_idx": pa.array(chunk_idx),
+            "start": pa.array(starts - (offsets[:-1] - base)[seg_doc]),
+            "length": pa.array(seg_len),
+            "fp": pa.array((fp >> np.uint64(1)).astype(np.int64)),
+        }
+    )
+
+
+def cdc_chunks(sf_dir: str, mask_bits: int = 6) -> ray.data.Dataset:
+    """CDC chunk relation over the documents corpus (text bytes as the
+    payload): one stateless vectorized ``map_batches``, no shuffle."""
+    tune_context()
+
+    def fn(t: pa.Table) -> pa.Table:
+        return cdc_chunk_table(
+            t["text"].cast(pa.binary()), np.asarray(t["doc_id"]), mask_bits=mask_bits
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cdc_dup_chunks(sf_dir: str, mask_bits: int = 6) -> ray.data.Dataset:
+    """Storage-dedup accounting: chunks whose fingerprint recurs across
+    the corpus, with copy counts and reclaimable bytes — chunk rows are
+    pre-collapsed per batch before the ONE fp-keyed groupby."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"fp": t["fp"], "length": t["length"]})
+            .group_by("fp")
+            .aggregate([("length", "sum"), ("length", "count")])
+        )
+        return pa.table(
+            {
+                "fp": g["fp"],
+                "bytes_part": g["length_sum"].cast(pa.int64()),
+                "n_part": g["length_count"].cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        cdc_chunks(sf_dir, mask_bits=mask_bits)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("fp")
+        .aggregate(_Sum("n_part", alias_name="n_copies"), _Sum("bytes_part", alias_name="total_bytes"))
+    )
+    return agg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_copies"], 2)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -308,10 +308,12 @@ def bucket_hash_join(
 ) -> ray.data.Dataset:
     """Explicit partitioned hash join: add ``bucket = hash(key) % B`` to
     both sides, union, group by bucket, pandas-merge the two sides inside
-    each bucket group.  ``how`` is ``inner`` | ``left`` | ``semi`` |
-    ``anti`` (the semi/anti forms emit left columns only, via a vectorized
-    per-bucket ``isin`` membership test — no row expansion; ``left`` keeps
-    unmatched left rows with the right side's columns null).
+    each bucket group.  ``how`` is ``inner`` | ``left`` | ``outer`` |
+    ``semi`` | ``anti`` (the semi/anti forms emit left columns only, via a
+    vectorized per-bucket ``isin`` membership test — no row expansion;
+    ``left``/``outer`` keep unmatched rows with the other side's columns
+    null — FULL OUTER is safe per bucket because BOTH sides of a key hash
+    to the same bucket, so an unmatched row is unmatched globally).
 
     B python calls total (one per bucket), not one per key — and the only
     shuffle moves each row once, keyed by bucket.  This replaces
@@ -351,7 +353,7 @@ def bucket_hash_join(
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         l = g.loc[g["__side"] == 0, left_cols]
         r = g.loc[g["__side"] == 1, right_cols]
-        if how in ("inner", "left"):
+        if how in ("inner", "left", "outer"):
             return l.merge(r, left_on=left_on, right_on=right_on, how=how)
         member = l[left_on].isin(r[right_on])
         return l[member] if how == "semi" else l[~member]
@@ -1222,3 +1224,53 @@ def supplier_nation_roster(sf_dir: str) -> ray.data.Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def priority_customer_matrix(sf_dir: str) -> ray.data.Dataset:
+    """FULL OUTER join: per-customer urgent-order count vs low-priority
+    count, keeping customers that appear on only one side (NULL the
+    other).  Each side pre-aggregates per batch (partial counts) into a
+    tiny per-customer relation; the outer join itself is the bucketed
+    hash join — safe per bucket since both sides of a key co-locate."""
+
+    def side(priority: str, out: str) -> ray.data.Dataset:
+        def partial(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["o_orderpriority"], priority))
+            g = (
+                pa.table({"c": t["o_custkey"]})
+                .group_by("c")
+                .aggregate([("c", "count")])
+            )
+            return pa.table(
+                {"o_custkey": g["c"], "n_part": g["c_count"].cast(pa.int64())}
+            )
+
+        return (
+            _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+            .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("o_custkey")
+            .aggregate(Sum("n_part", alias_name=out))
+        )
+
+    urgent = side("1-URGENT", "n_urgent")
+    low = side("5-LOW", "n_low").map_batches(
+        lambda t: t.rename_columns(["c_low", "n_low"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = bucket_hash_join(urgent, low, "o_custkey", "c_low", how="outer")
+
+    def finish(t: pa.Table) -> pa.Table:
+        cust = pc.coalesce(
+            t["o_custkey"].combine_chunks().cast(pa.float64()),
+            t["c_low"].combine_chunks().cast(pa.float64()),
+        ).cast(pa.int64())
+        return pa.table(
+            {
+                "custkey": cust,
+                "n_urgent": t["n_urgent"],
+                "n_low": t["n_low"],
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

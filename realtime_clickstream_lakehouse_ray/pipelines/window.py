@@ -431,3 +431,54 @@ def customer_cumulative_spend(sf_dir: str) -> ray.data.Dataset:
         ds, order_col="__ord", value_col="spend_cents", by_col="o_custkey",
         out_col="cum_spend_cents",
     ).select_columns(["o_custkey", "o_orderkey", "cum_spend_cents"])
+
+
+def events_user_ntile(sf_dir: str, n_tiles: int = 4) -> ray.data.Dataset:
+    """NTILE(n) OVER (PARTITION BY user_id ORDER BY ts, event_id) — the
+    equal-frequency binning window function (the partition-wise form of
+    quantile bucketing a curriculum sampler uses).  Same bucketed template
+    as ``events_user_rank``; the tile for EVERY user in a bucket comes
+    from one vectorized closed-form over the 0-based rank:
+
+        q, r = divmod(n_rows_of_user, n_tiles)
+        tile(rank) = rank // (q+1)              if rank <  r*(q+1)
+                     r + (rank - r*(q+1)) // q  otherwise
+
+    which is exactly SQL NTILE's "first r tiles get one extra row"."""
+    num_buckets = _num_buckets()
+
+    def tag(t: pa.Table) -> pa.Table:
+        return _tag_bucket(
+            t.select(["event_id", "user_id", "ts"]), "user_id", num_buckets
+        )
+
+    def ntile_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort", ignore_index=True)
+        uid = g["user_id"].to_numpy()
+        n = len(g)
+        starts = _group_starts(uid)
+        sizes = np.diff(np.append(starts, n))
+        rank0 = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+        size = np.repeat(sizes, sizes)
+        q, r = size // n_tiles, size % n_tiles
+        cut = r * (q + 1)
+        big = rank0 < cut
+        tile = np.where(
+            big,
+            rank0 // np.maximum(q + 1, 1),
+            r + (rank0 - cut) // np.maximum(q, 1),
+        ) + 1
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": uid,
+                "tile": tile.astype(np.int64),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+        .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(ntile_bucket, batch_format="pandas")
+    )

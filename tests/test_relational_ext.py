@@ -185,3 +185,73 @@ class TestKll:
                 "SELECT count(*) FROM orders WHERE o_totalprice <= ?", [v]
             ).fetchone()[0] / n
             assert abs(rank - q) < 0.03, (q, rank)
+
+
+class TestCdc:
+    """Content-defined chunking: tiling, batch-composition invariance,
+    and the shift-resistance property that motivates CDC over fixed-size
+    blocking."""
+
+    def _chunk(self, docs, ids=None):
+        from realtime_clickstream_lakehouse_ray.pipelines.dedup import cdc_chunk_table
+
+        if ids is None:
+            ids = np.arange(len(docs), dtype=np.int64)
+        return cdc_chunk_table(pa.array(docs, pa.binary()), ids).to_pydict()
+
+    def test_tiling_and_composition_invariance(self):
+        rng = np.random.default_rng(11)
+        docs = [
+            rng.integers(32, 127, size=s, dtype=np.uint8).tobytes()
+            for s in (0, 5, 300, 1000, 4096)
+        ]
+        d = self._chunk(docs)
+        for i, doc in enumerate(docs):
+            rows = sorted(
+                (c, s, l)
+                for did, s, l, c in zip(
+                    d["doc_id"], d["start"], d["length"], d["chunk_idx"]
+                )
+                if did == i
+            )
+            if not doc:
+                assert not rows
+                continue
+            pos = 0
+            for c, s, l in rows:
+                assert s == pos
+                pos += l
+            assert pos == len(doc)
+        alone = self._chunk([docs[3]], np.array([3], dtype=np.int64))
+        batch_rows = sorted(
+            (s, l, f)
+            for did, s, l, f in zip(d["doc_id"], d["start"], d["length"], d["fp"])
+            if did == 3
+        )
+        assert batch_rows == sorted(
+            zip(alone["start"], alone["length"], alone["fp"])
+        )
+
+    def test_shift_resistance(self):
+        rng = np.random.default_rng(13)
+        doc = rng.integers(32, 127, size=4096, dtype=np.uint8).tobytes()
+        pre = rng.integers(32, 127, size=100, dtype=np.uint8).tobytes() + doc
+        a = self._chunk([doc])
+        b = self._chunk([pre])
+        fa = set(zip(a["length"], a["fp"]))
+        fb = set(zip(b["length"], b["fp"]))
+        assert len(fa & fb) / max(1, len(fa)) > 0.6
+
+    def test_dup_chunks_pipeline(self):
+        import ray
+
+        from realtime_clickstream_lakehouse_ray.pipelines.dedup import cdc_dup_chunks
+
+        out = [
+            t
+            for t in ray.get(cdc_dup_chunks(SF_DIR).to_arrow_refs())
+            if t.num_rows
+        ]
+        if out:
+            t = pa.concat_tables(out)
+            assert min(t["n_copies"].to_pylist()) >= 2
