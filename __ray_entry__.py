@@ -211,6 +211,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_cooccurrence": corpus.word_cooccurrence,
         # --- maintenance engine (SURVEY.md §2.12, the north rule) -------
         "maintenance_compact": maintenance.maintenance_compact,
+        # metadata-table surface (DESCRIBE DETAIL / .partitions analog)
+        "maintenance_partitions": maintenance.maintenance_partitions,
         "maintenance_zorder": maintenance.maintenance_zorder,
         # stats-based file skipping over a clustered snapshot
         "maintenance_pruned_scan": maintenance.maintenance_pruned_scan,
@@ -1379,6 +1381,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(v) AS BIGINT) AS min_v,
                    CAST(max(v) AS BIGINT) AS max_v
             FROM b GROUP BY doc_id, channel
+        """,
+        "maintenance_partitions": f"""
+            WITH base AS ({_DOCS_BASE})
+            SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(nt) AS BIGINT) AS sum_tok
+            FROM base GROUP BY source
         """,
         "events_user_ntile": """
             SELECT event_id, user_id,

@@ -511,3 +511,23 @@ def maintenance_incremental_agg(sf_dir: str) -> pa.Table:
             "sum_n_tok": pa.array(out["d_tok"].to_numpy()),
         }
     )
+
+
+def maintenance_partitions(sf_dir: str) -> pa.Table:
+    """Metadata-table surface (Delta DESCRIBE DETAIL / Iceberg
+    ``.partitions``): ingest -> compact -> read the PARTITIONS metadata
+    relation straight from the manifest (no data file opened).  The
+    oracle restates the per-source rollup from the base relation, so the
+    manifest's row/token accounting is checked against the data it
+    claims to describe; the volatile columns (file counts, bytes) are
+    covered by pytest invariants instead."""
+    t = build_from_documents(sf_dir, _scratch_root(sf_dir, "meta"))
+    t.compact(target_file_bytes=8 << 20)
+    meta = t.metadata_table("partitions")
+    return pa.table(
+        {
+            "source": meta["partition"],
+            "n_rows": meta["rows"].cast(pa.int64()),
+            "sum_tok": meta["sum_tok"].cast(pa.int64()),
+        }
+    )

@@ -240,6 +240,70 @@ class Table:
             "partitions": per_part,
         }
 
+    def metadata_table(self, kind: str, version: int | None = None) -> pa.Table:
+        """Queryable metadata relations — the Delta ``DESCRIBE HISTORY`` /
+        Iceberg ``.snapshots``/``.files``/``.partitions`` analog, derived
+        from the manifest only (no data file is ever read):
+
+        - ``"history"``: one row per snapshot (version, parent, operation,
+          job_id, timestamp, n_files, rows, bytes).
+        - ``"files"``: the snapshot's file inventory with pruning stats
+          (path, partition, rows, bytes, min/max n_tok, min/max key,
+          clustering signature, pending-DV flag).
+        - ``"partitions"``: per-partition rollup (partition, n_files,
+          rows, bytes, sum_tok)."""
+        if kind == "history":
+            rows = []
+            for v in self.log.versions():
+                p = self.log.read_version(v)
+                fs = self.files(v)
+                rows.append(
+                    {
+                        "version": p.get("version"),
+                        "parent": p.get("parent"),
+                        "operation": p.get("operation"),
+                        "job_id": p.get("job_id"),
+                        "timestamp": p.get("timestamp"),
+                        "n_files": len(fs),
+                        "rows": sum(f.rows for f in fs),
+                        "bytes": sum(f.bytes for f in fs),
+                    }
+                )
+            return pa.Table.from_pylist(rows)
+        if kind == "files":
+            return pa.Table.from_pylist(
+                [
+                    {
+                        "path": f.path,
+                        "partition": f.partition,
+                        "rows": f.rows,
+                        "bytes": f.bytes,
+                        "min_n_tok": f.min_n_tok,
+                        "max_n_tok": f.max_n_tok,
+                        "min_key": f.min_key,
+                        "max_key": f.max_key,
+                        "clustered": f.clustered,
+                        "has_dv": bool(f.dv),
+                    }
+                    for f in self.files(version)
+                ]
+            )
+        if kind == "partitions":
+            per_part = self.stats(version)["partitions"]
+            return pa.Table.from_pylist(
+                [
+                    {
+                        "partition": p,
+                        "n_files": d["files"],
+                        "rows": d["rows"],
+                        "bytes": d["bytes"],
+                        "sum_tok": d["sum_tok"],
+                    }
+                    for p, d in sorted(per_part.items())
+                ]
+            )
+        raise ValueError(f"unknown metadata table {kind!r} (history|files|partitions)")
+
     # ---- per-file key Bloom sidecars -----------------------------------
     def _write_bloom_sidecar(self, version: int, entries: list[FileEntry]) -> None:
         """Persist per-file key Bloom filters for this commit's new files

@@ -255,3 +255,30 @@ class TestCdc:
         if out:
             t = pa.concat_tables(out)
             assert min(t["n_copies"].to_pylist()) >= 2
+
+
+class TestMetadataTables:
+    def test_history_files_partitions_consistent(self, tmp_path):
+        from realtime_clickstream_lakehouse_ray.pipelines.maintenance import (
+            build_from_documents,
+        )
+
+        t = build_from_documents(SF_DIR, str(tmp_path / "tokens"))
+        t.compact(target_file_bytes=8 << 20)
+        hist = t.metadata_table("history").to_pydict()
+        assert hist["operation"][0] == "append"
+        assert hist["operation"][-1] == "compact"
+        assert hist["version"] == sorted(hist["version"])
+        files = t.metadata_table("files")
+        stats = t.stats()
+        assert files.num_rows == stats["files"]
+        assert sum(files["rows"].to_pylist()) == stats["rows"]
+        parts = t.metadata_table("partitions").to_pydict()
+        assert sum(parts["rows"]) == stats["rows"]
+        assert set(parts["partition"]) == set(stats["partitions"])
+        # every files row carries usable pruning stats
+        assert all(v is not None for v in files["min_n_tok"].to_pylist())
+        import pytest
+
+        with pytest.raises(ValueError):
+            t.metadata_table("nope")
