@@ -209,6 +209,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interval_overlap": clickstream.events_interval_overlap,
         # PMI counting core: mergeable co-occurrence matrix partials
         "word_cooccurrence": corpus.word_cooccurrence,
+        # the 100-TB-vocabulary regime of doc_rarity (bucketed word join)
+        "doc_rarity_bucketed": corpus.doc_rarity_bucketed,
         # --- maintenance engine (SURVEY.md §2.12, the north rule) -------
         "maintenance_compact": maintenance.maintenance_compact,
         # metadata-table surface (DESCRIBE DETAIL / .partitions analog)
@@ -979,6 +981,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
         """,
         "doc_rarity": f"""
+            WITH w AS (SELECT doc_id, unnest({words}) AS word FROM documents),
+                 freq AS (SELECT word, count(*) AS n FROM w GROUP BY word)
+            SELECT w.doc_id,
+                   CAST(min(freq.n) AS BIGINT) AS min_df,
+                   CAST(count(*) FILTER (WHERE freq.n = 1) AS BIGINT) AS n_hapax
+            FROM w JOIN freq USING (word) GROUP BY w.doc_id
+        """,
+        "doc_rarity_bucketed": f"""
             WITH w AS (SELECT doc_id, unnest({words}) AS word FROM documents),
                  freq AS (SELECT word, count(*) AS n FROM w GROUP BY word)
             SELECT w.doc_id,

@@ -96,6 +96,80 @@ def doc_rarity(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def doc_rarity_bucketed(sf_dir: str) -> ray.data.Dataset:
+    """The 100-TB-vocabulary regime of ``doc_rarity``, as REAL code rather
+    than a docstring promise: when the (word -> n) table no longer fits a
+    broadcast, the per-word frequency lookup becomes a bucketed hash join
+    on ``word`` — distinct (doc, word) presence rows join the vocabulary
+    aggregate inside word-hash buckets, then one doc-keyed groupby
+    finalizes Min(df) / hapax count.  Two shuffles total (word-bucket
+    join + doc groupby), nothing vocabulary-sized ever on one node.
+    Equality-tested against the broadcast regime in pytest.
+
+    Note the semantics match ``doc_rarity`` exactly because min/hapax are
+    presence-based: collapsing to DISTINCT (doc, word) before the join
+    changes neither the per-doc min df nor which words are hapax."""
+    from ray.data.aggregate import Min as _Min
+
+    from realtime_clickstream_lakehouse_ray.pipelines.relational import bucket_hash_join
+
+    vocab = word_frequencies(sf_dir)
+
+    def explode_distinct(t: pa.Table) -> pa.Table:
+        words = split_words(t["text"])
+        lens = np.asarray(pc.list_value_length(words)).astype(np.int64)
+        flat = np.asarray(words.flatten()).astype(object)
+        if not len(flat):
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "w": pa.array([], pa.string())}
+            )
+        rows = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        uniq, codes = np.unique(flat, return_inverse=True)
+        key = np.unique(codes.astype(np.int64) * len(t) + rows)
+        ids = np.asarray(t["doc_id"]).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[key % len(t)]),
+                "w": pa.array(uniq[key // len(t)].astype(str)),
+            }
+        )
+
+    presence = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        explode_distinct, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = bucket_hash_join(presence, vocab, "w", "word", how="inner")
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n"]).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "n": pa.array(n),
+                    "h": pa.array((n == 1).astype(np.int64)),
+                }
+            )
+            .group_by("doc_id")
+            .aggregate([("n", "min"), ("h", "sum")])
+        )
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "min_part": g["n_min"].cast(pa.int64()),
+                "hapax_part": g["h_sum"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("doc_id")
+        .aggregate(
+            _Min("min_part", alias_name="min_df"),
+            Sum("hapax_part", alias_name="n_hapax"),
+        )
+    )
+
+
 def chunk_documents(sf_dir: str, size: int = 64, stride: int = 48) -> ray.data.Dataset:
     """Explode each document into fixed-size overlapping chunks (the
     context-window splitter of an LLM data pipeline): chunk ``i`` covers

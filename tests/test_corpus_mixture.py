@@ -468,3 +468,27 @@ def test_bigram_topk_tiebreak(ray_session, tmp_path):
     # counts: "z y" 2? no: doc0 bigrams = [z y, y z, z y] -> z y:2, y z:1
     # doc1 = [a b, b a, a b] -> a b:2, b a:1; top-3 by (n desc, bigram asc)
     assert list(map(tuple, got.to_numpy())) == [("a b", 2), ("z y", 2), ("b a", 1)]
+
+
+def test_doc_rarity_bucketed_regime_equals_broadcast():
+    """The 100-TB-vocabulary fallback (bucketed hash join on word) must
+    produce exactly the broadcast regime's relation."""
+    import pyarrow as pa
+    import ray
+
+    from realtime_clickstream_lakehouse_ray.pipelines.corpus import (
+        doc_rarity,
+        doc_rarity_bucketed,
+    )
+
+    sf = "/root/testdata/sf0.01"
+
+    def norm(ds):
+        parts = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+        t = pa.concat_tables(parts, promote_options="default")
+        cols = sorted(t.column_names)
+        t = t.select(cols)
+        t = pa.table({c: t[c].cast(pa.int64()) for c in cols})
+        return t.sort_by([(c, "ascending") for c in cols]).to_pydict()
+
+    assert norm(doc_rarity(sf)) == norm(doc_rarity_bucketed(sf))
