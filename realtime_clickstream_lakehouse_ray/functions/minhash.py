@@ -86,6 +86,26 @@ def simhash(words: pa.ListArray) -> np.ndarray:
     return (sig << np.arange(64, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
 
 
+def simhash_md5(words: pa.ListArray, nbits: int = 48, nhex: int = 12) -> np.ndarray:
+    """SQL-replicable SimHash: per-bit ±1 votes over md5-derived word
+    hashes (``md5_word_hashes``), majority sign per bit, ``nbits``-wide
+    reassembly.  Every step is integer arithmetic DuckDB reproduces
+    exactly, so (doc_id, sig) is an oracle-checkable relation — unlike the
+    xxhash64-based :func:`simhash`, which stays the fast non-oracle path."""
+    from realtime_clickstream_lakehouse_ray.functions.textstats import md5_word_hashes
+
+    offsets = np.asarray(words.offsets).astype(np.int64)
+    lengths = offsets[1:] - offsets[:-1]
+    wh = md5_word_hashes(words.values, nhex=nhex)
+    if not len(wh):
+        return np.zeros(len(lengths), dtype=np.uint64)
+    bits = ((wh[:, None] >> np.arange(nbits, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
+    votes = 2 * bits - 1  # ±1 per bit
+    sums = np.add.reduceat(votes, offsets[:-1], axis=0)
+    sig = (sums > 0).astype(np.uint64)
+    return (sig << np.arange(nbits, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
+
+
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     x = a ^ b
     # popcount via numpy bit tricks

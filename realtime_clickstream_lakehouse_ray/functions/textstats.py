@@ -94,6 +94,27 @@ def md5_fingerprints(text: pa.Array) -> pa.Array:
     )
 
 
+def md5_word_hashes(arr: pa.Array, nhex: int = 12) -> np.ndarray:
+    """First ``nhex`` hex chars of md5 per string -> uint64, memoized per
+    DISTINCT value within the batch (natural text repeats words heavily,
+    so the per-row md5 C call runs once per distinct word).  The point of
+    md5 here is SQL replicability: DuckDB computes the identical value as
+    ``CAST('0x' || substr(md5(x), 1, nhex) AS BIGINT)`` — the same
+    cross-engine-exact-hash pattern ``winnow_fingerprint_md5`` uses."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.uint64)
+    vals = np.asarray(arr, dtype=object)
+    u, inv = np.unique(vals, return_inverse=True)
+    hu = np.fromiter(
+        (int(hashlib.md5(s.encode()).hexdigest()[:nhex], 16) for s in u),
+        dtype=np.uint64,
+        count=len(u),
+    )
+    return hu[inv]
+
+
 def rolling_fingerprint(words: pa.ListArray, window: int = 8) -> np.ndarray:
     """Winnowing-style document fingerprint: min of rolling-window hashes of
     the word-hash sequence (vectorized via a strided min over windows)."""

@@ -973,9 +973,12 @@ def word_cooccurrence(
         in_r = idx < len(vc)
         hit = np.zeros(len(flat), dtype=bool)
         hit[in_r] = vc[idx[in_r]] == flat[in_r]
-        m = np.zeros((len(t), len(vc)), dtype=np.int64)
-        m[rows[hit], idx[hit]] = 1
-        p = m.T @ m  # V x V co-occurrence counts for this batch
+        # membership is 0/1 -> float32 matrix (half the int64 footprint and
+        # BLAS-dispatched); per-cell batch counts are bounded by the batch
+        # row count << 2^24, so the float32 matmul is integer-exact
+        m = np.zeros((len(t), len(vc)), dtype=np.float32)
+        m[rows[hit], idx[hit]] = 1.0
+        p = np.rint(m.T @ m).astype(np.int64)  # V x V batch counts
         iu, ju = np.triu_indices(len(vc), k=1)
         return pa.table(
             {"cells": pa.array([p[iu, ju].astype(np.int64).tobytes()], pa.large_binary())}

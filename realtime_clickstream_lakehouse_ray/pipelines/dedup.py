@@ -413,19 +413,81 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
         )
 
     bands = docs.map_batches(sig_stage, batch_format="pyarrow", zero_copy_batch=True)
-    pk = _bucket_verified_pairs_hamming(bands, max_hamming)
+    pk, _ = _bucket_verified_pairs_hamming(bands, max_hamming)
     verified = list(zip((pk >> np.int64(32)).tolist(), (pk & _PACK_MASK).tolist()))
     return _assign_groups(sf_dir, _union_find_groups(verified))
 
 
+def simhash_signatures(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, sig) — 48-bit md5-vote SimHash relation, ORACLE-EXACT:
+    every arithmetic step (md5-derived word hash, per-bit ±1 votes,
+    majority sign, bit reassembly) is integer arithmetic the DuckDB oracle
+    replays — the SQL-replicable-hash pattern ``hll_user_registers``
+    established for murmur3 fmix32, applied to simhash.  The xxhash-based
+    :func:`simhash_dedup` stays the fast path; this relation certifies the
+    signature math itself."""
+    from realtime_clickstream_lakehouse_ray.functions.minhash import simhash_md5
+
+    tune_context()
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        sig = simhash_md5(split_words(t["text"]))
+        return pa.table({"doc_id": t["doc_id"], "sig": pa.array(sig.astype(np.int64))})
+
+    return docs.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def simhash_md5_dedup(sf_dir: str, max_hamming: int = 3) -> pa.Table:
+    """Hamming-verified near-dup pairs over the 48-bit md5-vote SimHash —
+    the FULL banded simhash pipeline (4×12-bit LSH bands: pigeonhole-
+    complete for Hamming<=3, distributed in-bucket verify) against a
+    brute-force SQL oracle that recomputes every signature and checks
+    ``bit_count(xor(sig_a, sig_b)) <= max_hamming`` over all pairs.
+    Banding completeness + exact in-bucket verification make the Ray pair
+    set EQUAL the SQL pair set, so simhash leaves the no-oracle column."""
+    from realtime_clickstream_lakehouse_ray.functions.hashing import splitmix64
+    from realtime_clickstream_lakehouse_ray.functions.minhash import simhash_md5
+
+    tune_context()
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def sig_stage(t: pa.Table) -> pa.Table:
+        sig = simhash_md5(split_words(t["text"]))
+        n = len(t)
+        band_id = np.tile(np.arange(4, dtype=np.uint64), n)
+        band_key = np.empty((n, 4), dtype=np.uint64)
+        for b in range(4):
+            band_key[:, b] = (sig >> np.uint64(12 * b)) & np.uint64(0xFFF)
+        bkey = splitmix64(band_key.reshape(-1) ^ (band_id << np.uint64(48))) >> np.uint64(1)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(np.asarray(t["doc_id"]), 4)),
+                "bkey": pa.array(bkey.astype(np.int64)),
+                "sig": pa.array(np.repeat(sig.astype(np.int64), 4)),
+            }
+        )
+
+    bands = docs.map_batches(sig_stage, batch_format="pyarrow", zero_copy_batch=True)
+    pk, ham = _bucket_verified_pairs_hamming(bands, max_hamming)
+    return pa.table(
+        {
+            "id_a": pa.array(pk >> np.int64(32)),
+            "id_b": pa.array(pk & _PACK_MASK),
+            "hamming": pa.array(ham.astype(np.int64)),
+        }
+    ).sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
 def _bucket_verified_pairs_hamming(
     bands: ray.data.Dataset, max_hamming: int, cap: int = 200
-) -> np.ndarray:
+) -> tuple[np.ndarray, np.ndarray]:
     """Hamming-verified pairs from co-bucketed (doc_id, bkey, sig) rows,
     one shuffle: group by ``bkey % B``, and inside each bucket compute the
     pairwise Hamming distance on the co-located signatures — candidate
     generation and verification fused into the same distributed stage.
-    Returns the deduplicated packed (a<<32|b) pair array."""
+    Returns (packed (a<<32|b) pair array, per-pair Hamming distance),
+    deduplicated by pair."""
     ncpu = int(ray.available_resources().get("CPU", 8)) if ray.is_initialized() else 8
     n_buckets = max(16, ncpu)
 
@@ -442,7 +504,7 @@ def _bucket_verified_pairs_hamming(
         change = np.nonzero(np.diff(bk))[0] + 1
         starts = np.concatenate([[0], change])
         ends = np.concatenate([change, [len(bk)]])
-        out = []
+        out, hams = [], []
         for s, e in zip(starts, ends):
             if not (2 <= e - s <= cap):
                 continue
@@ -451,11 +513,15 @@ def _bucket_verified_pairs_hamming(
                 continue
             gs = sig[s:e][first]
             a, b = np.triu_indices(len(grp), k=1)
-            ok = hamming64(gs[a], gs[b]) <= max_hamming
+            d = hamming64(gs[a], gs[b])
+            ok = d <= max_hamming
             if ok.any():
                 out.append((grp[a[ok]] << np.int64(32)) | grp[b[ok]])
+                hams.append(d[ok].astype(np.int64))
         pk = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
-        return pa.table({"pk": pa.array(np.unique(pk))})
+        hm = np.concatenate(hams) if hams else np.empty(0, dtype=np.int64)
+        upk, first = np.unique(pk, return_index=True)
+        return pa.table({"pk": pa.array(upk), "ham": pa.array(hm[first])})
 
     parts = (
         bands.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
@@ -463,17 +529,50 @@ def _bucket_verified_pairs_hamming(
         .map_groups(emit, batch_format="pyarrow")
     )
     chunks = [
-        np.asarray(t["pk"])
+        (np.asarray(t["pk"]), np.asarray(t["ham"]))
         for t in ray.get(parts.to_arrow_refs())
         if t.num_rows and "pk" in t.column_names
     ]
-    return np.unique(np.concatenate(chunks)) if chunks else np.empty(0, dtype=np.int64)
+    if not chunks:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    pk_all = np.concatenate([c[0] for c in chunks])
+    hm_all = np.concatenate([c[1] for c in chunks])
+    upk, first = np.unique(pk_all, return_index=True)
+    return upk, hm_all[first]
 
 
 # ---- embedding cosine near-dup ------------------------------------------
+# past this the broadcast matrix no longer fits comfortably in a worker
+# heap and the IVF-bucketed regime wins (same planner shape as
+# relational.auto_hash_join's broadcast-vs-shuffle decision)
+EMBED_BROADCAST_BYTES = 128 << 20
+
+
 def embedding_dup_pairs(sf_dir: str, tau: float = 0.95) -> pa.Table:
+    """Regime-choosing front for embedding near-dup: parquet footer stats
+    (``size_bytes()`` — no data I/O) pick
+
+    - the BROADCAST O(n²/p) matmul when the whole embedding matrix fits in
+      a worker heap (small corpora / test scale), else
+    - the IVF-bucketed path (:func:`embedding_dup_pairs_ivf`) whose only
+      shuffle is within-cluster — the 100-TB regime.
+
+    Both regimes emit the identical exact-cosine-verified pair set (the
+    IVF path multi-probe-assigns for full recall and verifies with exact
+    cosine), so the dispatch is invisible to callers and to the oracle."""
+    emb_ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    est = emb_ds.size_bytes()
+    if est is not None and est > EMBED_BROADCAST_BYTES:
+        return embedding_dup_pairs_ivf(sf_dir, tau=tau)
+    return embedding_dup_pairs_broadcast(sf_dir, tau=tau)
+
+
+def embedding_dup_pairs_broadcast(sf_dir: str, tau: float = 0.95) -> pa.Table:
     """All pairs with cosine >= tau: per-batch matmul against the broadcast
-    L2-normalized matrix (distributed O(n²/p); IVF-bucketed at scale)."""
+    L2-normalized matrix (distributed O(n²/p); small-regime twin of the
+    IVF path — ``embedding_dup_pairs`` chooses between them by size)."""
     emb_ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     full = pa.concat_tables(ray.get(emb_ds.to_arrow_refs()))
     ids = np.asarray(full["vec_id"])
@@ -518,12 +617,16 @@ def ngram_jaccard_dedup(
        (gram, doc_id) rows (vectorized, boundary-exact).
     2. ``groupby(gram)`` count -> grams shared by >=2 docs; broadcast that
        (small) key set and filter the exploded rows to it.
-    3. ``groupby(gram).map_groups`` over multi-member buckets only ->
-       candidate pair rows; ``groupby(pair)`` count = intersection size
-       (|A ∩ B| is an *aggregate*, the sum of co-occurrences over buckets).
+    3. gram-bucket ``map_groups`` -> per-bucket DEDUPED partial pair counts
+       (pk, c); a second pk-hash-bucket shuffle sums partials with one
+       vectorized ``np.unique`` + ``add.reduceat`` per bucket = |A ∩ B|.
+       Both reduces are distributed — no pair multiset ever hits the driver.
     4. Integer-exact threshold: inter*den >= num*(n_a + n_b - inter) with
-       per-doc distinct-gram counts broadcast via ``ray.put`` (at scale:
-       hash-join the counts onto the — tiny — pair table instead).
+       per-doc distinct-gram counts computed for CANDIDATE ids only (the
+       pair-proportional set) and broadcast via ``ray.put`` — the same
+       candidate-restricted regime ``minhash_lsh_dedup`` uses; the
+       threshold itself applies distributed and only final near-dup pairs
+       are collected.
 
     ``max_df`` (scale knob, default off = exact): drop grams appearing in
     more than ``max_df`` docs before pair expansion — classic
@@ -577,12 +680,6 @@ def ngram_jaccard_dedup(
         }
     )
 
-    # per-doc distinct-gram counts (broadcast; see docstring for scale path)
-    cnt_df = exploded.groupby("doc_id").aggregate(Count(alias_name="n")).to_pandas()
-    ids_arr = cnt_df["doc_id"].to_numpy().astype(np.int64)
-    order = np.argsort(ids_arr)
-    counts_ref = ray.put((ids_arr[order], cnt_df["n"].to_numpy().astype(np.int64)[order]))
-
     # grams shared by >=2 docs (and under the df cap, if any)
     df_counts = exploded.groupby("g").aggregate(Count(alias_name="df"))
     hi = np.int64(max_df) if max_df is not None else np.iinfo(np.int64).max
@@ -631,43 +728,115 @@ def ngram_jaccard_dedup(
             a, b = np.triu_indices(len(grp), k=1)
             out.append((grp[a] << np.int64(32)) | grp[b])
         pk = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
-        return pd.DataFrame({"pk": pk})
+        # bucket-local partial counts: one (pk, c) row per distinct pair in
+        # this gram bucket, so the second shuffle moves deduped partials
+        upk, c = np.unique(pk, return_counts=True)
+        return pd.DataFrame({"pk": upk, "c": c.astype(np.int64)})
 
-    pairs_ds = (
+    pairs_partial = (
         exploded.map_batches(filter_hot, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(add_gbucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__gb")
         .map_groups(emit_pairs, batch_format="pandas")
     )
-    # The pair multiset is O(near-dup pairs x shared grams) — orders of
-    # magnitude smaller than the corpus (and bounded when max_df is set),
-    # so the intersection count is a driver-side np.unique like any other
-    # collected aggregate.  (A distributed ``groupby("pk").aggregate(Count)``
-    # is the drop-in scale form, but Ray's groupby costs ~4.5s of fixed
-    # overhead even on 14k rows — 1/3 of this operator's wall time at test
-    # scale.)
-    parts = [t for t in ray.get(pairs_ds.to_arrow_refs()) if t.num_rows and "pk" in t.column_names]
-    if not parts:
-        return empty
-    pk_all = np.concatenate([np.asarray(t["pk"]) for t in parts]).astype(np.int64)
-    pk, inter = np.unique(pk_all, return_counts=True)
 
-    cids, cns = ray.get(counts_ref)
-    ia = pk >> np.int64(32)
-    ib = pk & np.int64(0xFFFFFFFF)
-    na = cns[np.searchsorted(cids, ia)]
-    nb = cns[np.searchsorted(cids, ib)]
-    union = na + nb - inter
-    ok = inter * den >= num * union
-    result = pa.table(
-        {
-            "id_a": pa.array(ia[ok]),
-            "id_b": pa.array(ib[ok]),
-            "inter_size": pa.array(inter[ok].astype(np.int64)),
-            "union_size": pa.array(union[ok]),
-        }
+    # |A ∩ B| finalization stays DISTRIBUTED: a pair's partials land in one
+    # pk-hash bucket, where a vectorized np.unique + add.reduceat sums them.
+    # Nothing corpus-proportional ever reaches the driver on this operator.
+    n_pbuckets = 64
+
+    def add_pbucket(t: pa.Table) -> pa.Table:
+        pb = (np.asarray(t["pk"]) % n_pbuckets).astype(np.int32)
+        return t.append_column("__pb", pa.array(pb))
+
+    def reduce_pk(gdf: pd.DataFrame) -> pd.DataFrame:
+        pk = gdf["pk"].to_numpy()
+        c = gdf["c"].to_numpy().astype(np.int64)
+        order = np.argsort(pk, kind="mergesort")
+        pk, c = pk[order], c[order]
+        upk, idx = np.unique(pk, return_index=True)
+        return pd.DataFrame({"pk": upk, "inter": np.add.reduceat(c, idx)})
+
+    inter_ds = (
+        pairs_partial.map_batches(add_pbucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__pb")
+        .map_groups(reduce_pk, batch_format="pandas")
+        .materialize()  # candidate-pair-proportional; reused twice below
     )
-    return result.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+    # candidate doc-id set (pair-proportional) -> per-doc distinct-gram
+    # counts for CANDIDATES ONLY, the same candidate-restricted broadcast
+    # minhash_lsh_dedup uses — never an all-corpus count table
+    id_parts = [
+        np.unique(
+            np.concatenate(
+                [np.asarray(t["pk"]) >> np.int64(32), np.asarray(t["pk"]) & np.int64(0xFFFFFFFF)]
+            )
+        )
+        for t in ray.get(inter_ds.to_arrow_refs())
+        if t.num_rows and "pk" in t.column_names
+    ]
+    if not id_parts:
+        return empty
+    cand_ids = np.unique(np.concatenate(id_parts))
+    cand_ref = ray.put(cand_ids)
+
+    def filter_cand(t: pa.Table) -> pa.Table:
+        from realtime_clickstream_lakehouse_ray.functions.broadcast import get_broadcast
+
+        ids = get_broadcast(cand_ref)
+        b = np.asarray(t["doc_id"])
+        idx = np.searchsorted(ids, b)
+        in_r = idx < len(ids)
+        mask = np.zeros(len(t), dtype=bool)
+        mask[in_r] = ids[idx[in_r]] == b[in_r]
+        return t.filter(pa.array(mask))
+
+    cnt_df = (
+        exploded.map_batches(filter_cand, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()  # candidate-proportional rows only
+    )
+    cids_arr = cnt_df["doc_id"].to_numpy().astype(np.int64)
+    order = np.argsort(cids_arr)
+    counts_ref = ray.put((cids_arr[order], cnt_df["n"].to_numpy().astype(np.int64)[order]))
+
+    # integer-exact threshold applied distributed; only near-dup pairs
+    # (the final result) are collected
+    def finish(t: pa.Table) -> pa.Table:
+        from realtime_clickstream_lakehouse_ray.functions.broadcast import get_broadcast
+
+        cids, cns = get_broadcast(counts_ref)
+        pk = np.asarray(t["pk"]).astype(np.int64)
+        inter = np.asarray(t["inter"]).astype(np.int64)
+        ia = pk >> np.int64(32)
+        ib = pk & np.int64(0xFFFFFFFF)
+        na = cns[np.searchsorted(cids, ia)]
+        nb = cns[np.searchsorted(cids, ib)]
+        union = na + nb - inter
+        ok = inter * den >= num * union
+        return pa.table(
+            {
+                "id_a": pa.array(ia[ok]),
+                "id_b": pa.array(ib[ok]),
+                "inter_size": pa.array(inter[ok]),
+                "union_size": pa.array(union[ok]),
+            }
+        )
+
+    out_parts = [
+        t
+        for t in ray.get(
+            inter_ds.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs()
+        )
+        if t.num_rows and "id_a" in t.column_names
+    ]
+    if not out_parts:
+        return empty
+    return pa.concat_tables(out_parts).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")]
+    )
 
 
 def embedding_dup_pairs_ivf(
@@ -1017,7 +1186,11 @@ _GEAR = _splitmix64_np(np.arange(256))
 
 
 def cdc_chunk_table(
-    payload: "pa.Array", doc_ids: np.ndarray, mask_bits: int = 6, window: int = _CDC_WINDOW
+    payload: "pa.Array",
+    doc_ids: np.ndarray,
+    mask_bits: int = 6,
+    window: int = _CDC_WINDOW,
+    content_md5: bool = False,
 ) -> pa.Table:
     """Content-defined chunking of binary/utf8 payloads (the FastCDC/gear
     family used by storage dedup and long-document near-dup pipelines):
@@ -1091,15 +1264,27 @@ def cdc_chunk_table(
     dstart_idx = np.searchsorted(starts, doc_starts)
     seg_per_doc = np.diff(np.append(dstart_idx, len(starts)))
     chunk_idx = np.arange(len(starts), dtype=np.int64) - np.repeat(dstart_idx, seg_per_doc)
-    return pa.table(
-        {
-            "doc_id": pa.array(doc_ids[seg_doc]),
-            "chunk_idx": pa.array(chunk_idx),
-            "start": pa.array(starts - (offsets[:-1] - base)[seg_doc]),
-            "length": pa.array(seg_len),
-            "fp": pa.array((fp >> np.uint64(1)).astype(np.int64)),
-        }
-    )
+    cols = {
+        "doc_id": pa.array(doc_ids[seg_doc]),
+        "chunk_idx": pa.array(chunk_idx),
+        "start": pa.array(starts - (offsets[:-1] - base)[seg_doc]),
+        "length": pa.array(seg_len),
+        "fp": pa.array((fp >> np.uint64(1)).astype(np.int64)),
+    }
+    if content_md5:
+        # chunk-content md5 (the SQL-replicable chunk identity, same
+        # per-row-C-call pattern as textstats.md5_fingerprints); the XOR
+        # fp above stays the fast non-oracle fingerprint
+        import hashlib
+
+        mv = memoryview(data)
+        cols["chunk_md5"] = pa.array(
+            [
+                hashlib.md5(mv[int(s): int(e)]).hexdigest()
+                for s, e in zip(starts, seg_end)
+            ]
+        )
+    return pa.table(cols)
 
 
 def cdc_chunks(sf_dir: str, mask_bits: int = 6) -> ray.data.Dataset:
@@ -1118,29 +1303,44 @@ def cdc_chunks(sf_dir: str, mask_bits: int = 6) -> ray.data.Dataset:
 
 
 def cdc_dup_chunks(sf_dir: str, mask_bits: int = 6) -> ray.data.Dataset:
-    """Storage-dedup accounting: chunks whose fingerprint recurs across
-    the corpus, with copy counts and reclaimable bytes — chunk rows are
-    pre-collapsed per batch before the ONE fp-keyed groupby."""
+    """Storage-dedup accounting: chunks whose CONTENT recurs across the
+    corpus, with copy counts and reclaimable bytes — chunk rows are
+    pre-collapsed per batch before the ONE key-keyed groupby.  Chunk
+    identity is the content md5 (SQL-replicable: the DuckDB oracle
+    re-chunks with the same gear arithmetic and groups by
+    ``md5(substr(text, start+1, length))``), so this operator is
+    oracle-checked end to end — boundaries AND contents."""
     from ray.data.aggregate import Sum as _Sum
+
+    tune_context()
+
+    def chunk_fn(t: pa.Table) -> pa.Table:
+        return cdc_chunk_table(
+            t["text"].cast(pa.binary()),
+            np.asarray(t["doc_id"]),
+            mask_bits=mask_bits,
+            content_md5=True,
+        )
 
     def partial(t: pa.Table) -> pa.Table:
         g = (
-            pa.table({"fp": t["fp"], "length": t["length"]})
-            .group_by("fp")
+            pa.table({"chunk_md5": t["chunk_md5"], "length": t["length"]})
+            .group_by("chunk_md5")
             .aggregate([("length", "sum"), ("length", "count")])
         )
         return pa.table(
             {
-                "fp": g["fp"],
+                "chunk_md5": g["chunk_md5"],
                 "bytes_part": g["length_sum"].cast(pa.int64()),
                 "n_part": g["length_count"].cast(pa.int64()),
             }
         )
 
     agg = (
-        cdc_chunks(sf_dir, mask_bits=mask_bits)
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(chunk_fn, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("fp")
+        .groupby("chunk_md5")
         .aggregate(_Sum("n_part", alias_name="n_copies"), _Sum("bytes_part", alias_name="total_bytes"))
     )
     return agg.map_batches(

@@ -141,3 +141,27 @@ def rgb_downsample(sf_dir: str, width: int = 16) -> ray.data.Dataset:
         batch_size=256,
         concurrency=_pool_size(),
     )
+
+
+def rgb_downsample_stats(sf_dir: str, width: int = 16) -> ray.data.Dataset:
+    """Oracle-checkable projection of the REAL pooled binaries: run the
+    actual 2x2 average-pool (``rgb_downsample``), then per-channel integer
+    stats over each document's POOLED bytes — the DuckDB oracle replays
+    the ``(a+b+c+d)//4`` pooling with char arithmetic, so sums/extrema pin
+    the binary content itself, not just its shape."""
+    from realtime_clickstream_lakehouse_ray.stages.multimodal import RgbRawFeatures
+
+    def as_payload(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "payload": t["pooled"]})
+
+    return (
+        rgb_downsample(sf_dir, width=width)
+        .map_batches(as_payload, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            RgbRawFeatures,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=256,
+            concurrency=_pool_size(),
+        )
+    )

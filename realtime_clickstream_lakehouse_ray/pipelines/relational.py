@@ -336,6 +336,17 @@ def bucket_hash_join(
         + [r_schema.field(c) for c in right_cols if c not in left_cols]
         + [pa.field("__bucket", pa.int32()), pa.field("__side", pa.int8())]
     )
+    # Fixed output schema per block: integer columns stay int64 even when an
+    # outer/left merge null-fills them (pandas nullable dtypes round-trip to
+    # Arrow ints exactly — no int->float64 coercion that would corrupt keys
+    # above 2^53 or leave mixed int64/float64 schemas across buckets).
+    if how in ("inner", "left", "outer"):
+        out_schema = pa.schema(
+            [l_schema.field(c) for c in left_cols]
+            + [r_schema.field(c) for c in right_cols if c not in left_cols]
+        )
+    else:  # semi / anti emit left columns only
+        out_schema = pa.schema([l_schema.field(c) for c in left_cols])
 
     def tag(side: int, key: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -350,16 +361,26 @@ def bucket_hash_join(
     lt = left.map_batches(tag(0, left_on), batch_format="pyarrow", zero_copy_batch=True)
     rt = right.map_batches(tag(1, right_on), batch_format="pyarrow", zero_copy_batch=True)
 
-    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g.loc[g["__side"] == 0, left_cols]
-        r = g.loc[g["__side"] == 1, right_cols]
+    _nullable = {
+        pa.int64(): pd.Int64Dtype(),
+        pa.int32(): pd.Int32Dtype(),
+        pa.int16(): pd.Int16Dtype(),
+        pa.int8(): pd.Int8Dtype(),
+    }
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        df = g.to_pandas(types_mapper=_nullable.get)
+        l = df.loc[df["__side"] == 0, left_cols]
+        r = df.loc[df["__side"] == 1, right_cols]
         if how in ("inner", "left", "outer"):
-            return l.merge(r, left_on=left_on, right_on=right_on, how=how)
-        member = l[left_on].isin(r[right_on])
-        return l[member] if how == "semi" else l[~member]
+            out = l.merge(r, left_on=left_on, right_on=right_on, how=how)
+        else:
+            member = l[left_on].isin(r[right_on])
+            out = l[member] if how == "semi" else l[~member]
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
 
     return lt.union(rt).groupby("__bucket").map_groups(
-        merge_bucket, batch_format="pandas"
+        merge_bucket, batch_format="pyarrow"
     )
 
 
@@ -1078,12 +1099,21 @@ def set_op(
     def tag(side: int):
         def fn(t: pa.Table) -> pa.Table:
             u = pc.unique(t[key].combine_chunks())
-            bucket = (hash64(u) % np.uint64(num_buckets)).astype(np.int32)
+            # SQL set operators treat NULL as ONE distinct value (NULL
+            # INTERSECT NULL yields NULL).  A null key can't go through
+            # hash64/np.unique, so it is routed deterministically to bucket 0
+            # and resolved by presence flags in `resolve`.
+            nulls = pc.is_null(u)
+            valid = u.drop_null()
+            bucket = (hash64(valid) % np.uint64(num_buckets)).astype(np.int32)
+            if pc.any(nulls).as_py():
+                valid = pa.concat_arrays([valid, pa.array([None], u.type)])
+                bucket = np.append(bucket, np.int32(0))
             return pa.table(
                 {
-                    key: u,
+                    key: valid,
                     "__bucket": pa.array(bucket),
-                    "__side": pa.array(np.full(len(u), side, dtype=np.int8)),
+                    "__side": pa.array(np.full(len(valid), side, dtype=np.int8)),
                 }
             )
 
@@ -1094,11 +1124,20 @@ def set_op(
 
     def resolve(g: pa.Table) -> pa.Table:
         side = np.asarray(g["__side"])
-        vals = np.asarray(g[key])
-        ua = np.unique(vals[side == 0])
-        ub = np.unique(vals[side == 1])
+        col = g[key].combine_chunks()
+        isnull = pc.is_null(col).to_numpy(zero_copy_only=False)
+        ua = np.unique(np.asarray(col.filter(pa.array((side == 0) & ~isnull))))
+        ub = np.unique(np.asarray(col.filter(pa.array((side == 1) & ~isnull))))
         out = np.intersect1d(ua, ub) if how == "intersect" else np.setdiff1d(ua, ub)
-        return pa.table({key: pa.array(out, g.schema.field(key).type)})
+        arr = pa.array(out, g.schema.field(key).type)
+        null_a = bool(isnull[side == 0].any())
+        null_b = bool(isnull[side == 1].any())
+        keep_null = (
+            (null_a and null_b) if how == "intersect" else (null_a and not null_b)
+        )
+        if keep_null:
+            arr = pa.concat_arrays([arr, pa.array([None], arr.type)])
+        return pa.table({key: arr})
 
     return at.union(bt).groupby("__bucket").map_groups(
         resolve, batch_format="pyarrow"
@@ -1174,8 +1213,18 @@ def broadcast_hash_join(
 
     from realtime_clickstream_lakehouse_ray.functions.broadcast import get_broadcast
 
-    right_tbl = pa.concat_tables(ray.get(right.to_arrow_refs()))
-    ref = ray.put(right_tbl.to_pandas())
+    # build-side collect: skip empty blocks (a zero-block build side would
+    # crash pa.concat_tables), fall back to an empty frame with the right
+    # schema, and drop the intermediate Arrow copy before ray.put so only
+    # ONE copy of the build table lives on the driver at a time
+    parts = [t for t in ray.get(right.to_arrow_refs()) if t.num_rows]
+    if parts:
+        right_df = pa.concat_tables(parts).to_pandas()
+    else:
+        right_df = right.schema().base_schema.empty_table().to_pandas()
+    del parts
+    ref = ray.put(right_df)
+    del right_df
 
     def probe(df: pd.DataFrame) -> pd.DataFrame:
         r = get_broadcast(ref)
@@ -1261,15 +1310,17 @@ def priority_customer_matrix(sf_dir: str) -> ray.data.Dataset:
     joined = bucket_hash_join(urgent, low, "o_custkey", "c_low", how="outer")
 
     def finish(t: pa.Table) -> pa.Table:
+        # bucket_hash_join emits true nullable int64 columns, so the key
+        # coalesce stays on the integer domain (no float64 round-trip that
+        # would corrupt custkeys above 2^53)
         cust = pc.coalesce(
-            t["o_custkey"].combine_chunks().cast(pa.float64()),
-            t["c_low"].combine_chunks().cast(pa.float64()),
+            t["o_custkey"].combine_chunks(), t["c_low"].combine_chunks()
         ).cast(pa.int64())
         return pa.table(
             {
                 "custkey": cust,
-                "n_urgent": t["n_urgent"],
-                "n_low": t["n_low"],
+                "n_urgent": t["n_urgent"].combine_chunks().cast(pa.int64()),
+                "n_low": t["n_low"].combine_chunks().cast(pa.int64()),
             }
         )
 

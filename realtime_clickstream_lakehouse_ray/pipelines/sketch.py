@@ -175,6 +175,10 @@ class KllSketch:
             self.levels.pop()
 
     def quantile(self, q: float) -> float:
+        if self.n == 0:
+            # defined result for the empty sketch (e.g. kll_quantiles over an
+            # empty table) instead of np.concatenate crashing on no levels
+            return float("nan")
         items, weights = [], []
         for i, lv in enumerate(self.levels):
             if len(lv):

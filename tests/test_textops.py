@@ -191,6 +191,34 @@ def test_embedding_dup_pairs_ivf_recall(tmp_path_factory):
     assert len(e & a) / len(e) >= 0.8, (len(e & a), len(e))
 
 
+def test_embedding_dup_pairs_size_dispatch(tmp_path_factory, monkeypatch):
+    """The regime front chooses broadcast vs IVF by footer stats; with the
+    threshold forced to 0 the IVF regime runs and (exhaustive assignment
+    keeps recall complete on this corpus) emits the same verified pairs as
+    the broadcast regime."""
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(20, 16))
+    near = base + rng.normal(scale=0.01, size=base.shape)
+    mat = np.vstack([base, near, rng.normal(size=(60, 16))])
+    d = tmp_path_factory.mktemp("embdisp")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(mat)), pa.int64()),
+                "embedding": pa.array(list(mat), pa.list_(pa.float64())),
+            }
+        ),
+        d / "embeddings.parquet",
+    )
+    small = dedup.embedding_dup_pairs(str(d)).to_pandas()  # broadcast regime
+    monkeypatch.setattr(dedup, "EMBED_BROADCAST_BYTES", 0)  # force IVF regime
+    big = dedup.embedding_dup_pairs(str(d)).to_pandas()
+    s = set(zip(small["id_a"], small["id_b"]))
+    b = set(zip(big["id_a"], big["id_b"]))
+    assert len(s) >= 15
+    assert b == s  # regime equality: the dispatch is invisible to callers
+
+
 class TestConnectedComponents:
     def test_chain_star_and_singleton_pair(self):
         # chain 1-2-3-4 (diameter 3), star 10-(11,12,13), pair 20-21
