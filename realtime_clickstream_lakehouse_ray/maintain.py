@@ -101,6 +101,7 @@ def main(argv: list[str] | None = None) -> int:
     tune_context()
     table = Table.load(args.table)
     t0 = time.perf_counter()
+    v_start = table.version()
     results: dict[str, object] = {}
     for op in [o.strip() for o in args.ops.split(",") if o.strip()]:
         if op == "compact":
@@ -209,6 +210,29 @@ def main(argv: list[str] | None = None) -> int:
         else:
             p.error(f"unknown op: {op}")
 
+    # per-op phase timing surface (Table.metrics() rides the snapshot log):
+    # a human-readable table on stderr — where a slow job spent its time —
+    # and the same rows machine-readable in the status JSON
+    op_metrics = [
+        {
+            "version": r["version"],
+            "operation": r["operation"],
+            "duration_sec": r.get("duration_sec"),
+            "rows_per_sec": r.get("rows_per_sec"),
+            "phases": r.get("phases") or {},
+        }
+        for r in table.metrics()
+        if r["version"] > v_start
+    ]
+    for r in op_metrics:
+        phases = " ".join(f"{k}={v:.3f}s" for k, v in r["phases"].items())
+        dur = f"{r['duration_sec']:.3f}s" if r["duration_sec"] is not None else "-"
+        print(
+            f"[metrics] v{r['version']} {r['operation']}: total={dur}"
+            + (f"  {phases}" if phases else ""),
+            file=sys.stderr,
+        )
+
     # post-write verification (reference K3, glue_stream.py:357-372):
     # every file of the final snapshot must exist with consistent stats
     missing = [f.path for f in table.files() if not (table.root / f.path).is_file()]
@@ -218,6 +242,7 @@ def main(argv: list[str] | None = None) -> int:
         "ops": results,
         "rows": table.stats()["rows"],
         "missing_files": missing,
+        "op_metrics": op_metrics,
         "runtime_sec": round(time.perf_counter() - t0, 3),
     }
     print(json.dumps(status))

@@ -181,13 +181,51 @@ def _sample_rows(
 
 
 def kmeans_fit(
-    sf_dir: str, n_clusters: int = 16, n_iters: int = 5, seed: int = 11
+    sf_dir: str,
+    n_clusters: int = 16,
+    n_iters: int = 5,
+    seed: int = 11,
+    fit: str = "sample",
+    sample_size: int = 65536,
 ) -> np.ndarray:
-    """Seeded Lloyd iterations, map_batches partial sums per iteration —
-    the driver only ever reduces (n_clusters x dim) partials; centroid
-    init comes from the distributed sample above, not a full-matrix
-    load."""
+    """Seeded Lloyd k-means with two fit regimes:
+
+    - ``fit="sample"`` (default, the at-scale path): ONE distributed
+      deterministic sample pass (``_sample_rows`` — bounded
+      ``sample_size`` x dim driver memory), then Lloyd iterates LOCALLY on
+      the sample — total corpus scans: one, instead of one per iteration.
+      Standard practice for IVF coarse quantizers (faiss trains on a
+      sample).  Seeds match the full regime (the n_clusters smallest-hash
+      rows); the fitted centroids can differ from the full fit in float
+      tie-breaks (Lloyd amplifies last-ulp summation-order differences),
+      but every downstream IVF result is regime-insensitive — the
+      exhaustive-probe knn_ivf and embedding_dup_pairs_ivf oracles stay
+      exact under either fit, which the oracle-parity suite checks.
+    - ``fit="full"``: per-iteration distributed partial-sum passes; the
+      driver only ever reduces (n_clusters x dim) partials.  Scales, but
+      costs ``n_iters`` full scans of the embedding table.
+    """
     emb_ds = _emb_ds(sf_dir)
+    if fit == "sample":
+        from realtime_clickstream_lakehouse_ray.functions.hashing import splitmix64
+
+        sids, smat = _sample_rows(emb_ds, max(sample_size, n_clusters), seed)
+        smat = _normalize(smat)
+        # same seed rows as the full regime: the n_clusters smallest-hash
+        # rows (the sample contains them by construction — it IS the
+        # smallest-hash prefix of the corpus)
+        h = splitmix64(sids.astype(np.uint64) ^ np.uint64(seed))
+        centroids = _normalize(smat[np.argsort(h)[:n_clusters]].copy())
+        for _ in range(n_iters):
+            assign = np.argmax(smat @ centroids.T, axis=1)
+            sums = np.zeros_like(centroids)
+            np.add.at(sums, assign, smat)
+            cnts = np.bincount(assign, minlength=n_clusters).astype(np.float64)
+            nonempty = cnts > 0
+            centroids[nonempty] = _normalize(
+                sums[nonempty] / cnts[nonempty, None]
+            )
+        return centroids
     _, seeds = _sample_rows(emb_ds, n_clusters, seed)
     centroids = _normalize(seeds)
     for _ in range(n_iters):

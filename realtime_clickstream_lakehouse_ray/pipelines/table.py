@@ -60,6 +60,9 @@ from realtime_clickstream_lakehouse_ray.state.log import (
 )
 
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
+# past this many range buckets the zorder scatter runs two-level (coarse
+# ranges then grouped re-cut) — see stages/scatter.py module docstring
+SCATTER_TWO_LEVEL_THRESHOLD = 4096
 
 
 def _load_dv_keys(args: tuple) -> pa.Array:
@@ -896,6 +899,7 @@ class Table:
         write_concurrency: int | tuple[int, int] | None = None,  # kept for API compat
         incremental: bool = False,
         method: str = "scatter",  # "scatter" (range exchange) or "sort"
+        scatter_two_level_threshold: int | None = None,
     ) -> int | None:
         """Z-order clustering: zkey map_batches -> global range-partitioned
         sort -> size-targeted rewrite -> snapshot swap (remove all, add all).
@@ -987,6 +991,7 @@ class Table:
             return self._zorder_scatter(
                 stat_files, zdims, bounds, curve, part_rank, signature,
                 target_file_bytes, parent, job_id,
+                two_level_threshold=scatter_two_level_threshold,
             )
         ds = self._read_entries(stat_files)
         ds = ds.map_batches(
@@ -1054,18 +1059,27 @@ class Table:
         target_file_bytes: int,
         parent: int,
         job_id: str,
+        two_level_threshold: int | None = None,
     ) -> int:
         """Scatter/gather body of ``zorder(method="scatter")`` — see
         ``stages/scatter.py`` for the exchange design and its multi-node
-        partitioning assumptions."""
+        partitioning assumptions.  Above ``two_level_threshold`` buckets
+        (default ``SCATTER_TWO_LEVEL_THRESHOLD``) the scatter runs in two
+        levels — coarse ranges first, then a grouped re-cut — bounding
+        fragment count at O(blocks x sqrt(B)) instead of O(blocks x B)."""
         import shutil
 
         from realtime_clickstream_lakehouse_ray.stages.scatter import (
             GatherWriter,
             boundaries_from_sample,
+            group_fragments_by_bytes,
+            make_repartitioner,
             make_scatter_writer,
             sample_zkeys,
         )
+
+        if two_level_threshold is None:
+            two_level_threshold = SCATTER_TWO_LEVEL_THRESHOLD
 
         scratch = self.root / "_scratch" / job_id
         plan_path = scratch / "PLAN.json"
@@ -1118,17 +1132,65 @@ class Table:
                 np.concatenate(samples), int(n_buckets)
             )
             t = self._phase("plan", t)
-            # scatter: one embarrassingly-parallel pass over the data
-            frag_ds = self._read_entries(stat_files).map_batches(
-                make_scatter_writer(
-                    scratch=str(scratch), boundaries=boundaries, **zkey_kwargs
-                ),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            )
-            frags: dict[str, list[str]] = {}
-            for row in frag_ds.take_all():  # tiny: one row per fragment
-                frags.setdefault(str(row["bucket"]), []).append(row["path"])
+            n_final = len(boundaries) + 1
+            if n_final > two_level_threshold and len(boundaries) > 1:
+                # TWO-LEVEL exchange: phase A into ~sqrt(B) coarse ranges,
+                # phase B regroups each range's fragments to block size and
+                # re-cuts against the FULL final boundary array (zkey rides
+                # the fragments, so no re-key).  Total fragments across
+                # both phases: O(blocks x sqrt(B)).
+                fan = max(2, int(np.ceil(np.sqrt(n_final))))
+                coarse_boundaries = boundaries[fan - 1:: fan]
+                coarse_scratch = scratch / "_coarse"
+                coarse_ds = self._read_entries(stat_files).map_batches(
+                    make_scatter_writer(
+                        scratch=str(coarse_scratch),
+                        boundaries=coarse_boundaries,
+                        **zkey_kwargs,
+                    ),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+                by_range: dict[int, list[dict]] = {}
+                for row in coarse_ds.take_all():  # one row per coarse frag
+                    by_range.setdefault(int(row["bucket"]), []).append(row)
+                group_bytes = min(
+                    128 << 20, max(1 << 20, target_file_bytes)
+                )
+                specs2 = [
+                    {"frags": grp}
+                    for rows in by_range.values()
+                    for grp in group_fragments_by_bytes(rows, group_bytes)
+                ]
+                t = self._phase("scatter_coarse", t)
+                frag_ds = ray.data.from_items(
+                    make_spec_items(specs2)
+                ).map_batches(
+                    make_repartitioner(
+                        coarse_scratch=str(coarse_scratch),
+                        scratch=str(scratch),
+                        boundaries=boundaries,
+                        **zkey_kwargs,
+                    ),
+                    batch_format="pyarrow",
+                    batch_size=1,
+                )
+                frags: dict[str, list[str]] = {}
+                for row in frag_ds.take_all():
+                    frags.setdefault(str(row["bucket"]), []).append(row["path"])
+                shutil.rmtree(coarse_scratch, ignore_errors=True)
+            else:
+                # scatter: one embarrassingly-parallel pass over the data
+                frag_ds = self._read_entries(stat_files).map_batches(
+                    make_scatter_writer(
+                        scratch=str(scratch), boundaries=boundaries, **zkey_kwargs
+                    ),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+                frags = {}
+                for row in frag_ds.take_all():  # tiny: one row per fragment
+                    frags.setdefault(str(row["bucket"]), []).append(row["path"])
             plan = {
                 "boundaries": [int(x) for x in boundaries],
                 "frags": frags,

@@ -29,11 +29,16 @@ On a multi-node cluster the scratch directory lives on the table's own
 shared storage (S3 / HDFS / NFS) exactly like the data files, so the
 exchange crosses the network once in each direction — the same byte
 movement as a push-based shuffle, but with no object-store slicing, no
-centralized reduce scheduling, and bucket-granular resume.  Partitioning
-assumption: fragment count is O(input_blocks x buckets); at >10^5 buckets
-(100 TB / 1 GB files) run the scatter two-level — first into sqrt(B)
-coarse ranges, then each coarse range into sqrt(B) final buckets — to keep
-per-directory fan-out bounded.  Provenance: reference OPTIMIZE ZORDER
+centralized reduce scheduling, and bucket-granular resume.  Fragment-count
+control: single-level scatter emits O(input_blocks x buckets) fragments —
+ruinous at the 100 TB / 1 GB-file design point (10^5 buckets -> ~KB
+slivers).  Above ``pipelines.table.SCATTER_TWO_LEVEL_THRESHOLD`` buckets
+the exchange therefore runs TWO-LEVEL automatically: phase A scatters into
+~sqrt(B) coarse ranges (every sqrt(B)-th final boundary), then phase B
+(``make_repartitioner``) regroups each range's fragments to ~block size
+and re-cuts against the final boundaries — total fragments
+O(blocks x sqrt(B)), per-directory fan-out O(blocks), identical output to
+single-level (equality-tested).  Provenance: reference OPTIMIZE ZORDER
 semantics per README.md:159-176 (delegated there to the Delta JAR).
 """
 
@@ -122,10 +127,11 @@ class ScatterWriter:
         pa.set_cpu_count(2)  # concurrent tasks each spawn a pool otherwise
         if batch.num_rows == 0:
             return FRAG_STATS_SCHEMA.empty_table()
-        batch = add_zkey(
-            batch, self.dims, self.bounds, self.curve, self.part_rank,
-            self.partition_col,
-        )
+        if "zkey" not in batch.column_names:  # phase-B re-cuts carry zkey
+            batch = add_zkey(
+                batch, self.dims, self.bounds, self.curve, self.part_rank,
+                self.partition_col,
+            )
         zk = np.asarray(batch.column("zkey").combine_chunks())
         order = np.argsort(zk, kind="stable")
         batch = batch.take(pa.array(order))
@@ -164,6 +170,72 @@ def make_scatter_writer(**kwargs):
         return writer(batch)
 
     return scatter_batch
+
+
+def make_repartitioner(
+    coarse_scratch: str,
+    scratch: str,
+    boundaries: np.ndarray,
+    dims: tuple[str, ...],
+    bounds: dict[str, tuple[int, int]] | None,
+    curve: str,
+    part_rank: dict[str, int] | None,
+    partition_col: str,
+):
+    """Phase-B stage of the TWO-LEVEL exchange: each work item is a
+    ~block-sized GROUP of same-coarse-range phase-A fragments.  The task
+    mmap-reads the group (zkey travels with the fragments, so no re-key),
+    cuts it against the FULL final boundary array and appends per-final-
+    bucket fragments under the main scratch.
+
+    Why grouping matters: re-cutting fragments one at a time would emit
+    O(phaseA_frags x sqrt(B)) slivers — the same blow-up two-level exists
+    to avoid.  Grouped to block size, total fragment count across both
+    phases is O(blocks x sqrt(B)) instead of the single-level
+    O(blocks x B), and each scratch directory level holds at most
+    O(blocks) entries."""
+    writer = ScatterWriter(
+        scratch=scratch,
+        boundaries=boundaries,
+        dims=dims,
+        bounds=bounds,
+        curve=curve,
+        part_rank=part_rank,
+        partition_col=partition_col,
+    )
+
+    def repartition(batch: pa.Table) -> pa.Table:
+        import json
+
+        out = []
+        for spec_json in batch.column("spec").to_pylist():
+            spec = json.loads(spec_json)
+            tbl = read_fragments(coarse_scratch, spec["frags"])
+            out.append(writer(tbl))
+        return (
+            pa.concat_tables(out) if out else FRAG_STATS_SCHEMA.empty_table()
+        )
+
+    return repartition
+
+
+def group_fragments_by_bytes(
+    rows: list[dict], group_bytes: int
+) -> list[list[str]]:
+    """Pack one coarse range's fragment paths into ~``group_bytes`` groups
+    (first-fit in stats order) — the unit of phase-B work."""
+    groups: list[list[str]] = []
+    cur: list[str] = []
+    cur_bytes = 0
+    for r in rows:
+        cur.append(r["path"])
+        cur_bytes += int(r["bytes"])
+        if cur_bytes >= group_bytes:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+    if cur:
+        groups.append(cur)
+    return groups
 
 
 def read_fragments(scratch: str, frag_paths: list[str]) -> pa.Table:

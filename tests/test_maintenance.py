@@ -442,6 +442,28 @@ class TestMetrics:
         ts = [r["timestamp"] for r in m]
         assert all(a <= b for a, b in zip(ts, ts[1:]))
 
+    def test_cli_surfaces_phase_timings(self, tmp_path_factory, capsys):
+        """The maintain CLI must SHOW where a job spent its time: a
+        [metrics] line per op on stderr with phase seconds (plan/scatter/
+        gather for zorder), and the same rows in the status JSON."""
+        import json as _json
+
+        from realtime_clickstream_lakehouse_ray.maintain import main
+
+        root = tmp_path_factory.mktemp("cli_metrics") / "tokens"
+        build_synthetic_table(str(root), 600, 100)
+        rc = main(
+            ["--table", str(root), "--ops", "compact,zorder", "--target-file-mb", "1"]
+        )
+        assert rc == 0
+        out, err = capsys.readouterr()
+        status = _json.loads(out.strip().splitlines()[-1])
+        ops = {r["operation"]: r for r in status["op_metrics"]}
+        assert {"compact", "zorder"} <= set(ops)
+        assert ops["zorder"]["duration_sec"] > 0
+        assert {"plan", "scatter", "gather"} <= set(ops["zorder"]["phases"])
+        assert "[metrics]" in err and "plan=" in err
+
 
 class TestPrunedScan:
     def test_file_skipping_and_exact_band(self, ray_session):

@@ -101,6 +101,37 @@ def test_crash_before_commit_resumes_from_plan_and_buckets(table, monkeypatch):
     assert parts == set(fresh.stats()["partitions"])
 
 
+def test_two_level_scatter_matches_single_level(tmp_path, ray_session):
+    """Force the bucket count over the two-level threshold (tiny
+    target_file_bytes + threshold=4): the coarse-then-recut exchange must
+    produce the IDENTICAL row set and token arrays as single-level on a
+    twin table, record the scatter_coarse phase, and bound the gather
+    fan-in to the final-bucket layout."""
+    root_a = str(tmp_path / "a" / "tokens")
+    root_b = str(tmp_path / "b" / "tokens")
+    build_synthetic_table(root_a, N_ROWS, rows_per_file=500)
+    build_synthetic_table(root_b, N_ROWS, rows_per_file=500)
+    ta, tb = Table.load(root_a), Table.load(root_b)
+    tiny = 64 << 10  # -> dozens of buckets at this corpus size
+    va = ta.zorder(target_file_bytes=tiny, scatter_two_level_threshold=4)
+    vb = tb.zorder(target_file_bytes=tiny, scatter_two_level_threshold=10**9)
+    assert va is not None and vb is not None
+    ma = [r for r in ta.metrics() if r["operation"] == "zorder"][-1]
+    mb = [r for r in tb.metrics() if r["operation"] == "zorder"][-1]
+    assert "scatter_coarse" in ma.get("phases", {})
+    assert "scatter_coarse" not in mb.get("phases", {})
+    ra, rb = _rows(ta), _rows(tb)
+    assert [r["doc_id"] for r in ra] == [r["doc_id"] for r in rb]
+    assert all(
+        list(a["tokens"]) == list(b["tokens"]) for a, b in zip(ra, rb)
+    )
+    # identical final FILE layout too: both exchanges cut on the same
+    # sampled boundaries, so per-file row counts must agree
+    sizes_a = sorted(f.rows for f in ta.files(va))
+    sizes_b = sorted(f.rows for f in tb.files(vb))
+    assert sizes_a == sizes_b
+
+
 def test_incremental_scatter_clusters_only_new_files(table):
     v1 = table.zorder(target_file_bytes=TARGET)
     assert table.zorder(target_file_bytes=TARGET, incremental=True) is None
