@@ -129,6 +129,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_nation_roster": relational.supplier_nation_roster,
         # keyed interval-overlap join (temporal non-equi join)
         "events_interval_overlap": clickstream.events_interval_overlap,
+        # EXISTS semi-join (TPC-H Q4 shape, bucketed semi regime)
+        "q4_priority_check": relational.q4_priority_check,
+        # pure scan-filter-aggregate to one row (TPC-H Q6 shape)
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        # tumbling-window streaming aggregate (fixed 1h windows)
+        "events_tumbling_counts": window.events_tumbling_counts,
+        # temperature-tempered mixture quotas (isqrt weights, T=2)
+        "temperature_quota_sample": mixture.temperature_quota_sample,
+        # reproducible per-epoch global training order (seedless)
+        "epoch_shuffle": mixture.epoch_shuffle,
         # --- sketches / quantiles / CDC ---------------------------------
         # 48-bit md5-vote SimHash relation (oracle-exact bit arithmetic)
         "simhash_signatures": dedup.simhash_signatures,
@@ -900,6 +910,81 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(CASE WHEN rem = 0 THEN 23
                                  ELSE 23 - LENGTH(bin(rem)) END) AS BIGINT) AS max_rho
             FROM r GROUP BY bucket
+        """,
+        "q4_priority_check": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-04-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+              )
+            GROUP BY o_orderpriority
+        """,
+        "q6_forecast_revenue": """
+            SELECT CAST(coalesce(sum(
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round(l_discount * 100) AS BIGINT)), 0) AS DOUBLE)
+                   / 10000.0 AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+              AND CAST(round(l_quantity * 100) AS BIGINT) < 2400
+        """,
+        "events_tumbling_counts": """
+            SELECT user_id,
+                   epoch_us(ts) // 3600000000 AS window_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                       / 100.0 AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "temperature_quota_sample": """
+            WITH c AS (
+                SELECT source, count(*) AS cnt FROM documents GROUP BY source
+            ),
+            w AS (
+                SELECT source, cnt,
+                       CAST(floor(sqrt(CAST(cnt AS DOUBLE))) AS BIGINT) AS wt
+                FROM c
+            ),
+            tot AS (SELECT sum(wt) AS ws FROM w),
+            base AS (
+                SELECT source, cnt, wt,
+                       (300 * wt) // ws AS fl,
+                       (300 * wt) % ws AS rem
+                FROM w, tot
+            ),
+            lv AS (SELECT 300 - sum(fl) AS leftover FROM base),
+            q AS (
+                SELECT source,
+                       least(cnt,
+                             fl + CASE WHEN row_number() OVER (
+                                           ORDER BY rem DESC, source)
+                                       <= leftover
+                                  THEN 1 ELSE 0 END) AS quota
+                FROM base, lv
+            ),
+            r AS (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY ((doc_id % 100000007) * 2654435761)
+                                    % 4294967296, doc_id
+                       ) AS rn
+                FROM documents
+            )
+            SELECT r.doc_id, r.source FROM r JOIN q USING (source)
+            WHERE rn <= quota
+        """,
+        "epoch_shuffle": """
+            SELECT doc_id, CAST(row_number() OVER (
+                       ORDER BY ((doc_id % 100000007) * 2654435761
+                                 + 2654435761) % 4294967296, doc_id
+                   ) - 1 AS BIGINT) AS pos
+            FROM documents
         """,
         "cdc_chunks": f"""
             WITH {_cdc_chunk_cte()}

@@ -375,6 +375,99 @@ def proportional_quota_sample(sf_dir: str, total: int = 300) -> ray.data.Dataset
     )
 
 
+def temperature_quota_sample(
+    sf_dir: str, total: int = 300
+) -> ray.data.Dataset:
+    """Temperature-tempered mixture (T=2): per-source quotas allocated by
+    the largest-remainder method over weights ``isqrt(count)`` — the
+    integer-exact form of the ``count^(1/T)`` up/down-weighting every
+    multi-source pretraining mix applies (rare sources get proportionally
+    MORE than their share, dominant sources less).
+
+    ``isqrt`` = ``floor(sqrt(count))``: IEEE sqrt is correctly rounded on
+    both engines, so the weights — and therefore the whole Hamilton
+    allocation — are bit-identical to the DuckDB oracle with no float
+    summation-order hazard.  Membership is the same smallest-hash-rank
+    gate as ``proportional_quota_sample``."""
+    ds = _read_docs(sf_dir, ["doc_id", "source"])
+    counts = _source_counts(ds)
+    if len(counts) == 0:
+        return ds.limit(0)
+    srcs = np.array(sorted(counts.index), dtype=object)
+    cnt = counts.loc[srcs].to_numpy(dtype=np.int64)
+    w = np.floor(np.sqrt(cnt.astype(np.float64))).astype(np.int64)
+    wsum = int(w.sum())
+    if wsum == 0:
+        return ds.limit(0)
+    fl = (total * w) // wsum
+    rem = (total * w) % wsum
+    leftover = int(total - fl.sum())
+    order = np.lexsort((srcs, -rem))
+    bump = np.zeros(len(srcs), dtype=np.int64)
+    bump[order[:leftover]] = 1
+    # a source cannot exceed its own size: cap at count (quota spill is
+    # NOT redistributed — documented contract, mirrored in the oracle)
+    quota = dict(zip(srcs, np.minimum(fl + bump, cnt)))
+    quota_ref = ray.put(quota)
+
+    def gate(t: pa.Table) -> pa.Table:
+        q = ray.get(quota_ref)
+        src = np.asarray(t["source"]).astype(object)
+        uniq = np.unique(src)
+        thr = np.array([q[s] for s in uniq], dtype=np.int64)
+        keep = np.asarray(t["cum"]) <= thr[np.searchsorted(uniq, src)]
+        return t.filter(pa.array(keep)).select(["doc_id", "source"])
+
+    return _rank_within_source(ds).map_batches(
+        gate, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def epoch_shuffle(sf_dir: str, epoch: int = 1) -> ray.data.Dataset:
+    """Reproducible global training order for one epoch: position =
+    dense global rank under the epoch-salted multiplicative hash
+    ``((doc_id % 100000007) * 2654435761 + epoch * 2654435761) % 2^32``
+    (ties by doc_id).  Different epochs give different permutations;
+    re-running any shard of the job regenerates the identical order — the
+    seedless determinism a resumable 100-TB data loader needs.
+
+    Scale shape: ONE narrow sort of (okey, 1) via the ordered-prefix-sum
+    primitive — the text never moves; output is (doc_id, pos)."""
+    ds = _read_docs(sf_dir, ["doc_id"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"]).astype(np.int64)
+        if len(ids) and (ids.min() < 0 or ids.max() >= (1 << 31)):
+            raise ValueError("epoch_shuffle requires doc_id in [0, 2^31)")
+        rk = ((ids % 100000007) * 2654435761 + epoch * 2654435761) % 4294967296
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "okey": pa.array(rk * np.int64(1 << 31) + ids),
+                "one": pa.array(np.ones(len(ids), dtype=np.int64)),
+                "__g": pa.array(["g"] * len(ids), pa.string()),
+            }
+        )
+
+    ranked = ordered_prefix_sum(
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True),
+        order_col="okey",
+        value_col="one",
+        by_col="__g",
+        out_col="cum",
+    )
+    return ranked.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "pos": pc.subtract(t["cum"], 1).combine_chunks().cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def balanced_resample(sf_dir: str) -> ray.data.Dataset:
     """Integer-exact per-source balancing: every source keeps exactly
     ``target = min(per-source doc count)`` documents — the ones with the

@@ -1275,6 +1275,83 @@ def supplier_nation_roster(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q4_priority_check(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q4 shape: EXISTS semi-join — orders in a date window that
+    have at least one returned lineitem, counted per priority.  The
+    EXISTS runs as the bucketed hash join's ``semi`` regime (vectorized
+    per-bucket ``isin``, no row expansion), the build side pre-collapsed
+    to distinct order keys per batch so the shuffle moves keys, not
+    lineitems."""
+    lo = np.datetime64("1996-01-01T00:00:00", "us").astype("int64")
+    hi = np.datetime64("1996-04-01T00:00:00", "us").astype("int64")
+
+    def order_filter(t: pa.Table) -> pa.Table:
+        d = np.asarray(t["o_orderdate"]).astype("datetime64[us]").astype(np.int64)
+        return t.filter(pa.array((d >= lo) & (d < hi))).select(
+            ["o_orderkey", "o_orderpriority"]
+        )
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(order_filter, batch_format="pyarrow", zero_copy_batch=True)
+
+    def returned_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        return pa.table(
+            {"l_orderkey": pc.unique(t["l_orderkey"].combine_chunks())}
+        )
+
+    keys = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"]).map_batches(
+        returned_keys, batch_format="pyarrow", zero_copy_batch=True
+    )
+    hits = bucket_hash_join(orders, keys, "o_orderkey", "l_orderkey", how="semi")
+    return (
+        hits.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="order_count"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "o_orderpriority": t["o_orderpriority"],
+                    "order_count": t["order_count"].combine_chunks().cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+
+def q6_forecast_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q6 shape: the pure scan-filter-aggregate — discount-band
+    revenue over a ship-date year, reduced to ONE row.  Per-batch partial
+    sums on the exact integer grid; the driver adds a handful of int64
+    partials (the smallest possible collect)."""
+    lo = np.datetime64("1996-01-01T00:00:00", "us").astype("int64")
+    hi = np.datetime64("1997-01-01T00:00:00", "us").astype("int64")
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = np.asarray(t["l_shipdate"]).astype("datetime64[us]").astype(np.int64)
+        disc = np.asarray(_e(t["l_discount"], 100))
+        qty = np.asarray(_e(t["l_quantity"], 100))
+        price = np.asarray(_e(t["l_extendedprice"], 100))
+        keep = (d >= lo) & (d < hi) & (disc >= 5) & (disc <= 7) & (qty < 2400)
+        return pa.table(
+            {"rev_e4": pa.array([int((price[keep] * disc[keep]).sum())], pa.int64())}
+        )
+
+    parts = (
+        _read(
+            sf_dir,
+            "lineitem",
+            columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    total = int(parts["rev_e4"].sum()) if len(parts) else 0
+    return pa.table({"revenue": pa.array([total / 10000.0], pa.float64())})
+
+
 def priority_customer_matrix(sf_dir: str) -> ray.data.Dataset:
     """FULL OUTER join: per-customer urgent-order count vs low-priority
     count, keeping customers that appear on only one side (NULL the

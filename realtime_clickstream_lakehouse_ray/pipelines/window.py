@@ -433,6 +433,68 @@ def customer_cumulative_spend(sf_dir: str) -> ray.data.Dataset:
     ).select_columns(["o_custkey", "o_orderkey", "cum_spend_cents"])
 
 
+def events_tumbling_counts(
+    sf_dir: str, window_s: int = 3600
+) -> ray.data.Dataset:
+    """Tumbling (fixed, non-overlapping) window aggregate — the streaming
+    GROUP BY window companion to the sliding-window op: per (user,
+    1-hour window) event count and value total.  The window id is pure
+    integer arithmetic on the timestamp (``epoch_us // window``), so no
+    shuffle template is needed at all: per-batch arrow partial
+    aggregation, then ONE groupby over the already-collapsed partials —
+    value totals ride the exact cents grid for a bit-identical oracle."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    win_us = np.int64(window_s) * 1_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = np.asarray(t["ts"]).astype("datetime64[us]").astype(np.int64)
+        cents = np.rint(np.asarray(t["value"], dtype=np.float64) * 100).astype(
+            np.int64
+        )
+        g = (
+            pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "window_id": pa.array(ts // win_us),
+                    "cents": pa.array(cents),
+                }
+            )
+            .group_by(["user_id", "window_id"])
+            .aggregate([("cents", "sum"), ("cents", "count")])
+        )
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "window_id": g["window_id"],
+                "cents_part": g["cents_sum"].cast(pa.int64()),
+                "n_part": g["cents_count"].cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "window_id"])
+        .aggregate(
+            Sum("n_part", alias_name="n"),
+            Sum("cents_part", alias_name="cents"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                "window_id": t["window_id"],
+                "n": t["n"].combine_chunks().cast(pa.int64()),
+                "sum_value": pc.divide(
+                    t["cents"].combine_chunks().cast(pa.float64()), 100.0
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def events_user_ntile(sf_dir: str, n_tiles: int = 4) -> ray.data.Dataset:
     """NTILE(n) OVER (PARTITION BY user_id ORDER BY ts, event_id) — the
     equal-frequency binning window function (the partition-wise form of
