@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BACKWARD schema evolution: add-column + null-filled scan
         "maintenance_schema_evolution": maintenance.maintenance_schema_evolution,
         "maintenance_merge": maintenance.maintenance_merge,
+        # MERGE ... SEQUENCE BY (out-of-order CDC suppression, DLT analog)
+        "maintenance_merge_seq": maintenance.maintenance_merge_seq,
         "maintenance_delete": maintenance.maintenance_delete,
         "maintenance_update": maintenance.maintenance_update,
         "maintenance_delete_mor": maintenance.maintenance_delete_mor,
@@ -135,6 +137,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         # tumbling-window streaming aggregate (fixed 1h windows)
         "events_tumbling_counts": window.events_tumbling_counts,
+        # hopping-window aggregate (1h windows every 15min, repeat-explode)
+        "events_hopping_counts": window.events_hopping_counts,
+        # sliding-window chunking with overlap (RAG/long-context layout);
+        # token arrays pytest-verified, oracle checks the chunk relation
+        "split_sequences_overlap": lambda sf: mixture.split_sequences_overlap(
+            sf
+        ).select_columns(["doc_id", "chunk_id", "n_tok"]),
         # temperature-tempered mixture quotas (isqrt weights, T=2)
         "temperature_quota_sample": mixture.temperature_quota_sample,
         # reproducible per-epoch global training order (seedless)
@@ -941,6 +950,27 @@ def oracle_sql() -> dict[str, str]:
                        / 100.0 AS sum_value
             FROM events GROUP BY 1, 2
         """,
+        "events_hopping_counts": """
+            SELECT user_id, CAST(w AS BIGINT) AS window_id,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events, LATERAL unnest(generate_series(
+                     (epoch_us(ts) - 3600000000) // 900000000 + 1,
+                     epoch_us(ts) // 900000000)) AS t(w)
+            GROUP BY 1, 2
+        """,
+        "split_sequences_overlap": f"""
+            WITH base AS (
+                SELECT doc_id, CAST(len({words}) AS BIGINT) AS n FROM documents
+            ),
+            exp AS (
+                SELECT doc_id, n,
+                       unnest(generate_series(0, (n - 1) // 96)) AS chunk_id
+                FROM base WHERE n > 0
+            )
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(least(128, n - chunk_id * 96) AS BIGINT) AS n_tok
+            FROM exp
+        """,
         "temperature_quota_sample": """
             WITH c AS (
                 SELECT source, count(*) AS cnt FROM documents GROUP BY source
@@ -1565,6 +1595,20 @@ def oracle_sql() -> dict[str, str]:
                 SELECT id, nt, source FROM base WHERE id % 20 <> 0
                 UNION ALL SELECT id, nt + 7 AS nt, source FROM base WHERE id % 20 = 0
                 UNION ALL SELECT id + 1000000 AS id, nt, source FROM base WHERE id % 50 = 0
+            )
+        """,
+        "maintenance_merge_seq": f"""
+            WITH base AS ({_DOCS_BASE})
+            SELECT {_DOC_KEY} AS doc_id, CAST(nt AS BIGINT) AS n_tok, source FROM (
+                -- stale %40 events suppressed (target keeps nt);
+                -- fresh %20-but-not-%40 events apply (+7)
+                SELECT id,
+                       CASE WHEN id % 20 = 0 AND id % 40 <> 0 THEN nt + 7
+                            ELSE nt END AS nt,
+                       source
+                FROM base
+                UNION ALL
+                SELECT id + 1000000 AS id, nt, source FROM base WHERE id % 50 = 0
             )
         """,
         "maintenance_change_feed": f"""

@@ -118,6 +118,81 @@ def _updates_batch(docs: pa.Table) -> pa.Table:
     return pa.concat_tables([upd, ins])
 
 
+def updates_from_documents_seq(sf_dir: str) -> ray.data.Dataset:
+    """Out-of-order CDC source for the SEQUENCE BY merge demo
+    (``n_tok`` doubles as the sequence column — a longer doc is a newer
+    version):
+
+    - STALE updates: doc_id % 40 == 0 → the doc with its last 3 tokens
+      dropped (n_tok - 3, an older version) — must be suppressed;
+    - FRESH updates: doc_id % 20 == 0 and % 40 != 0 → 7 tokens appended
+      (n_tok + 7) — must be applied;
+    - inserts: doc_id % 50 == 0 re-keyed +1_000_000 — new keys always
+      insert."""
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    ).map_batches(
+        _updates_seq_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _updates_seq_batch(docs: pa.Table) -> pa.Table:
+    full = _updates_batch(docs)  # fresh updates (%20) + inserts (%50)
+    raw_ids = np.asarray(docs["doc_id"].combine_chunks())
+    base = doc_to_tokens(docs)
+    # swap the %40 rows of the update half for STALE versions: last 3
+    # tokens dropped, vectorized offsets-shrink + gather over the flat
+    # values buffer
+    stale_src = base.filter(pa.array(raw_ids % 40 == 0))
+    t_old = stale_src["tokens"].combine_chunks()
+    offs = np.asarray(t_old.offsets).astype(np.int64)
+    n = offs[1:] - offs[:-1]
+    keep = np.maximum(n - 3, 0)
+    new_offsets = np.zeros(len(keep) + 1, dtype=np.int64)
+    np.cumsum(keep, out=new_offsets[1:])
+    idx = (
+        np.arange(int(new_offsets[-1]), dtype=np.int64)
+        - np.repeat(new_offsets[:-1], keep)
+        + np.repeat(offs[:-1], keep)
+    )
+    stale = pa.table(
+        {
+            "doc_id": stale_src["doc_id"],
+            "tokens": pa.ListArray.from_arrays(
+                pa.array(new_offsets.astype(np.int32), pa.int32()),
+                t_old.values.take(pa.array(idx)),
+            ),
+            "n_tok": pa.array(keep.astype(np.int32)),
+            "source": stale_src["source"],
+        }
+    )
+    # drop the fresh %40 rows from the generic update set, add stale ones
+    upd_ids = np.asarray(
+        pc.utf8_slice_codeunits(full["doc_id"].combine_chunks(), 4, 16)
+    ).astype(np.int64)
+    fresh_or_insert = (upd_ids % 40 != 0) | (upd_ids >= 1_000_000)
+    return pa.concat_tables(
+        [full.filter(pa.array(fresh_or_insert)), stale],
+        promote_options="default",
+    )
+
+
+def maintenance_merge_seq(sf_dir: str) -> pa.Table:
+    """Ingest -> compact -> MERGE ... SEQUENCE BY n_tok over an
+    out-of-order CDC source -> scan.  Stale events (%40: an OLDER doc
+    version) are suppressed — the target keeps its newer row — while
+    fresh events (%20 \\ %40) apply and new keys insert; the oracle states
+    the exact post-merge relation with the suppression folded in."""
+    t = build_from_documents(sf_dir, _scratch_root(sf_dir, "mergeseq"))
+    t.compact(target_file_bytes=8 << 20)
+    t.merge(
+        updates_from_documents_seq(sf_dir),
+        strategy="broadcast",
+        sequence_col="n_tok",
+    )
+    return _scan_projected(t)
+
+
 def _scratch_root(sf_dir: str, tag: str) -> str:
     name = Path(sf_dir).name or "sf"
     root = SCRATCH / f"{name}-{tag}" / "tokens"

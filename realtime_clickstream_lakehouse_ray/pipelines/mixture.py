@@ -251,6 +251,67 @@ def split_sequences(sf_dir: str, max_len: int = 128) -> ray.data.Dataset:
     )
 
 
+def split_sequences_overlap(
+    sf_dir: str, window: int = 128, stride: int = 96
+) -> ray.data.Dataset:
+    """Sliding-window splitting with overlap (``stride < window``): chunk
+    ``k`` covers tokens ``[k*stride, k*stride + window)`` — the
+    long-context chunking layout that preserves ``window - stride``
+    tokens of left context at every cut (what RAG indexing and
+    long-document eval sets use, vs ``split_sequences``' disjoint cuts).
+
+    Scale shape: embarrassingly parallel, ONE ``map_batches``, zero
+    shuffles.  Overlapping chunks can't ride the offsets-only re-cut, so
+    values gather through one global ``take`` index — still a single
+    vectorized kernel per batch."""
+    W, S = int(window), int(stride)
+    if W <= 0 or S <= 0 or S > W:
+        raise ValueError("split_sequences_overlap needs 0 < stride <= window")
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _SPLIT_SCHEMA.empty_table()
+        toks = _doc_token_lists(t)
+        offs = np.asarray(toks.offsets).astype(np.int64)
+        n = offs[1:] - offs[:-1]
+        kidx = np.nonzero(n > 0)[0]
+        if not len(kidx):
+            return _SPLIT_SCHEMA.empty_table()
+        nk, base = n[kidx], offs[:-1][kidx]
+        n_chunks = (nk - 1) // S + 1
+        tot = int(n_chunks.sum())
+        rep = np.repeat(np.arange(len(kidx)), n_chunks)
+        within = np.arange(tot) - np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks)
+        starts = base[rep] + within * S
+        lens = np.minimum(W, (base + nk)[rep] - starts)
+        gather = (
+            np.arange(int(lens.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(lens) - lens, lens)
+            + np.repeat(starts, lens)
+        )
+        vals = toks.values.take(pa.array(gather))
+        new_offsets = np.concatenate([[0], np.cumsum(lens)])
+        out_toks = pa.ListArray.from_arrays(
+            pa.array(new_offsets.astype(np.int32), pa.int32()), vals
+        )
+        return pa.table(
+            {
+                "doc_id": pc.take(
+                    t["doc_id"].combine_chunks().cast(pa.int64()),
+                    pa.array(kidx[rep]),
+                ),
+                "chunk_id": pa.array(within.astype(np.int64)),
+                "tokens": out_toks,
+                "n_tok": pa.array(lens.astype(np.int64)),
+            },
+            schema=_SPLIT_SCHEMA,
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def vocab_remap(sf_dir: str, mult: int = 31, add: int = 7) -> ray.data.Dataset:
     """Affine vocabulary remap ``tok -> (mult * tok + add) % VOCAB`` over
     the flat token values buffer — the vocab-surgery step (merge/renumber

@@ -81,9 +81,23 @@ def _load_dv_keys(args: tuple) -> pa.Array:
     return pc.unique(pa.concat_arrays(arrays))
 
 
-def _dedup_keep_latest(tbl: pa.Table, key_col: str) -> pa.Table:
-    """Keep the LAST occurrence of each key (MERGE keep-latest semantics)."""
+def _dedup_keep_latest(
+    tbl: pa.Table, key_col: str, sequence_col: str | None = None
+) -> pa.Table:
+    """Keep ONE row per key: the LAST occurrence (MERGE keep-latest
+    semantics), or — when ``sequence_col`` is given — the row with the
+    HIGHEST sequence value (ties resolve to the later occurrence), the
+    within-source half of ``SEQUENCE BY`` ordering."""
     keys = np.asarray(tbl.column(key_col))
+    if sequence_col is not None:
+        seq = np.asarray(tbl.column(sequence_col))
+        pos = np.arange(len(keys), dtype=np.int64)
+        order = np.lexsort((pos, seq, keys))  # by key, then seq, then pos
+        k_sorted = keys[order]
+        last = np.ones(len(keys), dtype=bool)
+        if len(keys) > 1:
+            last[:-1] = k_sorted[1:] != k_sorted[:-1]
+        return tbl.take(pa.array(np.sort(order[last])))
     # np.unique keeps the first occurrence -> reverse so last wins
     _, idx = np.unique(keys[::-1], return_index=True)
     take = (len(keys) - 1) - idx
@@ -734,6 +748,7 @@ class Table:
         mode: str = "compact",
         keys_ref=None,
         concurrency: int | tuple[int, int] = (1, 16),
+        sequence_col: str | None = None,
     ) -> dict[str, dict]:
         """Execute bin rewrites as an actor-pool Ray Data pipeline and return
         the authoritative per-unit lineage records from the checkpoint."""
@@ -766,6 +781,7 @@ class Table:
                 key_col=self.key_col,
                 partition_col=self.partition_col,
                 constraints=self.constraints,
+                sequence_col=sequence_col,
             ),
             batch_format="pyarrow",
             batch_size=1,
@@ -1272,10 +1288,18 @@ class Table:
         job_id: str | None = None,
         concurrency: int | tuple[int, int] = (1, 16),
         target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+        sequence_col: str | None = None,
     ) -> int:
         """MERGE INTO (upsert) on ``key_col``: WHEN MATCHED UPDATE SET * /
         WHEN NOT MATCHED INSERT *; duplicate keys in the source resolve
         keep-latest (last row wins).
+
+        ``sequence_col`` (Delta DLT ``APPLY CHANGES ... SEQUENCE BY``
+        semantics, broadcast regime): a matched source row replaces the
+        target row only when its sequence value is STRICTLY newer; stale
+        (out-of-order) CDC events are suppressed — they neither overwrite
+        the newer target row nor insert.  Within the source, duplicate
+        keys resolve keep-highest-sequence.
 
         Broadcast regime (small source): source keys are ``ray.put`` once;
         target files are pruned by their min/max key stats and only files
@@ -1301,9 +1325,16 @@ class Table:
                 )
         else:
             use_broadcast = strategy != "shuffle"
+        if sequence_col is not None and not use_broadcast:
+            raise ValueError(
+                "sequence_col requires the broadcast regime (pass "
+                "strategy='broadcast' or a source under broadcast_max_rows); "
+                "the shuffle regime's keep-winner resolution is positional"
+            )
         if use_broadcast:
             return self._merge_broadcast(
-                source, parent, job_id, concurrency, target_file_bytes
+                source, parent, job_id, concurrency, target_file_bytes,
+                sequence_col=sequence_col,
             )
         return self._merge_shuffle(source, parent, job_id, concurrency)
 
@@ -1314,6 +1345,7 @@ class Table:
         job_id: str | None,
         concurrency: int | tuple[int, int],
         target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+        sequence_col: str | None = None,
     ) -> int:
         job_id = job_id or f"merge-v{parent}"
         done = self.log.find_commit_by_job(job_id)
@@ -1324,7 +1356,7 @@ class Table:
 
         t = __import__("time").perf_counter()
         source = conform_table(source, self.schema)
-        source = _dedup_keep_latest(source, self.key_col)
+        source = _dedup_keep_latest(source, self.key_col, sequence_col)
         keys = np.sort(np.asarray(source.column(self.key_col)))
         key_hashes = hash64(source.column(self.key_col).combine_chunks())
         blooms = self.blooms(parent)
@@ -1377,10 +1409,10 @@ class Table:
             (self.root / a["path"]).is_file() for a in src_unit["adds"]
         ):
             src_unit = None  # checkpoint exists but files were vacuumed
-        src_futures: list = []
-        if src_unit is None:
-            n_units = max(1, int(source.nbytes / max(1, target_file_bytes)))
-            step = -(-source.num_rows // n_units)
+
+        def _launch_src_append(src: pa.Table) -> list:
+            n_units = max(1, int(src.nbytes / max(1, target_file_bytes)))
+            step = -(-src.num_rows // n_units)
             # num_cpus=0: the broadcast-regime source is small by definition
             # (<= broadcast_max_rows), so these slice writes are seconds of
             # I/O-bound work — at num_cpus=1 the task group was monopolizing
@@ -1390,25 +1422,57 @@ class Table:
             # num_cpus=0, where the pool places instantly and the append
             # genuinely overlaps the rewrite.
             write_task = ray.remote(num_cpus=0)(write_slice_task)
-            src_futures = [
+            return [
                 write_task.remote(
-                    source.slice(i * step, step),
+                    src.slice(i * step, step),
                     str(self.root),
                     self.schema,
                     self.partition_col,
                     f"{job_id}-src-u{i:04d}",
                 )
                 for i in range(n_units)
-                if i * step < source.num_rows
+                if i * step < src.num_rows
             ]
+
+        src_futures: list = []
+        if src_unit is None and sequence_col is None:
+            # overlap the source append with the rewrites (disjoint files)
+            src_futures = _launch_src_append(source)
         records: dict[str, dict] = {}
         if bins:
-            keys_ref = ray.put(np.asarray(source.column(self.key_col)))
+            if sequence_col is None:
+                keys_ref = ray.put(np.asarray(source.column(self.key_col)))
+                mode = "delete_keys"
+            else:
+                src_keys = np.asarray(source.column(self.key_col))
+                order = np.argsort(src_keys)
+                keys_ref = ray.put(
+                    (
+                        src_keys[order],
+                        np.asarray(source.column(sequence_col))[order],
+                    )
+                )
+                mode = "merge_seq"
             records = self._run_rewrite_units(
-                bins, job_id, mode="delete_keys", keys_ref=keys_ref,
-                concurrency=concurrency,
+                bins, job_id, mode=mode, keys_ref=keys_ref,
+                concurrency=concurrency, sequence_col=sequence_col,
             )
         t = self._phase("rewrite_units", t)
+        if src_unit is None and sequence_col is not None:
+            # SEQUENCE BY: the append depends on the rewrites' verdicts —
+            # source rows whose key a unit suppressed (target already newer)
+            # must NOT be written, so the append launches after the pool
+            # drains (the suppressed set is matched-and-stale-proportional)
+            suppressed: set = set()
+            for r in records.values():
+                suppressed.update(r.get("suppressed") or [])
+            if suppressed:
+                mask = ~np.isin(
+                    np.asarray(source.column(self.key_col)),
+                    np.array(sorted(suppressed), dtype=object),
+                )
+                source = source.filter(pa.array(mask))
+            src_futures = _launch_src_append(source)
         src_entries: list[FileEntry] = []
         if src_unit is None:
             entries = [e for part in ray.get(src_futures) for e in part]

@@ -495,6 +495,63 @@ def events_tumbling_counts(
     )
 
 
+def events_hopping_counts(
+    sf_dir: str, window_s: int = 3600, hop_s: int = 900
+) -> ray.data.Dataset:
+    """Hopping-window aggregate (overlapping fixed windows, the third of
+    the streaming-window trio with sliding and tumbling): window ``w``
+    covers ``[w*hop, w*hop + window)``, so each event belongs to exactly
+    ``window/hop`` windows — a vectorized repeat-explode per batch (the
+    flat_map step), partial counts per (user, window) collapsed per batch
+    before the ONE groupby."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    win_us = np.int64(window_s) * 1_000_000
+    hop_us = np.int64(hop_s) * 1_000_000
+
+    def explode_partial(t: pa.Table) -> pa.Table:
+        ts = np.asarray(t["ts"]).astype("datetime64[us]").astype(np.int64)
+        users = np.asarray(t["user_id"]).astype(np.int64)
+        # windows w with w*hop <= ts < w*hop + window
+        w_hi = ts // hop_us  # inclusive
+        w_lo = (ts - win_us) // hop_us + 1  # inclusive
+        counts = (w_hi - w_lo + 1).astype(np.int64)
+        rep_u = np.repeat(users, counts)
+        w = (
+            np.arange(int(counts.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(counts) - counts, counts)
+            + np.repeat(w_lo, counts)
+        )
+        g = (
+            pa.table({"user_id": pa.array(rep_u), "window_id": pa.array(w)})
+            .group_by(["user_id", "window_id"])
+            .aggregate([("window_id", "count")])
+        )
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "window_id": g["window_id"],
+                "n_part": g["window_id_count"].cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(explode_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "window_id"])
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                "window_id": t["window_id"],
+                "n": t["n"].combine_chunks().cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def events_user_ntile(sf_dir: str, n_tiles: int = 4) -> ray.data.Dataset:
     """NTILE(n) OVER (PARTITION BY user_id ORDER BY ts, event_id) — the
     equal-frequency binning window function (the partition-wise form of

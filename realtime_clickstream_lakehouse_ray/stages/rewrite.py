@@ -82,6 +82,13 @@ class BinRewriter:
         (the copy-on-write half of MERGE INTO); a bin whose inputs contain
         no matching key re-emits the original file untouched (no rewrite,
         ``unchanged=True`` in the lineage record).
+      - ``"merge_seq"`` — SEQUENCE BY merge: ``keys_ref`` holds
+        ``(sorted_keys, aligned_seqs)``; a matched target row is dropped
+        ONLY when the source's sequence is strictly newer than the target
+        row's (``sequence_col``); matched-but-stale keys are reported in
+        the unit record's ``suppressed`` list so the driver withholds
+        those source rows from the append — the out-of-order-CDC guard
+        (Delta DLT ``APPLY CHANGES ... SEQUENCE BY`` semantics).
     """
 
     def __init__(
@@ -90,10 +97,11 @@ class BinRewriter:
         schema: pa.Schema,
         job_id: str,
         mode: str = "compact",
-        keys_ref=None,  # ray.ObjectRef of a sorted numpy array of keys
+        keys_ref=None,  # ray.ObjectRef: sorted key array, or (keys, seqs)
         key_col: str = "doc_id",
         partition_col: str = "source",
         constraints: list[dict] | None = None,
+        sequence_col: str | None = None,
     ):
         # each pool actor caps its Arrow thread pool: N actors x default
         # 32-thread pools oversubscribe the node and *degrade* with more
@@ -107,12 +115,18 @@ class BinRewriter:
         self.key_col = key_col
         self.partition_col = partition_col
         self.constraints = constraints or []
+        self.sequence_col = sequence_col
         self.keys = None
+        self.seq_keys = None
         if keys_ref is not None:
             import ray
 
             # fetched + converted ONCE per actor (broadcast small side)
-            self.keys = pa.array(ray.get(keys_ref))
+            got = ray.get(keys_ref)
+            if mode == "merge_seq":
+                self.seq_keys = (np.asarray(got[0]), np.asarray(got[1]))
+            else:
+                self.keys = pa.array(got)
 
     # -- helpers ----------------------------------------------------------
 
@@ -187,6 +201,10 @@ class BinRewriter:
             return record
         tbl = self._read_bin(spec["files"], spec.get("dvs"))
         removes = list(spec["files"])
+        if self.mode == "merge_seq":
+            record = _stamp(self._process_merge_seq_unit(spec, tbl, removes))
+            self.ckpt.write_unit(unit, record)
+            return record
         if self.mode in ("delete_keys", "delete_where", "update_where"):
             mask = self._predicate_mask(tbl, spec)
             n_match = pc.sum(mask).as_py() or 0
@@ -236,6 +254,56 @@ class BinRewriter:
         }
         self.ckpt.write_unit(unit, _stamp(record))
         return record
+
+    def _process_merge_seq_unit(
+        self, spec: dict, tbl: pa.Table, removes: list[str]
+    ) -> dict:
+        """SEQUENCE BY merge unit: drop a matched target row only when the
+        source's sequence value is STRICTLY newer; matched-but-stale keys
+        are reported as ``suppressed`` (the driver withholds those source
+        rows from the append, so the older source row never replaces the
+        newer target row — out-of-order CDC events cannot regress state)."""
+        keys_sorted, seqs = self.seq_keys
+        tkeys = np.asarray(tbl[self.key_col])
+        idx = np.searchsorted(keys_sorted, tkeys)
+        in_r = idx < len(keys_sorted)
+        matched = np.zeros(len(tkeys), dtype=bool)
+        matched[in_r] = keys_sorted[idx[in_r]] == tkeys[in_r]
+        drop = np.zeros(len(tkeys), dtype=bool)
+        if matched.any():
+            tseq = np.asarray(tbl[self.sequence_col])
+            drop[matched] = seqs[idx[matched]] > tseq[matched]
+        suppressed = np.unique(tkeys[matched & ~drop]).tolist()
+        if not drop.any() and not spec.get("dvs"):
+            record = {
+                "unit": spec["unit"],
+                "partition": spec["partition"],
+                "inputs": spec["files"],
+                "unchanged": True,
+                "adds": [],
+                "removes": [],
+                "rows": tbl.num_rows,
+                "suppressed": suppressed,
+            }
+            return record
+        out = tbl.filter(pa.array(~drop))
+        adds = []
+        if out.num_rows:
+            nbytes = write_file_atomic(out, self.root / spec["out"])
+            fe = file_stats(out, spec["out"], spec["partition"], nbytes)
+            adds = [fe.to_action()]
+            if fe.bloom is not None:
+                self._write_unit_bloom(spec["unit"], fe.path, fe.bloom)
+        return {
+            "unit": spec["unit"],
+            "partition": spec["partition"],
+            "inputs": spec["files"],
+            "unchanged": False,
+            "adds": adds,
+            "removes": removes,
+            "rows": out.num_rows,
+            "suppressed": suppressed,
+        }
 
     def _predicate_mask(self, tbl: pa.Table, spec: dict) -> pa.Array:
         """Row mask for the unit's predicate.  ``delete_keys`` is the MERGE

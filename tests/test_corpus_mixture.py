@@ -261,6 +261,35 @@ def test_split_sequences_rejects_bad_len(ray_session):
         mixture.split_sequences(SF, max_len=0)
 
 
+def test_split_sequences_overlap_matches_bruteforce(ray_session):
+    """Overlapping chunks equal per-doc numpy striding at W=32/S=24: chunk
+    k = arr[k*S : k*S+W]; consecutive chunks share W-S tokens."""
+    W, S = 32, 24
+    got = (
+        mixture.split_sequences_overlap(SF, window=W, stride=S)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"], ignore_index=True)
+    )
+    docs, toks = _fixture_tokens()
+    ids = np.asarray(docs["doc_id"])
+    i = 0
+    for j, d in enumerate(ids):
+        arr = np.asarray(toks[j].values)
+        for q in range(-(-len(arr) // S)):
+            row = got.iloc[i]
+            assert (row["doc_id"], row["chunk_id"]) == (d, q)
+            chunk = np.asarray(row["tokens"])
+            assert np.array_equal(chunk, arr[q * S : q * S + W])
+            assert row["n_tok"] == len(chunk)
+            i += 1
+    assert i == len(got)
+
+
+def test_split_sequences_overlap_rejects_bad_stride(ray_session):
+    with pytest.raises(ValueError, match="stride"):
+        mixture.split_sequences_overlap(SF, window=16, stride=32)
+
+
 def test_vocab_remap_matches_bruteforce(ray_session):
     """Remapped values equal the affine map applied per element; offsets
     (doc structure) untouched; bijection check on the whole corpus."""

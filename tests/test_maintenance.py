@@ -194,6 +194,53 @@ class TestMerge:
         v = table.merge(updates, strategy="broadcast", job_id="m1")
         assert table.merge(updates, strategy="broadcast", job_id="m1") == v
 
+    def test_sequence_by_suppresses_stale(self, tmp_path_factory):
+        """SEQUENCE BY (out-of-order CDC guard): a stale source row (lower
+        sequence) must neither overwrite the newer target row nor insert;
+        ties keep the target; duplicate source keys resolve to the highest
+        sequence; genuinely-new keys insert."""
+        table = _fresh(tmp_path_factory, "merge_seq")
+        base = expected_tokens_table(N_ROWS, ROWS_PER_FILE)
+        rows = base.slice(0, 3).to_pydict()
+
+        def mk(doc_id, seq, src):
+            return pa.table(
+                {
+                    "doc_id": pa.array([doc_id]),
+                    "tokens": pa.array([[1, 2, 3]], pa.list_(pa.int32())),
+                    "n_tok": pa.array([seq], pa.int32()),
+                    "source": pa.array([src]),
+                }
+            )
+
+        k_stale, k_tie, k_fresh = rows["doc_id"][:3]
+        src = pa.concat_tables(
+            [
+                mk(k_stale, rows["n_tok"][0] - 1, rows["source"][0]),
+                mk(k_tie, rows["n_tok"][1], rows["source"][1]),
+                mk(k_fresh, rows["n_tok"][2] + 1, rows["source"][2]),
+                mk(k_fresh, rows["n_tok"][2] + 5, rows["source"][2]),
+                mk("doc-999999999999", 3, rows["source"][0]),
+            ]
+        )
+        table.merge(src, strategy="broadcast", sequence_col="n_tok")
+        got = collect_sorted(table.scan())
+        d = {got["doc_id"][i].as_py(): i for i in range(got.num_rows)}
+        for k, j in ((k_stale, 0), (k_tie, 1)):  # suppressed: unchanged
+            i = d[k]
+            assert got["n_tok"][i].as_py() == rows["n_tok"][j]
+            assert got["tokens"][i].as_py() != [1, 2, 3]
+        i = d[k_fresh]  # replaced by the HIGHEST-sequence source duplicate
+        assert got["n_tok"][i].as_py() == rows["n_tok"][2] + 5
+        assert got["tokens"][i].as_py() == [1, 2, 3]
+        assert "doc-999999999999" in d  # new key inserted
+        assert got.num_rows == base.num_rows + 1
+
+    def test_sequence_by_rejects_shuffle(self, tmp_path_factory, updates):
+        table = _fresh(tmp_path_factory, "merge_seq_sh")
+        with pytest.raises(ValueError, match="sequence_col"):
+            table.merge(updates, strategy="shuffle", sequence_col="n_tok")
+
     def test_distributed_src_append_matches(self, tmp_path_factory, updates):
         # force MANY overlapped source-append slice tasks (tiny target file
         # size -> one slice per ~4 KB) and check the post-merge table is
