@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maintenance_pruned_scan": maintenance.maintenance_pruned_scan,
         # BACKWARD schema evolution: add-column + null-filled scan
         "maintenance_schema_evolution": maintenance.maintenance_schema_evolution,
+        # Iceberg type promotion: widen int32->int64 incl. list elements
+        "maintenance_type_widening": maintenance.maintenance_type_widening,
         "maintenance_merge": maintenance.maintenance_merge,
         # MERGE ... SEQUENCE BY (out-of-order CDC suppression, DLT analog)
         "maintenance_merge_seq": maintenance.maintenance_merge_seq,
@@ -1546,6 +1548,13 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT 'doc-' || lpad(CAST(id + 2000000 AS VARCHAR), 12, '0') AS doc_id, "
             f"       CAST(nt AS BIGINT) AS n_tok, source, CAST(nt AS DOUBLE) AS quality "
             f"FROM base"
+        ),
+        "maintenance_type_widening": (
+            f"WITH base AS ({_DOCS_BASE}) "
+            f"SELECT {_DOC_KEY} AS doc_id, CAST(nt AS BIGINT) AS n_tok, source FROM base "
+            f"UNION ALL "
+            f"SELECT 'doc-' || lpad(CAST(id + 2000000 AS VARCHAR), 12, '0'), "
+            f"       CAST(nt AS BIGINT), source FROM base"
         ),
         "maintenance_delete": (
             f"WITH base AS ({_DOCS_BASE}) "

@@ -177,6 +177,35 @@ def _updates_seq_batch(docs: pa.Table) -> pa.Table:
     )
 
 
+def maintenance_type_widening(sf_dir: str) -> pa.Table:
+    """Ingest (int32 n_tok / list<int32> tokens) -> WIDEN both to 64-bit
+    (Iceberg type promotion) -> append a second copy of the corpus
+    re-keyed +2_000_000 under the wide schema -> compact (mixed-width
+    bins conform) -> scan.  Old narrow files upcast at read time; the
+    oracle states the doubled relation."""
+    t = build_from_documents(sf_dir, _scratch_root(sf_dir, "widen"))
+    t.evolve_schema(
+        [pa.field("n_tok", pa.int64()), pa.field("tokens", pa.list_(pa.int64()))]
+    )
+
+    def rekey(batch: pa.Table) -> pa.Table:
+        out = doc_to_tokens(batch)
+        ids = pc.add(batch["doc_id"].combine_chunks(), 2_000_000)
+        doc_id = pc.binary_join_element_wise(
+            "doc-", pc.utf8_lpad(pc.cast(ids, pa.string()), 12, "0"), ""
+        )
+        return out.set_column(0, "doc_id", doc_id)
+
+    extra = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    ).map_batches(rekey, batch_format="pyarrow", zero_copy_batch=True)
+    t.append(extra)
+    t.compact(target_file_bytes=8 << 20)
+    if t.schema.field("n_tok").type != pa.int64():
+        raise AssertionError("widened schema did not persist")
+    return _scan_projected(t)
+
+
 def maintenance_merge_seq(sf_dir: str) -> pa.Table:
     """Ingest -> compact -> MERGE ... SEQUENCE BY n_tok over an
     out-of-order CDC source -> scan.  Stale events (%40: an OLDER doc

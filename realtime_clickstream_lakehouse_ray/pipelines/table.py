@@ -81,6 +81,22 @@ def _load_dv_keys(args: tuple) -> pa.Array:
     return pc.unique(pa.concat_arrays(arrays))
 
 
+_INT_WIDTH = {pa.int8(): 8, pa.int16(): 16, pa.int32(): 32, pa.int64(): 64}
+
+
+def _type_widens(old: pa.DataType, new: pa.DataType) -> bool:
+    """Iceberg-style safe type promotion: int upcasts within the signed
+    family, float32 -> float64, and the same rules applied to list element
+    types.  Everything else is NOT a widening."""
+    if old in _INT_WIDTH and new in _INT_WIDTH:
+        return _INT_WIDTH[new] > _INT_WIDTH[old]
+    if old == pa.float32() and new == pa.float64():
+        return True
+    if pa.types.is_list(old) and pa.types.is_list(new):
+        return _type_widens(old.value_type, new.value_type)
+    return False
+
+
 def _dedup_keep_latest(
     tbl: pa.Table, key_col: str, sequence_col: str | None = None
 ) -> pa.Table:
@@ -580,17 +596,28 @@ class Table:
     def evolve_schema(self, new_fields: Iterable[pa.Field]) -> None:
         """Schema evolution, BACKWARD-compatible only (the reference's Glue
         registry sets compatibility=BACKWARD, glue/main.tf:38-66): ADD
-        nullable columns; renames/type-changes are rejected.  Old files are
-        never rewritten — ``scan`` null-fills the added columns."""
+        nullable columns, or WIDEN an existing column's type (int upcasts
+        and float32→float64, including list element types — the Iceberg
+        type-promotion set).  Renames and narrowing/incompatible changes
+        are rejected.  Old files are never rewritten — the Arrow dataset
+        scanner null-fills added columns and upcasts narrow fragments to
+        the widened schema at read time (verified by pytest over a mixed
+        pre/post-evolution snapshot)."""
         for f in new_fields:
             if f.name in self.schema.names:
                 existing = self.schema.field(f.name)
-                if existing.type != f.type:
-                    raise ValueError(
-                        f"incompatible evolution for {f.name!r}: "
-                        f"{existing.type} -> {f.type}"
+                if existing.type == f.type:
+                    continue
+                if _type_widens(existing.type, f.type):
+                    idx = self.schema.get_field_index(f.name)
+                    self.schema = self.schema.set(
+                        idx, pa.field(f.name, f.type)
                     )
-                continue
+                    continue
+                raise ValueError(
+                    f"incompatible evolution for {f.name!r}: "
+                    f"{existing.type} -> {f.type}"
+                )
             self.schema = self.schema.append(pa.field(f.name, f.type))
         meta_path = self.root / "_table.json"
         meta = json.loads(meta_path.read_text())

@@ -168,9 +168,12 @@ class BinRewriter:
                         pc.is_in(t[self.key_col], value_set=dead[self.key_col].combine_chunks())
                     )
                 )
-            tables.append(t)
-        tbl = pa.concat_tables(tables, promote_options="default")
-        return conform_table(tbl, self.schema)
+            # conform PER FILE: a bin can mix pre- and post-evolution files
+            # (added columns, widened types) whose schemas concat_tables
+            # cannot merge even with promotion (e.g. list<int32> vs
+            # list<int64>); after conforming, every part is identical
+            tables.append(conform_table(t, self.schema))
+        return pa.concat_tables(tables)
 
     def _emit(self, record: dict) -> list[FileEntry]:
         return [FileEntry.from_action(a) for a in record["adds"]]

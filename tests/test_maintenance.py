@@ -236,6 +236,40 @@ class TestMerge:
         assert "doc-999999999999" in d  # new key inserted
         assert got.num_rows == base.num_rows + 1
 
+    def test_sequence_by_crash_resume(self, tmp_path_factory, monkeypatch):
+        """The suppressed-key feedback must survive a crash between the
+        rewrites and the commit: the resumed job reuses the checkpointed
+        unit records (suppressed lists included) and converges to the same
+        table as a clean run."""
+        table = _fresh(tmp_path_factory, "merge_seq_crash")
+        base = expected_tokens_table(N_ROWS, ROWS_PER_FILE)
+        rows = base.slice(0, 2).to_pydict()
+        src = pa.table(
+            {
+                "doc_id": pa.array([rows["doc_id"][0], rows["doc_id"][1]]),
+                "tokens": pa.array([[1], [1, 2]], pa.list_(pa.int32())),
+                "n_tok": pa.array(
+                    [rows["n_tok"][0] - 1, rows["n_tok"][1] + 1], pa.int32()
+                ),
+                "source": pa.array(rows["source"][:2]),
+            }
+        )
+
+        def boom(self, *a, **k):
+            raise RuntimeError("injected crash before commit")
+
+        monkeypatch.setattr(Table, "_commit_with_rebase", boom)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            table.merge(src, strategy="broadcast", sequence_col="n_tok", job_id="ms1")
+        monkeypatch.undo()
+        fresh = Table.load(str(table.root))
+        fresh.merge(src, strategy="broadcast", sequence_col="n_tok", job_id="ms1")
+        got = collect_sorted(fresh.scan())
+        d = {got["doc_id"][i].as_py(): i for i in range(got.num_rows)}
+        assert got["n_tok"][d[rows["doc_id"][0]]].as_py() == rows["n_tok"][0]  # stale
+        assert got["n_tok"][d[rows["doc_id"][1]]].as_py() == rows["n_tok"][1] + 1
+        assert got.num_rows == base.num_rows  # no spurious inserts
+
     def test_sequence_by_rejects_shuffle(self, tmp_path_factory, updates):
         table = _fresh(tmp_path_factory, "merge_seq_sh")
         with pytest.raises(ValueError, match="sequence_col"):

@@ -164,3 +164,53 @@ class TestSchemaEvolution:
         t = build_synthetic_table(root, 500, rows_per_file=500)
         with _pytest.raises(ValueError, match="incompatible"):
             t.evolve_schema([pa.field("n_tok", pa.string())])
+        # narrowing is not a widening
+        with _pytest.raises(ValueError, match="incompatible"):
+            t.evolve_schema([pa.field("n_tok", pa.int16())])
+
+    def test_type_widening_evolution(self, tmp_path_factory):
+        """Iceberg-style type promotion: widen n_tok int32->int64 and
+        tokens list<int32> -> list<int64>; old (narrow) files upcast at
+        scan time, new appends carry the wide types, values and token
+        arrays are unchanged, and a post-evolution compact unifies the
+        physical files under the wide schema."""
+        import pyarrow as pa
+
+        from realtime_clickstream_lakehouse_ray.pipelines.table import Table
+        from realtime_clickstream_lakehouse_ray.util import to_arrow_table
+
+        root = str(tmp_path_factory.mktemp("widen") / "tokens")
+        t = build_synthetic_table(root, 1_000, rows_per_file=200)
+        before = to_arrow_table(t.scan()).sort_by("doc_id")
+        t.evolve_schema(
+            [
+                pa.field("n_tok", pa.int64()),
+                pa.field("tokens", pa.list_(pa.int64())),
+            ]
+        )
+        t2 = Table.load(root)  # durable
+        assert t2.schema.field("n_tok").type == pa.int64()
+        assert t2.schema.field("tokens").type == pa.list_(pa.int64())
+        new = pa.table(
+            {
+                "doc_id": pa.array(["doc-wide0"]),
+                "tokens": pa.array([[2**40]], pa.list_(pa.int64())),
+                "n_tok": pa.array([1], pa.int64()),
+                "source": pa.array(["web"]),
+            }
+        )
+        t2.append(new)
+        out = to_arrow_table(t2.scan()).sort_by("doc_id")
+        assert out.schema.field("n_tok").type == pa.int64()
+        assert out.schema.field("tokens").type == pa.list_(pa.int64())
+        assert out.num_rows == before.num_rows + 1
+        old_part = out.filter(
+            pa.compute.invert(pa.compute.equal(out["doc_id"], "doc-wide0"))
+        ).sort_by("doc_id")
+        assert old_part["tokens"].to_pylist() == before["tokens"].to_pylist()
+        assert old_part["n_tok"].to_pylist() == before["n_tok"].to_pylist()
+        wide_row = out.filter(pa.compute.equal(out["doc_id"], "doc-wide0"))
+        assert wide_row["tokens"].to_pylist() == [[2**40]]  # needs int64
+        t2.compact(target_file_bytes=1 << 20)
+        out2 = to_arrow_table(t2.scan()).sort_by("doc_id")
+        assert out2["tokens"].to_pylist() == out.sort_by("doc_id")["tokens"].to_pylist()
