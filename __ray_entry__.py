@@ -153,6 +153,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- sketches / quantiles / CDC ---------------------------------
         # 48-bit md5-vote SimHash relation (oracle-exact bit arithmetic)
         "simhash_signatures": dedup.simhash_signatures,
+        # md5-based MinHash signature relation (oracle-exact HUGEINT affine)
+        "minhash_signatures": dedup.minhash_signatures_md5,
         # banded+verified simhash pipeline vs brute-force SQL pair oracle
         "simhash_md5_dedup": dedup.simhash_md5_dedup,
         # mergeable cardinality sketch (oracle-exact integer registers)
@@ -339,6 +341,44 @@ def _cdc_chunk_cte() -> str:
                  lead(st.s) OVER (PARTITION BY st.doc_id ORDER BY st.s) AS nxt
           FROM starts st JOIN d USING (doc_id)
         )
+    """
+
+
+def _minhash_sig_sql() -> str:
+    """md5-based MinHash oracle: the engine's (a_i, b_i) permutation
+    parameters inline as a VALUES literal (both sides derive them from
+    the SAME splitmix64 call, so they cannot drift), the affine map runs
+    in HUGEINT mod 2^64, and the per-doc min >>16 projects to BIGINT."""
+    from realtime_clickstream_lakehouse_ray.functions.minhash import (
+        minhash_perm_params,
+    )
+
+    a, b = minhash_perm_params(16)
+    vals = ", ".join(
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(len(a))
+    )
+    words = "string_split_regex(trim(text), '\\s+')"
+    return f"""
+        WITH w AS (SELECT doc_id, {words} AS w FROM documents),
+        g AS (
+          SELECT doc_id, unnest(
+            CASE WHEN len(w) >= 3
+              THEN list_transform(generate_series(1, len(w) - 2),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+              ELSE [array_to_string(w, ' ')] END) AS g
+          FROM w
+        ),
+        h AS (
+          SELECT DISTINCT doc_id,
+                 CAST(('0x' || substr(md5(g), 1, 12)) AS BIGINT) AS hv
+          FROM g
+        ),
+        p(perm, a, b) AS (VALUES {vals})
+        SELECT h.doc_id, CAST(p.perm AS BIGINT) AS perm,
+               CAST(min((CAST(p.a AS HUGEINT) * h.hv + CAST(p.b AS HUGEINT))
+                        % 18446744073709551616) // 65536 AS BIGINT) AS sig
+        FROM h CROSS JOIN p
+        GROUP BY h.doc_id, p.perm
     """
 
 
@@ -874,6 +914,7 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 0 END) AS BIGINT) AS sig
             FROM v GROUP BY doc_id
         """,
+        "minhash_signatures": _minhash_sig_sql(),
         "simhash_md5_dedup": f"""
             -- brute-force oracle for the banded pipeline: recompute every
             -- signature, check Hamming via bit_count(xor(...)) on ALL pairs

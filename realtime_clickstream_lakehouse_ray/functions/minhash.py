@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from realtime_clickstream_lakehouse_ray.functions.hashing import hash64, splitmix64
 
@@ -84,6 +85,101 @@ def simhash(words: pa.ListArray) -> np.ndarray:
     sums = np.add.reduceat(votes, starts, axis=0) if len(wh) else np.zeros((len(lengths), 64), np.int32)
     sig = (sums > 0).astype(np.uint64)
     return (sig << np.arange(64, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
+
+
+def minhash_perm_params(n_perm: int = 16) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic universal-hash parameters (a_i odd, b_i) for the
+    SQL-replicable minhash: derived via splitmix64 so both engines can
+    inline the SAME literal table (the oracle receives them as VALUES)."""
+    idx = np.arange(n_perm, dtype=np.uint64)
+    a = splitmix64(idx) | np.uint64(1)
+    b = splitmix64(idx + np.uint64(1000))
+    return a, b
+
+
+def minhash_md5_signatures(
+    words: pa.ListArray, n_perm: int = 16, n: int = 3, nhex: int = 12
+) -> tuple[np.ndarray, np.ndarray]:
+    """SQL-replicable MinHash: per document, ``sig_i = min over DISTINCT
+    word n-grams of ((a_i * h48(gram) + b_i) mod 2^64) >> 16`` where
+    ``h48`` is the first 12 md5 hex chars of the gram string — every step
+    (md5, HUGEINT mod-2^64 affine, min, shift) is exact integer arithmetic
+    DuckDB replays.  Gram construction matches the oracle: 3-word joins
+    for docs with >= 3 words, else the whole doc joined.
+
+    Returns ``(doc_index_per_row, sig_matrix)`` where ``sig_matrix`` is
+    (n_docs, n_perm) int64 (the >>16 keeps values BIGINT-safe)."""
+    import hashlib
+
+    from realtime_clickstream_lakehouse_ray.functions.textstats import _segments
+
+    starts, lengths = _segments(words)
+    n_docs = len(lengths)
+    flat = words.values
+    total = len(flat)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
+    # distinct grams per doc (string form, md5-hashed with a per-batch memo)
+    gram_doc: list[np.ndarray] = []
+    gram_hash: list[np.ndarray] = []
+    if total >= n:
+        parts = [flat.slice(j, total - (n - 1)) for j in range(n)]
+        joined = pc.binary_join_element_wise(*parts, " ")
+        valid = doc_idx[: total - (n - 1)] == doc_idx[n - 1:]
+        idx = np.flatnonzero(valid)
+        if len(idx):
+            gs = joined.take(pa.array(idx)).to_pylist()
+            memo: dict[str, int] = {}
+            hv = np.fromiter(
+                (
+                    memo.setdefault(
+                        s, int(hashlib.md5(s.encode()).hexdigest()[:nhex], 16)
+                    )
+                    for s in gs
+                ),
+                dtype=np.uint64,
+                count=len(idx),
+            )
+            gram_doc.append(doc_idx[: total - (n - 1)][idx])
+            gram_hash.append(hv)
+    short = lengths < n
+    if short.any():
+        joined_docs = pc.binary_join(words, " ")
+        sidx = np.flatnonzero(short)
+        hv = np.fromiter(
+            (
+                int(
+                    hashlib.md5((joined_docs[int(i)].as_py() or "").encode())
+                    .hexdigest()[:nhex],
+                    16,
+                )
+                for i in sidx
+            ),
+            dtype=np.uint64,
+            count=len(sidx),
+        )
+        gram_doc.append(sidx.astype(np.int64))
+        gram_hash.append(hv)
+    if not gram_doc:
+        return np.arange(0, dtype=np.int64), np.zeros((n_docs, n_perm), np.int64)
+    d = np.concatenate(gram_doc)
+    h = np.concatenate(gram_hash)
+    # distinct within doc
+    order = np.lexsort((h, d))
+    d, h = d[order], h[order]
+    keep = np.ones(len(d), dtype=bool)
+    keep[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+    d, h = d[keep], h[keep]
+    a, b = minhash_perm_params(n_perm)
+    sigs = np.empty((n_docs, n_perm), dtype=np.int64)
+    present = np.zeros(n_docs, dtype=bool)
+    present[d] = True
+    for i in range(n_perm):
+        v = h * a[i] + b[i]  # uint64 wrap == mod 2^64
+        mins = np.full(n_docs, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+        np.minimum.at(mins, d, v)
+        sigs[:, i] = (mins >> np.uint64(16)).astype(np.int64)
+    sigs[~present] = 0  # docs with no grams (empty text)
+    return d, sigs
 
 
 def simhash_md5(words: pa.ListArray, nbits: int = 48, nhex: int = 12) -> np.ndarray:

@@ -438,6 +438,38 @@ def simhash_signatures(sf_dir: str) -> ray.data.Dataset:
     return docs.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def minhash_signatures_md5(sf_dir: str, n_perm: int = 16) -> ray.data.Dataset:
+    """(doc_id, perm, sig) — md5-based MinHash signature relation,
+    ORACLE-EXACT: gram md5 hash, per-permutation HUGEINT affine mod 2^64,
+    per-doc min, >>16 BIGINT projection — every step is integer
+    arithmetic DuckDB replays with the SAME inlined (a_i, b_i) literal
+    table (``minhash_perm_params``).  Completes the SQL-replicable-
+    signature pattern for both LSH families (simhash got its twin in
+    ``simhash_signatures``); the xxhash 128-perm production path stays
+    ``minhash_lsh_dedup``."""
+    from realtime_clickstream_lakehouse_ray.functions.minhash import (
+        minhash_md5_signatures,
+    )
+
+    tune_context()
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        words = split_words(t["text"])
+        _, sigs = minhash_md5_signatures(words, n_perm=n_perm)
+        ids = np.asarray(t["doc_id"]).astype(np.int64)
+        n = sigs.shape[1]
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, n)),
+                "perm": pa.array(np.tile(np.arange(n, dtype=np.int64), len(ids))),
+                "sig": pa.array(sigs.reshape(-1)),
+            }
+        )
+
+    return docs.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def simhash_md5_dedup(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     """Hamming-verified near-dup pairs over the 48-bit md5-vote SimHash —
     the FULL banded simhash pipeline (4×12-bit LSH bands: pigeonhole-
