@@ -26,7 +26,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--ops",
         default="compact,zorder",
-        help="comma list: compact,zorder,merge,update,delete,materialize-deletes,restore,rewrite-manifests,changes,tag,drop-tag,metrics,expire,vacuum",
+        help="comma list: compact,auto-optimize,zorder,merge,update,delete,materialize-deletes,restore,rewrite-manifests,changes,tag,drop-tag,metrics,clustering-report,expire,vacuum",
     )
     p.add_argument("--target-file-mb", type=int, default=128)
     p.add_argument(
@@ -201,6 +201,12 @@ def main(argv: list[str] | None = None) -> int:
                 p.error("--tag-name required for the drop-tag op")
             table.drop_tag(args.tag_name)
             results[op] = table.tags()
+        elif op == "auto-optimize":
+            results[op] = table.auto_optimize(
+                target_file_bytes=args.target_file_mb << 20
+            )
+        elif op == "clustering-report":
+            results[op] = table.clustering_report().to_pylist()
         elif op == "metrics":
             results[op] = table.metrics()
         elif op == "vacuum":

@@ -820,6 +820,88 @@ class Table:
             raise RuntimeError(f"units did not complete: {sorted(missing)[:10]}")
         return records
 
+    def auto_optimize(
+        self,
+        small_file_bytes: int = 32 << 20,
+        min_small_files: int = 8,
+        target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+        concurrency: int | tuple[int, int] = (1, 16),
+    ) -> int | None:
+        """Trigger-based OPTIMIZE (the Databricks auto-optimize policy):
+        compact ONLY partitions holding at least ``min_small_files`` files
+        under ``small_file_bytes`` — the decision is pure manifest-stats
+        arithmetic (zero data I/O), so an ingest loop can call this after
+        every append and pay for a rewrite only when a partition actually
+        degraded.  Returns the new version, or None when no partition
+        qualifies."""
+        counts: dict[str, int] = {}
+        for f in self.files():
+            if f.bytes < small_file_bytes:
+                counts[f.partition] = counts.get(f.partition, 0) + 1
+        parts = sorted(p for p, c in counts.items() if c >= min_small_files)
+        if not parts:
+            return None
+        return self.compact(
+            target_file_bytes=target_file_bytes,
+            partitions=parts,
+            concurrency=concurrency,
+        )
+
+    def clustering_report(self) -> pa.Table:
+        """Z-order/clustering effectiveness from manifest stats ONLY (no
+        data read): per partition —
+
+        - ``n_files`` and how many carry the current clustering signature;
+        - ``avg_files_per_point`` = Σ file n_tok-range widths / partition
+          span: the expected number of files a point query on the stats
+          dimension must open (1.0 = perfectly disjoint ranges, ~n_files
+          = fully overlapping, i.e. unclustered);
+        - ``span`` of n_tok across the partition.
+
+        This is the signal that tells an operator WHEN re-clustering pays
+        (the analog of Delta's clustering metrics) — pair it with
+        ``zorder(incremental=True)`` which acts only on drifted files."""
+        rows = []
+        by_part: dict[str, list[FileEntry]] = {}
+        for f in self.files():
+            by_part.setdefault(f.partition, []).append(f)
+        for part in sorted(by_part):
+            fs = by_part[part]
+            stats = [
+                (f.min_n_tok, f.max_n_tok)
+                for f in fs
+                if f.min_n_tok is not None and f.max_n_tok is not None
+            ]
+            if stats:
+                lo = min(s[0] for s in stats)
+                hi = max(s[1] for s in stats)
+                span = max(hi - lo, 1)
+                widths = sum(s[1] - s[0] + 1 for s in stats)
+                avg_cover = widths / (span + 1)
+            else:
+                span, avg_cover = 0, float("nan")
+            rows.append(
+                {
+                    "partition": part,
+                    "n_files": len(fs),
+                    "n_clustered": sum(1 for f in fs if f.clustered),
+                    "n_tok_span": int(span),
+                    "avg_files_per_point": round(float(avg_cover), 3),
+                }
+            )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("partition", pa.string()),
+                    ("n_files", pa.int64()),
+                    ("n_clustered", pa.int64()),
+                    ("n_tok_span", pa.int64()),
+                    ("avg_files_per_point", pa.float64()),
+                ]
+            ),
+        )
+
     def compact(
         self,
         target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,

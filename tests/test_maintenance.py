@@ -294,6 +294,40 @@ class TestMerge:
         assert_tokens_equal(got, self._expected_after_merge(updates))
 
 
+class TestAutoOptimize:
+    def test_triggers_then_converges(self, tmp_path_factory):
+        """auto_optimize compacts partitions that crossed the small-file
+        threshold, preserves tokens, and reports None once nothing
+        qualifies (the call-after-every-append loop converges)."""
+        t = _fresh(tmp_path_factory, "auto_opt")
+        v = t.auto_optimize(
+            small_file_bytes=1 << 20, min_small_files=4, target_file_bytes=TARGET
+        )
+        assert v is not None
+        assert (
+            t.auto_optimize(small_file_bytes=1 << 20, min_small_files=4) is None
+        )
+        assert_tokens_equal(collect_sorted(t.scan()), _expected())
+
+    def test_threshold_respected(self, tmp_path_factory):
+        t = _fresh(tmp_path_factory, "auto_opt_thr")
+        # absurd threshold: no partition has 10_000 small files -> no-op
+        assert t.auto_optimize(min_small_files=10_000) is None
+
+    def test_clustering_report_improves_after_zorder(self, tmp_path_factory):
+        t = _fresh(tmp_path_factory, "clus_report")
+        before = {r["partition"]: r for r in t.clustering_report().to_pylist()}
+        assert all(r["n_clustered"] == 0 for r in before.values())
+        t.zorder(target_file_bytes=1 << 20)
+        after = {r["partition"]: r for r in t.clustering_report().to_pylist()}
+        for p, r in after.items():
+            assert r["n_clustered"] == r["n_files"]  # signature recorded
+        # random writes overlap heavily; zorder tightens per-file ranges
+        assert sum(r["avg_files_per_point"] for r in after.values()) < sum(
+            r["avg_files_per_point"] for r in before.values()
+        )
+
+
 # ---- expire / vacuum / isolation ---------------------------------------
 
 
