@@ -248,6 +248,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": dedup.simhash_dedup,  # approx -> rows-only
         "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
         "dup_clusters": dedup.dup_clusters,
+        # composed cleaning journey: quality gate -> dup-cluster -> canonical
+        "corpus_clean": dedup.corpus_clean,
         "substring_dup_spans": dedup.substring_dup_spans,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
         # IVF emits only exact-cosine-verified pairs (guaranteed subset of
@@ -473,6 +475,54 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster
             FROM reach GROUP BY 1
+        """,
+        "corpus_clean": f"""
+            WITH RECURSIVE q AS (
+              SELECT doc_id, text, source, n_chars, {words} AS w FROM documents
+            ),
+            qd AS (
+              SELECT doc_id, source, n_chars, w FROM q
+              WHERE len(w) BETWEEN 10 AND 1000
+                AND CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS DOUBLE)
+                    / CAST(len(w) AS DOUBLE) < 0.5
+            ),
+            grams AS (
+              SELECT doc_id, unnest(
+                CASE WHEN len(w) >= 3
+                  THEN list_transform(generate_series(1, len(w) - 2),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  ELSE [array_to_string(w, ' ')] END) AS g
+              FROM qd
+            ),
+            dg AS (SELECT DISTINCT doc_id, g FROM grams),
+            cnt AS (SELECT doc_id, count(*) AS n FROM dg GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM dg a JOIN dg b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            prs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN cnt ca ON ca.doc_id = id_a
+              JOIN cnt cb ON cb.doc_id = id_b
+              WHERE i * 5 >= 4 * (ca.n + cb.n - i)
+            ),
+            e AS (
+              SELECT id_a AS a, id_b AS b FROM prs
+              UNION ALL SELECT id_b, id_a FROM prs
+            ),
+            reach(node, lab) AS (
+              SELECT a, a FROM e
+              UNION
+              SELECT e.a, r.lab FROM e JOIN reach r ON r.node = e.b
+            ),
+            clus AS (SELECT node, min(lab) AS cluster FROM reach GROUP BY node)
+            SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+            FROM qd d
+            WHERE NOT EXISTS (
+                SELECT 1 FROM clus c
+                WHERE c.node = d.doc_id AND c.cluster <> d.doc_id
+            )
         """,
         "substring_dup_spans": """
             WITH pos AS (

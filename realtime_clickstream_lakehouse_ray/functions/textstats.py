@@ -80,6 +80,19 @@ def language_scores(words: pa.ListArray) -> np.ndarray:
     return out / np.maximum(lengths, 1)
 
 
+def quality_mask(t: pa.Table) -> np.ndarray:
+    """The corpus quality gate as a reusable batch mask (the SAME rule as
+    ``text.text_stats``' ``quality_ok`` and its SQL oracle): 10 <= word
+    count <= 1000 and stopword ratio < 0.5.  Stateless — a pure function
+    of the row's text — so composed pipelines reapply it per stage
+    instead of broadcasting a corpus-sized id set."""
+    words = split_words(t["text"])
+    n_words = word_counts(words)
+    n_stop = stopword_counts(words)
+    ratio = n_stop.astype(np.float64) / np.maximum(n_words, 1)
+    return (n_words >= 10) & (n_words <= 1000) & (ratio < 0.5)
+
+
 def md5_fingerprints(text: pa.Array) -> pa.Array:
     """Content fingerprint = md5 hex of the utf8 text (oracle: DuckDB
     ``md5(text)``).  md5 is inherently per-row; this runs in an actor-pool

@@ -640,6 +640,7 @@ def ngram_jaccard_dedup(
     den: int = 5,
     n: int = 3,
     max_df: int | None = None,
+    prefilter=None,
 ) -> pa.Table:
     """Exact word-n-gram Jaccard near-dup pairs with Jaccard >= num/den,
     computed as a distributed inverted-index set-similarity join — no
@@ -678,6 +679,11 @@ def ngram_jaccard_dedup(
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def explode(t: pa.Table) -> pa.Table:
+        if prefilter is not None:
+            # composed-pipeline hook (e.g. the quality gate in
+            # corpus_clean): a stateless row predicate applied before gram
+            # explosion, so clustering happens over the SURVIVORS only
+            t = t.filter(pa.array(prefilter(t)))
         words = split_words(t["text"])
         g, d, _ = ngram_hashes_distinct(words, n=n)
         ids = np.asarray(t["doc_id"])
@@ -1050,6 +1056,59 @@ def dup_clusters(sf_dir: str) -> ray.data.Dataset:
         )
 
     return cc.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def corpus_clean(sf_dir: str) -> ray.data.Dataset:
+    """Composed end-to-end cleaning pipeline — the 'make me a training
+    corpus' user journey as ONE oracle-checked operator:
+
+    1. quality gate (``functions.textstats.quality_mask`` — the
+       text_stats rule) applied STATELESSLY per batch;
+    2. exact + near-dup clustering over the survivors (>=0.8 word-3-gram
+       Jaccard, the ``ngram_jaccard_dedup`` machinery with the gate as
+       its prefilter; exact duplicates have Jaccard 1.0 so one pass
+       covers both);
+    3. keep ONE canonical document per cluster (the component-minimum
+       doc_id from distributed connected components).
+
+    Scale shape: the gate is a pure row predicate (recomputed per stage —
+    no corpus-sized id broadcast anywhere); the only broadcast is the
+    DUP-PROPORTIONAL non-canonical id list.  Output: (doc_id, source,
+    n_chars) of the clean corpus."""
+    from realtime_clickstream_lakehouse_ray.functions.broadcast import get_broadcast
+    from realtime_clickstream_lakehouse_ray.functions.textstats import quality_mask
+
+    tune_context()
+    pairs = ngram_jaccard_dedup(sf_dir, prefilter=quality_mask)
+    cc = connected_components(pairs)
+    drop_parts = [
+        np.asarray(t["node"])[np.asarray(t["lab"]) != np.asarray(t["node"])]
+        for t in ray.get(cc.to_arrow_refs())
+        if t.num_rows and "node" in t.column_names
+    ]
+    drop = (
+        np.unique(np.concatenate(drop_parts).astype(np.int64))
+        if drop_parts
+        else np.empty(0, dtype=np.int64)
+    )
+    drop_ref = ray.put(drop)
+
+    def keep_fn(t: pa.Table) -> pa.Table:
+        m = quality_mask(t)
+        ids = np.asarray(t["doc_id"]).astype(np.int64)
+        d = get_broadcast(drop_ref)
+        if len(d):
+            idx = np.searchsorted(d, ids)
+            in_r = idx < len(d)
+            hit = np.zeros(len(ids), dtype=bool)
+            hit[in_r] = d[idx[in_r]] == ids[in_r]
+            m &= ~hit
+        return t.filter(pa.array(m)).select(["doc_id", "source", "n_chars"])
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "source", "n_chars"],
+    ).map_batches(keep_fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---- exact repeated-substring spans (suffix-array-style dedup) ------------
