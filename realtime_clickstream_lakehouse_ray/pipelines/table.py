@@ -728,32 +728,67 @@ class Table:
         single file are dropped (rewriting one small file buys nothing).
         Skew safety: a bin is bounded by ``target_file_bytes`` regardless of
         how hot the partition is, so no unit of work exceeds the target —
-        hot partitions just produce more bins (more parallel units)."""
-        by_part: dict[str, list[FileEntry]] = {}
+        hot partitions just produce more bins (more parallel units).
+
+        CLUSTERING-PRESERVING: files are grouped by (partition, clustering
+        signature), never mixing clustered with unclustered inputs; a bin
+        of same-signature clustered files is re-keyed and zkey-sorted by
+        its rewrite unit and the output KEEPS the signature — OPTIMIZE
+        after Z-order tightens file counts without degrading the
+        clustering (Delta's OPTIMIZE-preserves-liquid-clustering
+        behavior), so ``zorder(incremental=True)`` stays a no-op."""
+        by_group: dict[tuple[str, str | None], list[FileEntry]] = {}
         for f in files:
             # a file carrying a deletion vector is always eligible —
             # compaction is where pending MOR deletes get materialized
             if f.bytes < target_file_bytes * 0.9 or f.dv:
-                by_part.setdefault(f.partition, []).append(f)
+                by_group.setdefault((f.partition, f.clustered), []).append(f)
         bins: list[dict] = []
 
         def _keep(cur: list[FileEntry]) -> bool:
             return len(cur) > 1 or any(f.dv for f in cur)
 
-        for part in sorted(by_part):
-            group = sorted(by_part[part], key=lambda f: f.path)
+        def _emit(part: str, sig: str | None, cur: list[FileEntry]) -> None:
+            spec = self._bin_spec(len(bins), part, cur, job_tag)
+            if sig:
+                spec.update(self._cluster_spec(sig, cur))
+            bins.append(spec)
+
+        for part, sig in sorted(by_group, key=lambda k: (k[0], k[1] or "")):
+            # clustered (scatter-output) paths sort in bucket = zkey-range
+            # order, so path-order packing keeps each bin range-local
+            group = sorted(by_group[(part, sig)], key=lambda f: f.path)
             cur: list[FileEntry] = []
             cur_bytes = 0
             for f in group:
                 if cur and cur_bytes + f.bytes > target_file_bytes:
                     if _keep(cur):
-                        bins.append(self._bin_spec(len(bins), part, cur, job_tag))
+                        _emit(part, sig, cur)
                     cur, cur_bytes = [], 0
                 cur.append(f)
                 cur_bytes += f.bytes
             if _keep(cur):
-                bins.append(self._bin_spec(len(bins), part, cur, job_tag))
+                _emit(part, sig, cur)
         return bins
+
+    def _cluster_spec(self, signature: str, files: list[FileEntry]) -> dict:
+        """Bin-spec fields a clustering-preserving rewrite needs to re-key
+        and sort its rows: curve + dims parsed from the signature, n_tok
+        bounds from the bin's own file stats."""
+        curve, dims_csv = signature.split(":", 1)
+        dims = tuple(d for d in dims_csv.split(",") if d != self.partition_col)
+        bounds: dict[str, list[int]] = {}
+        if "n_tok" in dims:
+            mins = [f.min_n_tok for f in files if f.min_n_tok is not None]
+            maxs = [f.max_n_tok for f in files if f.max_n_tok is not None]
+            if mins and maxs:
+                bounds["n_tok"] = [min(mins), max(maxs)]
+        return {
+            "signature": signature,
+            "curve": curve,
+            "zdims": list(dims),
+            "bounds": bounds,
+        }
 
     def _bin_spec(self, unit: int, part: str, files: list[FileEntry], tag: str) -> dict:
         spec = {

@@ -234,12 +234,33 @@ class BinRewriter:
                 return record
             tbl = tbl.filter(pc.invert(mask))
 
+        if self.mode == "compact" and spec.get("signature") and tbl.num_rows:
+            # clustering-preserving compact: re-key the bin under its
+            # inputs' (curve, dims) signature and sort, so the output file
+            # is itself clustered and KEEPS the signature — OPTIMIZE after
+            # Z-order never silently degrades the layout
+            from realtime_clickstream_lakehouse_ray.stages.zkey import add_zkey
+
+            keyed = add_zkey(
+                tbl,
+                tuple(spec["zdims"]),
+                {k: tuple(v) for k, v in (spec.get("bounds") or {}).items()},
+                spec["curve"],
+                None,
+                self.partition_col,
+            )
+            order = np.argsort(
+                np.asarray(keyed["zkey"].combine_chunks()), kind="stable"
+            )
+            tbl = tbl.take(pa.array(order))
         out_rel = spec["out"]
         if tbl.num_rows == 0:
             adds = []
         else:
             nbytes = write_file_atomic(tbl, self.root / out_rel)
             fe = file_stats(tbl, out_rel, spec["partition"], nbytes)
+            if self.mode == "compact" and spec.get("signature"):
+                fe.clustered = spec["signature"]
             adds = [fe.to_action()]
             if fe.bloom is not None:
                 # per-unit Bloom sidecar: the lineage record is JSON and

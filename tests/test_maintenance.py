@@ -294,6 +294,44 @@ class TestMerge:
         assert_tokens_equal(got, self._expected_after_merge(updates))
 
 
+class TestClusteringPreservingCompact:
+    def test_compact_after_zorder_keeps_signature(self, tmp_path_factory):
+        """OPTIMIZE after Z-order must not silently degrade the layout:
+        same-signature files re-key + zkey-sort inside their bins, outputs
+        keep the clustering signature, incremental re-clustering stays a
+        no-op, and tokens are untouched."""
+        t = _fresh(tmp_path_factory, "compact_keep_cluster")
+        t.zorder(target_file_bytes=64 << 10)  # many small clustered files
+        sig = "z:source,n_tok,doc_id"
+        assert all(f.clustered == sig for f in t.files())
+        n_before = t.stats()["files"]
+        v = t.compact(target_file_bytes=TARGET)
+        assert v is not None
+        after = t.files()
+        assert len(after) < n_before
+        assert all(f.clustered == sig for f in after)
+        assert t.zorder(target_file_bytes=TARGET, incremental=True) is None
+        assert_tokens_equal(collect_sorted(t.scan()), _expected())
+
+    def test_bins_never_mix_clustered_and_unclustered(self, tmp_path_factory):
+        """After an append on a clustered table, compaction packs the new
+        (unclustered) files separately from the clustered ones — the
+        clustered outputs keep the signature, the fresh ones don't claim
+        one they never had."""
+        from realtime_clickstream_lakehouse_ray.sources.synth import gen_tokens_chunk
+
+        t = _fresh(tmp_path_factory, "compact_mixed_cluster")
+        t.zorder(target_file_bytes=64 << 10)
+        extra = gen_tokens_chunk(9_000, N_ROWS, 150, seed=3)
+        t.append(extra, rows_per_file=100)  # small unclustered files
+        t.compact(target_file_bytes=TARGET)
+        sigs = {f.clustered for f in t.files()}
+        assert "z:source,n_tok,doc_id" in sigs  # preserved side
+        assert None in sigs or len(sigs) == 1  # fresh side never forged
+        got = collect_sorted(t.scan())
+        assert got.num_rows == N_ROWS + extra.num_rows
+
+
 class TestAutoOptimize:
     def test_triggers_then_converges(self, tmp_path_factory):
         """auto_optimize compacts partitions that crossed the small-file
