@@ -48,6 +48,12 @@ def main(argv: list[str] | None = None) -> int:
         help="cluster only files not already clustered under the current signature",
     )
     p.add_argument("--merge-source", help="parquet file/dir with the MERGE source rows")
+    p.add_argument(
+        "--merge-sequence-col",
+        help="SEQUENCE BY column for the merge op: matched rows are "
+        "replaced only by strictly-newer source rows (out-of-order CDC "
+        "events are suppressed)",
+    )
     p.add_argument("--delete-partitions", help="comma list for the delete op")
     p.add_argument("--delete-min-n-tok", type=int, default=None)
     p.add_argument("--delete-max-n-tok", type=int, default=None)
@@ -123,7 +129,10 @@ def main(argv: list[str] | None = None) -> int:
                 p.error("--merge-source required for the merge op")
             import pyarrow.parquet as pq
 
-            results[op] = table.merge(pq.read_table(args.merge_source))
+            results[op] = table.merge(
+                pq.read_table(args.merge_source),
+                sequence_col=args.merge_sequence_col,
+            )
         elif op == "delete":
             if not (
                 args.delete_partitions
