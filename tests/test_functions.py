@@ -225,3 +225,63 @@ def test_zkey_too_many_dims_raises():
     )
     with pytest.raises(ValueError, match="at most 3"):
         add_zkey(t, dims=("a", "b", "c", "d"))
+
+
+def test_simhash_md5_batch_composition_invariance():
+    """A batch kernel must give each document the SAME signature no matter
+    which batch it rides in (one big batch vs singleton batches)."""
+    from realtime_clickstream_lakehouse_ray.functions.minhash import simhash_md5
+    from realtime_clickstream_lakehouse_ray.functions.textstats import split_words
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "a b",
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do",
+        "the the the a a a",
+    ]
+    whole = simhash_md5(split_words(pa.array(texts)))
+    singles = np.concatenate(
+        [simhash_md5(split_words(pa.array([t]))) for t in texts]
+    )
+    assert np.array_equal(whole, singles)
+    # sliced (non-zero-offset) list arrays too
+    arr = split_words(pa.array(texts))
+    assert np.array_equal(
+        simhash_md5(arr)[2:], simhash_md5(split_words(pa.array(texts[2:])))
+    )
+
+
+def test_minhash_md5_batch_composition_invariance():
+    from realtime_clickstream_lakehouse_ray.functions.minhash import (
+        minhash_md5_signatures,
+    )
+    from realtime_clickstream_lakehouse_ray.functions.textstats import split_words
+
+    texts = [
+        "w1 w2 w3 w4 w5 w6",
+        "solo",
+        "x y z x y z x y z",
+        "the quick brown fox jumps over the lazy dog again and again",
+    ]
+    _, whole = minhash_md5_signatures(split_words(pa.array(texts)))
+    for i, t in enumerate(texts):
+        _, one = minhash_md5_signatures(split_words(pa.array([t])))
+        assert np.array_equal(whole[i], one[0]), i
+
+
+def test_minhash_md5_near_dup_signatures_agree_mostly():
+    """Two near-identical docs must share most minhash slots; an unrelated
+    doc must not."""
+    from realtime_clickstream_lakehouse_ray.functions.minhash import (
+        minhash_md5_signatures,
+    )
+    from realtime_clickstream_lakehouse_ray.functions.textstats import split_words
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base.replace("tok30", "tokX")  # perturbs 3 grams of 58
+    other = " ".join(f"zz{i}" for i in range(60))
+    _, sigs = minhash_md5_signatures(split_words(pa.array([base, near, other])))
+    agree_near = (sigs[0] == sigs[1]).mean()
+    agree_other = (sigs[0] == sigs[2]).mean()
+    assert agree_near >= 0.75
+    assert agree_other <= 0.25
