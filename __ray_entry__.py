@@ -170,6 +170,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_dup_chunks": dedup.cdc_dup_chunks,
         # exact distributed quantiles (two-pass histogram selection)
         "order_price_quantiles": quantile.order_price_quantiles,
+        # quantile primitive as a TRANSFORM: per-group p05/p95 clamp
+        "order_price_winsorized": quantile.order_price_winsorized,
+        # per-event session assignment (row-level windowed running count)
+        "events_session_ids": clickstream.events_session_ids,
         # --- clickstream conformance (SURVEY.md §2.3 M1-M9) -------------
         "events_normalized": clickstream.events_normalized,
         "events_partition_counts": clickstream.events_partition_counts,
@@ -1140,6 +1144,32 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(o_totalprice, 0.9)  AS p90,
                    quantile_disc(o_totalprice, 0.99) AS p99
             FROM orders GROUP BY o_orderpriority
+        """,
+        "order_price_winsorized": """
+            WITH q AS (
+                SELECT o_orderpriority,
+                       quantile_disc(o_totalprice, 0.05) AS lo,
+                       quantile_disc(o_totalprice, 0.95) AS hi
+                FROM orders GROUP BY o_orderpriority
+            )
+            SELECT o.o_orderkey, o.o_orderpriority,
+                   least(greatest(o.o_totalprice, q.lo), q.hi) AS price_w
+            FROM orders o JOIN q USING (o_orderpriority)
+        """,
+        "events_session_ids": """
+            SELECT event_id, user_id,
+                   CAST(coalesce(sum(CASE WHEN gap > 1800000000 THEN 1
+                                     ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 0) AS BIGINT) AS session_id
+            FROM (
+                SELECT event_id, user_id, ts,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS gap
+                FROM events
+            )
         """,
         "text_normalized": """
             SELECT doc_id,

@@ -187,6 +187,62 @@ def events_sessionize(sf_dir: str, gap_seconds: int = 1800) -> ray.data.Dataset:
     )
 
 
+def events_session_ids(sf_dir: str, gap_seconds: int = 1800) -> ray.data.Dataset:
+    """Per-EVENT session assignment — the row-level building block the
+    aggregate ``events_sessionize`` summarizes: ``session_id`` = number of
+    >gap boundaries among the user's PRECEDING events (0-based), i.e. the
+    windowed running count streaming engines emit per record.  Same
+    bucketed one-shuffle template; per bucket ONE lexsort + cumsum labels
+    ALL users at once."""
+    import numpy as np
+
+    from realtime_clickstream_lakehouse_ray.functions.hashing import hash64
+
+    ncpu = int(ray.available_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    num_buckets = max(4, ncpu)
+    gap_us = np.int64(gap_seconds) * 1_000_000
+
+    def tag(t: pa.Table) -> pa.Table:
+        bucket = (hash64(t["user_id"]) % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "__bucket": pa.array(bucket),
+            }
+        )
+
+    def label_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        eid = g["event_id"].to_numpy()
+        uid = g["user_id"].to_numpy()
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((eid, ts_us, uid))  # by user, ts, event_id
+        eid, uid, ts_us = eid[order], uid[order], ts_us[order]
+        n = len(g)
+        bound = np.zeros(n, dtype=np.int64)
+        new_user = np.ones(n, dtype=bool)
+        if n > 1:
+            new_user[1:] = uid[1:] != uid[:-1]
+            bound[1:] = (
+                ~new_user[1:] & ((ts_us[1:] - ts_us[:-1]) > gap_us)
+            ).astype(np.int64)
+        b_cum = np.cumsum(bound)
+        starts = np.nonzero(new_user)[0]
+        runs = np.diff(np.append(starts, n))
+        sid = b_cum - np.repeat(b_cum[starts], runs)
+        return pd.DataFrame(
+            {"event_id": eid, "user_id": uid, "session_id": sid}
+        )
+
+    return (
+        read_events(sf_dir, columns=["event_id", "user_id", "ts"])
+        .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(label_bucket, batch_format="pandas")
+    )
+
+
 def events_reject_path(sf_dir: str) -> ray.data.Dataset:
     """M1's reject path as data: classify each payload as valid/malformed
     against the expected JSON envelope and count per class (the reference

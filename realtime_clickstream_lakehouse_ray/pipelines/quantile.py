@@ -145,6 +145,53 @@ def quantile_disc_by(
     )
 
 
+def order_price_winsorized(sf_dir: str) -> ray.data.Dataset:
+    """Winsorization — the quantile primitive reused as a TRANSFORM:
+    clamp each order's value to its priority's exact [p05, p95] band
+    (the outlier-capping step run before stats or loss-weighted
+    training).  Two streaming scans compute the cuts
+    (``quantile_disc_by``), the tiny per-group cut table broadcasts once,
+    and the clamp itself is one stateless vectorized pass — no shuffle.
+    quantile_disc returns ACTUAL data values, so the clamped output is
+    float-arithmetic-free and bit-exact against the SQL oracle."""
+    import ray as _ray
+
+    from realtime_clickstream_lakehouse_ray.functions.broadcast import get_broadcast
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    cuts = quantile_disc_by(
+        ds,
+        value_col="o_totalprice",
+        group_col="o_orderpriority",
+        qs={"lo": 0.05, "hi": 0.95},
+    )
+    grp = np.asarray(cuts["o_orderpriority"]).astype(object)
+    order = np.argsort(grp)
+    ref = _ray.put(
+        (
+            grp[order],
+            np.asarray(cuts["lo"])[order],
+            np.asarray(cuts["hi"])[order],
+        )
+    )
+
+    def clamp(t: pa.Table) -> pa.Table:
+        g, lo, hi = get_broadcast(ref)
+        keys = np.asarray(t["o_orderpriority"]).astype(object)
+        idx = np.searchsorted(g, keys)
+        vals = np.asarray(t["o_totalprice"], dtype=np.float64)
+        out = np.minimum(np.maximum(vals, lo[idx]), hi[idx])
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_orderpriority": t["o_orderpriority"],
+                "price_w": pa.array(out),
+            }
+        )
+
+    return ds.map_batches(clamp, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def order_price_quantiles(sf_dir: str) -> pa.Table:
     """Per-priority exact p50/p90/p99 of order value — the engine's
     distributed-selection showcase (two streaming scans, no sort)."""
