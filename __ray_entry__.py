@@ -174,6 +174,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_winsorized": quantile.order_price_winsorized,
         # per-event session assignment (row-level windowed running count)
         "events_session_ids": clickstream.events_session_ids,
+        # stream-static enrichment join (planner-chosen broadcast dim)
+        "events_enriched": clickstream.events_enriched,
         # --- clickstream conformance (SURVEY.md §2.3 M1-M9) -------------
         "events_normalized": clickstream.events_normalized,
         "events_partition_counts": clickstream.events_partition_counts,
@@ -1155,6 +1157,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey, o.o_orderpriority,
                    least(greatest(o.o_totalprice, q.lo), q.hi) AS price_w
             FROM orders o JOIN q USING (o_orderpriority)
+        """,
+        "events_enriched": """
+            SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
         """,
         "events_session_ids": """
             SELECT event_id, user_id,

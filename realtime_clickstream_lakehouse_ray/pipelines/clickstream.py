@@ -187,6 +187,29 @@ def events_sessionize(sf_dir: str, gap_seconds: int = 1800) -> ray.data.Dataset:
     )
 
 
+def events_enriched(sf_dir: str) -> ray.data.Dataset:
+    """Stream-static enrichment — the canonical streaming join shape
+    (every event decorated with its user's dimension attributes): events
+    ⋈ customer through the regime-choosing planner join
+    (``relational.auto_hash_join``), which reads the dim side's parquet
+    footers and picks BROADCAST here (customer is KBs–MBs) — the event
+    stream never shuffles; at a 100-TB event volume that is the only
+    acceptable plan, and the planner chooses it from stats, not a flag."""
+    from realtime_clickstream_lakehouse_ray.pipelines.relational import (
+        _read as _read_rel,
+        auto_hash_join,
+    )
+
+    ev = read_events(sf_dir, columns=["event_id", "user_id", "event_type"])
+    cust = _read_rel(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    out = auto_hash_join(ev, cust, "user_id", "c_custkey")
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "event_type", "c_mktsegment"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def events_session_ids(sf_dir: str, gap_seconds: int = 1800) -> ray.data.Dataset:
     """Per-EVENT session assignment — the row-level building block the
     aggregate ``events_sessionize`` summarizes: ``session_id`` = number of
