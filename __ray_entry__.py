@@ -276,6 +276,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_metadata": multimodal.image_metadata,
         "image_features": multimodal.image_features_flat,
         "frame_samples": multimodal.frame_samples,
+        # real video temporal leg: scene-cut scores by frame differencing
+        "frame_diff_energy": multimodal.frame_diff_energy,
         "audio_features": multimodal.audio_features,
         # real headerless-RGB decode leg (codec-free, like the PCM leg)
         "rgb_channel_stats": multimodal.rgb_channel_stats,
@@ -730,6 +732,26 @@ def oracle_sql() -> dict[str, str]:
                 SELECT unnest(range(0,
                     CAST(ceil(octet_length(encode(d.text)) / 1024.0) AS BIGINT), 4)) AS frame_idx
             ) f
+        """,
+        "frame_diff_energy": """
+            -- frame differencing as char arithmetic: 128-byte frames,
+            -- diff_energy(k) = sum |b[k][j] - b[k-1][j]| over whole frames
+            WITH d AS (
+                SELECT doc_id, text, length(text) // 128 AS nf FROM documents
+            ),
+            fr AS (
+                SELECT doc_id, text, unnest(range(1, nf)) AS k
+                FROM d WHERE nf >= 2
+            ),
+            pos AS (
+                SELECT doc_id, k, unnest(range(128)) AS j, text FROM fr
+            )
+            SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+                   CAST(sum(abs(
+                       ord(substr(text, CAST(k * 128 + j + 1 AS INT), 1))
+                       - ord(substr(text, CAST((k - 1) * 128 + j + 1 AS INT), 1))
+                   )) AS BIGINT) AS diff_energy
+            FROM pos GROUP BY doc_id, k
         """,
         "events_normalized": f"""
             SELECT event_id,

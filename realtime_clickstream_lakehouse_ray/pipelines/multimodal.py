@@ -143,6 +143,72 @@ def rgb_downsample(sf_dir: str, width: int = 16) -> ray.data.Dataset:
     )
 
 
+def frame_diff_energy(sf_dir: str, frame_bytes: int = 128) -> ray.data.Dataset:
+    """Third REAL video leg: scene-change detection by frame differencing
+    — the payload is treated as consecutive ``frame_bytes`` raw frames and
+    each frame's L1 distance to its predecessor is the classic cut-score
+    (codec-free temporal processing, like the PCM/RGB legs are codec-free
+    spatial ones).  Output: one row per (doc, frame_idx >= 1) over whole
+    frames, ``diff_energy`` = Σ |b[k][j] - b[k-1][j]| — integer-exact
+    against a char-arithmetic DuckDB oracle.
+
+    Fully vectorized: ONE global subtraction of the flat byte buffer
+    against itself shifted by ``frame_bytes``, masked to within-doc
+    whole-frame regions, per-frame sums via one ``np.add.reduceat``."""
+    F = int(frame_bytes)
+
+    def fn(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        payload = t["payload"].combine_chunks().cast(pa.large_binary())
+        offsets = np.frombuffer(
+            payload.buffers()[1], dtype=np.int64, count=len(payload) + 1,
+            offset=payload.offset * 8,
+        )
+        base = offsets[0]
+        lengths = offsets[1:] - offsets[:-1]
+        data = np.frombuffer(payload.buffers()[2], dtype=np.uint8)[
+            base: base + int(lengths.sum())
+        ].astype(np.int64)
+        doc_ids = np.asarray(t["doc_id"]).astype(np.int64)
+        nf = lengths // F  # whole frames per doc
+        n_out = np.maximum(nf - 1, 0)  # diffs per doc
+        total = int(n_out.sum())
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "frame_idx": pa.array([], pa.int64()),
+                "diff_energy": pa.array([], pa.int64()),
+            }
+        )
+        if total == 0:
+            return empty
+        # flat positions of every byte in frames 1..nf-1 of each doc
+        kdoc = np.repeat(np.arange(len(nf), dtype=np.int64), n_out)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(n_out) - n_out, n_out
+        )
+        starts = (offsets[:-1] - base)[kdoc] + (within + 1) * F
+        gather = (
+            np.arange(total * F, dtype=np.int64)
+            - np.repeat(np.arange(total, dtype=np.int64) * F, F)
+            + np.repeat(starts, F)
+        )
+        diffs = np.abs(data[gather] - data[gather - F])
+        energy = np.add.reduceat(diffs, np.arange(total, dtype=np.int64) * F)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[kdoc]),
+                "frame_idx": pa.array(within + 1),
+                "diff_energy": pa.array(energy.astype(np.int64)),
+            }
+        )
+
+    return _payload_ds(sf_dir).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=512
+    )
+
+
 def rgb_downsample_stats(sf_dir: str, width: int = 16) -> ray.data.Dataset:
     """Oracle-checkable projection of the REAL pooled binaries: run the
     actual 2x2 average-pool (``rgb_downsample``), then per-channel integer
