@@ -552,20 +552,32 @@ class Table:
         CloudWatch dashboards (README monitoring claims); alerts hang off
         e.g. ``metrics()[-1]["duration_sec"]`` or a rows_per_sec floor."""
         out = []
+        # path -> bytes, accumulated from add actions seen so far, so each
+        # version's removes resolve to the bytes they freed (no data I/O)
+        sizes: dict[str, int] = {}
         for v in self.log.versions():
             p = self.log.read_version(v)
             adds = [a for a in p.get("actions", []) if a.get("op") == "add"]
             rems = [a for a in p.get("actions", []) if a.get("op") == "remove"]
+            bytes_removed = sum(sizes.get(a.get("path"), 0) for a in rems)
+            for a in adds:
+                sizes[a["path"]] = a.get("bytes") or 0
             row = {
                 "version": v,
                 "operation": p.get("operation"),
                 "timestamp": p.get("timestamp"),
                 "files_added": len(adds),
                 "files_removed": len(rems),
+                "bytes_removed": bytes_removed,
             }
             row.update(p.get("metrics") or {})
             row.setdefault("rows_written", sum(a.get("rows") or 0 for a in adds))
             row.setdefault("bytes_written", sum(a.get("bytes") or 0 for a in adds))
+            if bytes_removed:
+                # rewrite ops: how many bytes were written per byte retired
+                row["write_amplification"] = round(
+                    row["bytes_written"] / bytes_removed, 3
+                )
             out.append(row)
         return out
 

@@ -589,8 +589,11 @@ class TestMetrics:
             assert r["rows_written"] > 0 and r["bytes_written"] > 0
             assert r["rows_per_sec"] > 0
             assert r["files_added"] >= 1
-        # compact rewrites: it must remove what it packed
+        # compact rewrites: it must remove what it packed, and the retired
+        # bytes resolve from prior adds (write-amplification observable)
         assert by_op["compact"]["files_removed"] >= 2
+        assert by_op["compact"]["bytes_removed"] > 0
+        assert 0.1 < by_op["compact"]["write_amplification"] < 10
         # timestamps present and non-decreasing
         ts = [r["timestamp"] for r in m]
         assert all(a <= b for a, b in zip(ts, ts[1:]))
