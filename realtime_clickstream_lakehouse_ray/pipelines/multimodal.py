@@ -129,8 +129,9 @@ def rgb_downsample(sf_dir: str, width: int = 16) -> ray.data.Dataset:
     """REAL resize plumbing: 2x2 average-pool every payload's raw-RGB
     pixels at fixed width; binary in, smaller binary out (the
     shape every thumbnail / patch-extraction stage shares).  Verified in
-    pytest against a per-image reshape reference; the oracle-checkable
-    slice (pooled byte counts) rides ``rgb_channel_stats``."""
+    pytest against a per-image reshape reference; the driver-checked
+    oracle relation is ``rgb_downsample_stats`` below, whose per-channel
+    stats over the POOLED bytes pin the binary content exactly."""
     from realtime_clickstream_lakehouse_ray.stages.multimodal import RgbDownsample
 
     return _payload_ds(sf_dir).map_batches(
