@@ -194,6 +194,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "fp_md5"]
         ),
         "text_normalized": text.text_normalized,
+        # per-source corpus health rollup (the post-ingest curator view)
+        "source_quality_report": text.source_quality_report,
         # --- corpus filtering (quality gate + decontamination) ----------
         "quality_filter": filters.quality_filter,
         "decontaminate": filters.decontaminate,
@@ -1205,6 +1207,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS BIGINT)
                        AS n_chars_norm
             FROM documents
+        """,
+        "source_quality_report": f"""
+            WITH w AS (SELECT source, {words} AS w FROM documents)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN len(w) BETWEEN 10 AND 1000
+                                 AND CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS DOUBLE)
+                                     / CAST(len(w) AS DOUBLE) < 0.5
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok,
+                   CAST(sum(len(w)) AS BIGINT) AS sum_words,
+                   CAST(sum(len(w)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS mean_words
+            FROM w GROUP BY source
         """,
         "sample_by_hash": """
             SELECT doc_id, source, n_chars FROM documents

@@ -60,6 +60,75 @@ def text_stats(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def source_quality_report(sf_dir: str) -> ray.data.Dataset:
+    """Per-source corpus health rollup — the dashboard a data curator
+    checks after every ingest: doc counts, quality-gate pass counts and
+    word totals per source (mean words derived with the same expression
+    order on both engines, so the doubles are bit-identical).  Per-batch
+    integer partials collapse before the ONE tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    from realtime_clickstream_lakehouse_ray.functions.textstats import (
+        quality_mask,
+        word_counts,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = split_words(t["text"])
+        n_words = word_counts(words)
+        ok = quality_mask(t).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "source": t["source"],
+                    "one": pa.array(np.ones(len(t), dtype=np.int64)),
+                    "ok": pa.array(ok),
+                    "nw": pa.array(n_words),
+                }
+            )
+            .group_by("source")
+            .aggregate([("one", "sum"), ("ok", "sum"), ("nw", "sum")])
+        )
+        return pa.table(
+            {
+                "source": g["source"],
+                "n_part": g["one_sum"].cast(pa.int64()),
+                "ok_part": g["ok_sum"].cast(pa.int64()),
+                "nw_part": g["nw_sum"].cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        _read_docs(sf_dir, ["text", "source"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(
+            Sum("n_part", alias_name="n_docs"),
+            Sum("ok_part", alias_name="n_quality_ok"),
+            Sum("nw_part", alias_name="sum_words"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n_docs"], dtype=np.int64)
+        sw = np.asarray(t["sum_words"], dtype=np.int64)
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_docs": pa.array(n),
+                "n_quality_ok": pa.array(
+                    np.asarray(t["n_quality_ok"], dtype=np.int64)
+                ),
+                "sum_words": pa.array(sw),
+                "mean_words": pa.array(
+                    sw.astype(np.float64) / n.astype(np.float64)
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _bpeish_token_counts(t: pa.Table) -> pa.Table:
     """Per batch: one vectorized RE2 scan (Arrow caches the compiled
     pattern per process, so this is a stateless task — no actor-pool cap
