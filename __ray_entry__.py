@@ -54,11 +54,85 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # NOTE on ordering: the driver samples the FIRST ~50 dict entries for
         # CORRECTNESS_r{N}.  r02 checked the text/filter/mixture/corpus/dedup/
-        # ANN families (all green); r03 fronts the maintenance engine (the
-        # north rule), the window functions and the relational surface so
-        # those gain driver-side rows too.  Local coverage is unchanged —
+        # ANN families (all green); r03 fronted maintenance + windows +
+        # relational (all green except the orders_rollup oracle-typing bug,
+        # fixed this round).  r04 fronts the 28 entries no round has sampled
+        # yet, plus orders_rollup to confirm the fix, then the maintenance
+        # engine (the north rule) re-confirms.  Local coverage is unchanged —
         # tests/test_oracle_parity.py always sweeps every oracle-checked
         # entry regardless of dict order.
+        # --- r04 front: the 28 entries never driver-sampled in r01-r03,
+        #     plus orders_rollup to confirm the oracle CAST fix.  The
+        #     driver samples the FIRST ~50 dict entries; local coverage is
+        #     order-independent (tests/test_oracle_parity.py sweeps all).
+        # EXISTS semi-join (TPC-H Q4 shape, bucketed semi regime)
+        "q4_priority_check": relational.q4_priority_check,
+        # pure scan-filter-aggregate to one row (TPC-H Q6 shape)
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        # tumbling-window streaming aggregate (fixed 1h windows)
+        "events_tumbling_counts": window.events_tumbling_counts,
+        # hopping-window aggregate (1h windows every 15min, repeat-explode)
+        "events_hopping_counts": window.events_hopping_counts,
+        # sliding-window chunking with overlap (RAG/long-context layout);
+        # token arrays pytest-verified, oracle checks the chunk relation
+        "split_sequences_overlap": lambda sf: mixture.split_sequences_overlap(
+            sf
+        ).select_columns(["doc_id", "chunk_id", "n_tok"]),
+        # temperature-tempered mixture quotas (isqrt weights, T=2)
+        "temperature_quota_sample": mixture.temperature_quota_sample,
+        # reproducible per-epoch global training order (seedless)
+        "epoch_shuffle": mixture.epoch_shuffle,
+        # --- sketches / quantiles / CDC ---------------------------------
+        # 48-bit md5-vote SimHash relation (oracle-exact bit arithmetic)
+        "simhash_signatures": dedup.simhash_signatures,
+        # md5-based MinHash signature relation (oracle-exact HUGEINT affine)
+        "minhash_signatures": dedup.minhash_signatures_md5,
+        # banded+verified simhash pipeline vs brute-force SQL pair oracle
+        "simhash_md5_dedup": dedup.simhash_md5_dedup,
+        # mergeable cardinality sketch (oracle-exact integer registers)
+        "hll_user_registers": sketch.hll_user_registers,
+        # one-pass mergeable quantile sketch (KLL; rank-error pytest)
+        "kll_quantiles": sketch.kll_quantiles,
+        # content-defined chunking (gear CDC): chunk relation + dup stats.
+        # The cut decision depends only on the low mask_bits of the gear
+        # hash = the last 6 bytes, so the oracle replays it with 5 SQL lags;
+        # the XOR fp column stays pytest-verified (oracle checks boundaries)
+        "cdc_chunks": lambda sf: dedup.cdc_chunks(sf).select_columns(
+            ["doc_id", "chunk_idx", "start", "length"]
+        ),
+        # dup accounting keyed on chunk-content md5 -> oracle-exact contents
+        "cdc_dup_chunks": dedup.cdc_dup_chunks,
+        # exact distributed quantiles (two-pass histogram selection)
+        "order_price_quantiles": quantile.order_price_quantiles,
+        # quantile primitive as a TRANSFORM: per-group p05/p95 clamp
+        "order_price_winsorized": quantile.order_price_winsorized,
+        # per-event session assignment (row-level windowed running count)
+        "events_session_ids": clickstream.events_session_ids,
+        # stream-static enrichment join (planner-chosen broadcast dim)
+        "events_enriched": clickstream.events_enriched,
+        "events_pivot": clickstream.events_pivot,
+        "cohort_retention": clickstream.cohort_retention,
+        # per-source corpus health rollup (the post-ingest curator view)
+        "source_quality_report": text.source_quality_report,
+        # composed cleaning journey: quality gate -> dup-cluster -> canonical
+        "corpus_clean": dedup.corpus_clean,
+        # real video temporal leg: scene-cut scores by frame differencing
+        "frame_diff_energy": multimodal.frame_diff_energy,
+        "audio_features": multimodal.audio_features,
+        # real headerless-RGB decode leg (codec-free, like the PCM leg)
+        "rgb_channel_stats": multimodal.rgb_channel_stats,
+        # real 2x2 average-pool resize (binary in -> smaller binary out;
+        # the binaries themselves are pytest-verified against a reshape
+        # reference); the driver-checked relation is per-channel stats OVER
+        # the pooled bytes, whose oracle replays the (a+b+c+d)//4 pooling —
+        # content-pinning, so the resize leaves the no-oracle set
+        "rgb_downsample": multimodal.rgb_downsample_stats,
+        # PMI counting core: mergeable co-occurrence matrix partials
+        "word_cooccurrence": corpus.word_cooccurrence,
+        # the 100-TB-vocabulary regime of doc_rarity (bucketed word join)
+        "doc_rarity_bucketed": corpus.doc_rarity_bucketed,
+        # one-pass GROUPING SETS / ROLLUP (multi-level aggregate)
+        "orders_rollup": relational.orders_rollup,
         # --- maintenance engine (SURVEY.md §2.12, the north rule) -------
         "maintenance_compact": maintenance.maintenance_compact,
         # metadata-table surface (DESCRIBE DETAIL / .partitions analog)
@@ -122,8 +196,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts": relational.customer_order_counts,
         "cheapest_supplier_per_part": relational.cheapest_supplier_per_part,
         "q5_nation_revenue": relational.q5_nation_revenue,
-        # one-pass GROUPING SETS / ROLLUP (multi-level aggregate)
-        "orders_rollup": relational.orders_rollup,
         # distributed INTERSECT / EXCEPT set operators
         "purchasing_clickers": relational.purchasing_clickers,
         "urgent_only_customers": relational.urgent_only_customers,
@@ -131,51 +203,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_nation_roster": relational.supplier_nation_roster,
         # keyed interval-overlap join (temporal non-equi join)
         "events_interval_overlap": clickstream.events_interval_overlap,
-        # EXISTS semi-join (TPC-H Q4 shape, bucketed semi regime)
-        "q4_priority_check": relational.q4_priority_check,
-        # pure scan-filter-aggregate to one row (TPC-H Q6 shape)
-        "q6_forecast_revenue": relational.q6_forecast_revenue,
-        # tumbling-window streaming aggregate (fixed 1h windows)
-        "events_tumbling_counts": window.events_tumbling_counts,
-        # hopping-window aggregate (1h windows every 15min, repeat-explode)
-        "events_hopping_counts": window.events_hopping_counts,
-        # sliding-window chunking with overlap (RAG/long-context layout);
-        # token arrays pytest-verified, oracle checks the chunk relation
-        "split_sequences_overlap": lambda sf: mixture.split_sequences_overlap(
-            sf
-        ).select_columns(["doc_id", "chunk_id", "n_tok"]),
-        # temperature-tempered mixture quotas (isqrt weights, T=2)
-        "temperature_quota_sample": mixture.temperature_quota_sample,
-        # reproducible per-epoch global training order (seedless)
-        "epoch_shuffle": mixture.epoch_shuffle,
-        # --- sketches / quantiles / CDC ---------------------------------
-        # 48-bit md5-vote SimHash relation (oracle-exact bit arithmetic)
-        "simhash_signatures": dedup.simhash_signatures,
-        # md5-based MinHash signature relation (oracle-exact HUGEINT affine)
-        "minhash_signatures": dedup.minhash_signatures_md5,
-        # banded+verified simhash pipeline vs brute-force SQL pair oracle
-        "simhash_md5_dedup": dedup.simhash_md5_dedup,
-        # mergeable cardinality sketch (oracle-exact integer registers)
-        "hll_user_registers": sketch.hll_user_registers,
-        # one-pass mergeable quantile sketch (KLL; rank-error pytest)
-        "kll_quantiles": sketch.kll_quantiles,
-        # content-defined chunking (gear CDC): chunk relation + dup stats.
-        # The cut decision depends only on the low mask_bits of the gear
-        # hash = the last 6 bytes, so the oracle replays it with 5 SQL lags;
-        # the XOR fp column stays pytest-verified (oracle checks boundaries)
-        "cdc_chunks": lambda sf: dedup.cdc_chunks(sf).select_columns(
-            ["doc_id", "chunk_idx", "start", "length"]
-        ),
-        # dup accounting keyed on chunk-content md5 -> oracle-exact contents
-        "cdc_dup_chunks": dedup.cdc_dup_chunks,
-        # exact distributed quantiles (two-pass histogram selection)
-        "order_price_quantiles": quantile.order_price_quantiles,
-        # quantile primitive as a TRANSFORM: per-group p05/p95 clamp
-        "order_price_winsorized": quantile.order_price_winsorized,
-        # per-event session assignment (row-level windowed running count)
-        "events_session_ids": clickstream.events_session_ids,
-        # stream-static enrichment join (planner-chosen broadcast dim)
-        "events_enriched": clickstream.events_enriched,
         # --- clickstream conformance (SURVEY.md §2.3 M1-M9) -------------
         "events_normalized": clickstream.events_normalized,
         "events_partition_counts": clickstream.events_partition_counts,
@@ -183,8 +210,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": clickstream.events_sessionize,
         "events_reject_path": clickstream.events_reject_path,
         "events_asof_join": clickstream.events_asof_join,
-        "events_pivot": clickstream.events_pivot,
-        "cohort_retention": clickstream.cohort_retention,
         # --- text analysis / training-data prep -------------------------
         "text_stats": text.text_stats,
         "token_counts": text.token_counts,
@@ -194,8 +219,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "fp_md5"]
         ),
         "text_normalized": text.text_normalized,
-        # per-source corpus health rollup (the post-ingest curator view)
-        "source_quality_report": text.source_quality_report,
         # --- corpus filtering (quality gate + decontamination) ----------
         "quality_filter": filters.quality_filter,
         "decontaminate": filters.decontaminate,
@@ -254,8 +277,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": dedup.simhash_dedup,  # approx -> rows-only
         "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
         "dup_clusters": dedup.dup_clusters,
-        # composed cleaning journey: quality gate -> dup-cluster -> canonical
-        "corpus_clean": dedup.corpus_clean,
         "substring_dup_spans": dedup.substring_dup_spans,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
         # IVF emits only exact-cosine-verified pairs (guaranteed subset of
@@ -278,26 +299,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_metadata": multimodal.image_metadata,
         "image_features": multimodal.image_features_flat,
         "frame_samples": multimodal.frame_samples,
-        # real video temporal leg: scene-cut scores by frame differencing
-        "frame_diff_energy": multimodal.frame_diff_energy,
-        "audio_features": multimodal.audio_features,
-        # real headerless-RGB decode leg (codec-free, like the PCM leg)
-        "rgb_channel_stats": multimodal.rgb_channel_stats,
-        # real 2x2 average-pool resize (binary in -> smaller binary out;
-        # the binaries themselves are pytest-verified against a reshape
-        # reference); the driver-checked relation is per-channel stats OVER
-        # the pooled bytes, whose oracle replays the (a+b+c+d)//4 pooling —
-        # content-pinning, so the resize leaves the no-oracle set
-        "rgb_downsample": multimodal.rgb_downsample_stats,
         # trivial single-op scans (sort-limit / distinct) — moved behind the
         # driver's 50-entry sampling window in favor of the planner join and
         # the interval join; both remain oracle-parity-gated locally
         "top_orders": relational.top_orders,
         "distinct_mktsegments": relational.distinct_mktsegments,
-        # PMI counting core: mergeable co-occurrence matrix partials
-        "word_cooccurrence": corpus.word_cooccurrence,
-        # the 100-TB-vocabulary regime of doc_rarity (bucketed word join)
-        "doc_rarity_bucketed": corpus.doc_rarity_bucketed,
     }
 
 
@@ -1892,7 +1898,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_rollup": """
             SELECT o_orderstatus, o_orderpriority,
                    CAST(count(*) AS BIGINT) AS n,
-                   SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
             FROM orders
             GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         """,

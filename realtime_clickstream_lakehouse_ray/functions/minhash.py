@@ -22,6 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from realtime_clickstream_lakehouse_ray.functions.hashing import hash64, splitmix64
+from realtime_clickstream_lakehouse_ray.functions.textstats import normalize_list_array
 
 
 def shingle_hashes(words: pa.ListArray, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
@@ -31,6 +32,7 @@ def shingle_hashes(words: pa.ListArray, k: int = 3) -> tuple[np.ndarray, np.ndar
     document's shingle hashes; a doc with fewer than k words contributes
     one whole-doc shingle.  Combining adjacent word hashes uses rotate-xor
     chains so shingles are order-sensitive."""
+    words = normalize_list_array(words)
     offsets = np.asarray(words.offsets).astype(np.int64)
     lengths = offsets[1:] - offsets[:-1]
     wh = hash64(words.values)
@@ -76,6 +78,7 @@ def band_keys(sigs: np.ndarray, n_bands: int = 32) -> np.ndarray:
 
 def simhash(words: pa.ListArray) -> np.ndarray:
     """64-bit SimHash per document from its word hashes (bit-count votes)."""
+    words = normalize_list_array(words)
     offsets = np.asarray(words.offsets).astype(np.int64)
     lengths = offsets[1:] - offsets[:-1]
     wh = hash64(words.values)
@@ -113,6 +116,7 @@ def minhash_md5_signatures(
 
     from realtime_clickstream_lakehouse_ray.functions.textstats import _segments
 
+    words = normalize_list_array(words)
     starts, lengths = _segments(words)
     n_docs = len(lengths)
     flat = words.values
@@ -190,6 +194,7 @@ def simhash_md5(words: pa.ListArray, nbits: int = 48, nhex: int = 12) -> np.ndar
     xxhash64-based :func:`simhash`, which stays the fast non-oracle path."""
     from realtime_clickstream_lakehouse_ray.functions.textstats import md5_word_hashes
 
+    words = normalize_list_array(words)
     offsets = np.asarray(words.offsets).astype(np.int64)
     lengths = offsets[1:] - offsets[:-1]
     wh = md5_word_hashes(words.values, nhex=nhex)
@@ -235,6 +240,7 @@ def ngram_hashes_distinct(
     each document and ``doc_index[i]`` is the owning doc's position in the
     batch.
     """
+    words = normalize_list_array(words)
     offsets = np.asarray(words.offsets).astype(np.int64)
     starts, lengths = offsets[:-1], offsets[1:] - offsets[:-1]
     wh = hash64(words.values)

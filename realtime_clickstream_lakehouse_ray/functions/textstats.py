@@ -28,6 +28,37 @@ def split_words(text: pa.ChunkedArray | pa.Array) -> pa.ListArray:
     return words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
 
 
+def normalize_list_array(
+    words: pa.ListArray | pa.ChunkedArray,
+) -> pa.ListArray:
+    """Rebase a possibly sliced/chunked list array so offsets start at 0 and
+    ``.values`` holds exactly the in-slice child elements.
+
+    A sliced (non-zero-offset) ListArray keeps ABSOLUTE offsets over the
+    FULL child buffer, so flat kernels that align ``np.repeat(...,
+    lengths)`` with ``.values``, or ``reduceat`` over ``offsets[:-1]``,
+    would mis-attribute out-of-slice children (e.g. fold trailing words
+    into the last doc's signature).  Latent for in-pipeline inputs —
+    ``split_words`` returns fresh arrays — but every flat-kernel
+    entrypoint normalizes first so external/sliced callers are safe too."""
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offsets = np.asarray(words.offsets).astype(np.int64)
+    values = words.values
+    lo = int(offsets[0]) if len(offsets) else 0
+    hi = int(offsets[-1]) if len(offsets) else 0
+    if lo == 0 and hi == len(values):
+        return words
+    large = pa.types.is_large_list(words.type)
+    cls = pa.LargeListArray if large else pa.ListArray
+    mask = pc.is_null(words) if words.null_count else None
+    return cls.from_arrays(
+        pa.array(offsets - lo, type=pa.int64() if large else pa.int32()),
+        values.slice(lo, hi - lo),
+        mask=mask,
+    )
+
+
 def _segments(words: pa.ListArray) -> tuple[np.ndarray, np.ndarray]:
     offsets = np.asarray(words.offsets).astype(np.int64)
     return offsets[:-1], offsets[1:] - offsets[:-1]
@@ -40,6 +71,7 @@ def word_counts(words: pa.ListArray) -> np.ndarray:
 def unique_word_counts(words: pa.ListArray) -> np.ndarray:
     """Distinct words per document: sort (doc, word-hash) pairs once, count
     boundaries per segment — O(n log n) vectorized, no per-row sets."""
+    words = normalize_list_array(words)
     starts, lengths = _segments(words)
     n_docs = len(lengths)
     flat_hash = hash64(words.values)
@@ -55,6 +87,7 @@ def unique_word_counts(words: pa.ListArray) -> np.ndarray:
 
 
 def stopword_counts(words: pa.ListArray, stopwords=STOPWORDS) -> np.ndarray:
+    words = normalize_list_array(words)
     starts, lengths = _segments(words)
     hits = np.asarray(
         pc.is_in(words.values, value_set=pa.array(list(stopwords)))
@@ -70,6 +103,7 @@ def language_scores(words: pa.ListArray) -> np.ndarray:
     """Heuristic language id: ratio of English-hint words.  The test corpus
     is English word soup, so the classifier is a thresholded hint ratio;
     a real deployment would plug an n-gram model into the same stage."""
+    words = normalize_list_array(words)
     starts, lengths = _segments(words)
     hits = np.asarray(
         pc.is_in(words.values, value_set=pa.array(sorted(_EN_HINTS)))
@@ -131,6 +165,7 @@ def md5_word_hashes(arr: pa.Array, nhex: int = 12) -> np.ndarray:
 def rolling_fingerprint(words: pa.ListArray, window: int = 8) -> np.ndarray:
     """Winnowing-style document fingerprint: min of rolling-window hashes of
     the word-hash sequence (vectorized via a strided min over windows)."""
+    words = normalize_list_array(words)
     starts, lengths = _segments(words)
     wh = hash64(words.values)
     # rolling combine: h[i] ^ rot(h[i+1]) ... within window, approximated by
@@ -156,6 +191,7 @@ def winnow_fingerprint_md5(words: pa.ListArray) -> np.ndarray:
     SQL-replicable)."""
     import hashlib
 
+    words = normalize_list_array(words)
     starts, lengths = _segments(words)
     n_docs = len(lengths)
     flat = words.values
@@ -193,6 +229,7 @@ def word_char_totals(words: pa.ListArray) -> np.ndarray:
     """Total characters across a document's words (excludes whitespace) —
     the numerator of Gopher's mean-word-length rule.  One segment-sum over
     the flat word-length array."""
+    words = normalize_list_array(words)
     starts, lengths = _segments(words)
     wl = np.asarray(pc.utf8_length(words.values)).astype(np.int64)
     out = np.zeros(len(lengths), dtype=np.int64)
@@ -208,6 +245,7 @@ def top_word_counts(words: pa.ListArray) -> np.ndarray:
 
     Sort (doc, word-hash) once, derive run lengths, then take the max run
     per document — O(n log n) vectorized, no per-row Counter."""
+    words = normalize_list_array(words)
     starts, lengths = _segments(words)
     n_docs = len(lengths)
     out = np.zeros(n_docs, dtype=np.int64)

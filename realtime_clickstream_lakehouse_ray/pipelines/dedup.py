@@ -501,7 +501,9 @@ def simhash_md5_dedup(sf_dir: str, max_hamming: int = 3) -> pa.Table:
         )
 
     bands = docs.map_batches(sig_stage, batch_format="pyarrow", zero_copy_batch=True)
-    pk, ham = _bucket_verified_pairs_hamming(bands, max_hamming)
+    # cap=None: the oracle-equality claim requires exhaustive in-bucket
+    # verification — no mega-bucket skip (see _bucket_verified_pairs_hamming)
+    pk, ham = _bucket_verified_pairs_hamming(bands, max_hamming, cap=None)
     return pa.table(
         {
             "id_a": pa.array(pk >> np.int64(32)),
@@ -512,14 +514,23 @@ def simhash_md5_dedup(sf_dir: str, max_hamming: int = 3) -> pa.Table:
 
 
 def _bucket_verified_pairs_hamming(
-    bands: ray.data.Dataset, max_hamming: int, cap: int = 200
+    bands: ray.data.Dataset, max_hamming: int, cap: int | None = 200
 ) -> tuple[np.ndarray, np.ndarray]:
     """Hamming-verified pairs from co-bucketed (doc_id, bkey, sig) rows,
     one shuffle: group by ``bkey % B``, and inside each bucket compute the
     pairwise Hamming distance on the co-located signatures — candidate
     generation and verification fused into the same distributed stage.
     Returns (packed (a<<32|b) pair array, per-pair Hamming distance),
-    deduplicated by pair."""
+    deduplicated by pair.
+
+    ``cap`` bounds per-band-bucket verification work (O(cap²) pairs): the
+    approximate production path keeps the default so an adversarial
+    constant column cannot cost O(n²), at the price of dropping pairs
+    inside mega-buckets.  ``cap=None`` verifies every bucket exhaustively —
+    required by the oracle-EXACT ``simhash_md5_dedup`` pipeline, whose
+    claimed equality with the brute-force SQL pair set would otherwise
+    silently break on a skewed/low-entropy corpus (>cap co-located
+    signatures in one 12-bit band)."""
     ncpu = int(ray.available_resources().get("CPU", 8)) if ray.is_initialized() else 8
     n_buckets = max(16, ncpu)
 
@@ -538,7 +549,7 @@ def _bucket_verified_pairs_hamming(
         ends = np.concatenate([change, [len(bk)]])
         out, hams = [], []
         for s, e in zip(starts, ends):
-            if not (2 <= e - s <= cap):
+            if e - s < 2 or (cap is not None and e - s > cap):
                 continue
             grp, first = np.unique(ids[s:e], return_index=True)
             if len(grp) < 2:

@@ -922,18 +922,25 @@ class Table:
             if stats:
                 lo = min(s[0] for s in stats)
                 hi = max(s[1] for s in stats)
-                span = max(hi - lo, 1)
+                # span+1 = number of representable n_tok points; a
+                # single-value partition (hi == lo) then correctly reports
+                # avg_files_per_point == n_files_with_stats, not n/2
+                span = hi - lo
                 widths = sum(s[1] - s[0] + 1 for s in stats)
                 avg_cover = widths / (span + 1)
             else:
-                span, avg_cover = 0, float("nan")
+                # stat-less partitions: None (JSON null via the CLI), not
+                # NaN — json.dumps would emit a non-standard NaN token
+                span, avg_cover = 0, None
             rows.append(
                 {
                     "partition": part,
                     "n_files": len(fs),
                     "n_clustered": sum(1 for f in fs if f.clustered),
                     "n_tok_span": int(span),
-                    "avg_files_per_point": round(float(avg_cover), 3),
+                    "avg_files_per_point": (
+                        round(float(avg_cover), 3) if avg_cover is not None else None
+                    ),
                 }
             )
         return pa.Table.from_pylist(

@@ -285,3 +285,64 @@ def test_minhash_md5_near_dup_signatures_agree_mostly():
     agree_other = (sigs[0] == sigs[2]).mean()
     assert agree_near >= 0.75
     assert agree_other <= 0.25
+
+
+def test_flat_kernels_on_genuinely_sliced_list_arrays():
+    """A pyarrow ``ListArray.slice`` keeps ABSOLUTE offsets over the FULL
+    child buffer; every flat kernel must normalize (re-slice values,
+    rebase offsets) or it mis-attributes out-of-slice words — e.g.
+    ``reduceat`` folding trailing words into the last doc's signature.
+    This slices the INPUT arrow array (the earlier invariance test only
+    sliced the output numpy array)."""
+    from realtime_clickstream_lakehouse_ray.functions.minhash import (
+        minhash_md5_signatures,
+        ngram_hashes_distinct,
+        shingle_hashes,
+        simhash,
+        simhash_md5,
+    )
+    from realtime_clickstream_lakehouse_ray.functions.textstats import (
+        rolling_fingerprint,
+        split_words,
+        stopword_counts,
+        top_word_counts,
+        unique_word_counts,
+        winnow_fingerprint_md5,
+        word_char_totals,
+    )
+
+    texts = [
+        "zero zero zero padding words here",
+        "one more filler document",
+        "the quick brown fox jumps over the lazy dog",
+        "a b",
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do",
+        "the the the a a a trailing words matter",
+    ]
+    arr = split_words(pa.array(texts))
+    # a BOUNDED mid-slice: non-zero offset AND trailing out-of-slice words
+    # remain in the child buffer (a suffix slice would not catch the
+    # reduceat fold-in failure mode)
+    sliced = arr.slice(1, len(texts) - 2)
+    fresh = split_words(pa.array(texts[1 : len(texts) - 1]))
+
+    assert np.array_equal(simhash_md5(sliced), simhash_md5(fresh))
+    assert np.array_equal(simhash(sliced), simhash(fresh))
+    _, sig_s = minhash_md5_signatures(sliced)
+    _, sig_f = minhash_md5_signatures(fresh)
+    assert np.array_equal(sig_s, sig_f)
+    hs, ls = shingle_hashes(sliced)
+    hf, lf = shingle_hashes(fresh)
+    assert np.array_equal(ls, lf) and np.array_equal(hs, hf)
+    gs, ds, cs = ngram_hashes_distinct(sliced)
+    gf, df, cf = ngram_hashes_distinct(fresh)
+    assert np.array_equal(cs, cf) and np.array_equal(gs, gf) and np.array_equal(ds, df)
+    for kern in (
+        unique_word_counts,
+        stopword_counts,
+        top_word_counts,
+        word_char_totals,
+        rolling_fingerprint,
+        winnow_fingerprint_md5,
+    ):
+        assert np.array_equal(kern(sliced), kern(fresh)), kern.__name__

@@ -641,3 +641,30 @@ class TestPrunedScan:
         got_nt = dict(zip(got["doc_id"].to_pylist(), np.asarray(got["n_tok"])))
         exp_nt = {f"doc-{i:012d}": int(v) for i, v in zip(ids, nt[keep])}
         assert got_nt == exp_nt
+
+
+def test_clustering_report_degenerate_partitions(tmp_path_factory, monkeypatch):
+    """Two edge cases from review: a partition whose files all share ONE
+    n_tok value must report avg_files_per_point == n_files (not n/2), and a
+    stat-less partition must emit a JSON-serializable null (not NaN, which
+    json.dumps renders as a non-standard token)."""
+    from realtime_clickstream_lakehouse_ray.state.log import FileEntry
+
+    t = _fresh(tmp_path_factory, "clus_degenerate")
+    entries = [
+        FileEntry(path=f"single/{i}.parquet", partition="single", rows=10,
+                  bytes=100, min_n_tok=7, max_n_tok=7)
+        for i in range(4)
+    ] + [
+        FileEntry(path="nostats/0.parquet", partition="nostats", rows=10,
+                  bytes=100, min_n_tok=None, max_n_tok=None),
+    ]
+    monkeypatch.setattr(t, "files", lambda: entries)
+    rep = {r["partition"]: r for r in t.clustering_report().to_pylist()}
+    assert rep["single"]["avg_files_per_point"] == 4.0
+    assert rep["single"]["n_tok_span"] == 0
+    assert rep["nostats"]["avg_files_per_point"] is None
+    # strict-JSON round trip (what the CLI's status payload needs)
+    payload = json.dumps({p: r for p, r in rep.items()})
+    json.loads(payload)
+    assert "NaN" not in payload

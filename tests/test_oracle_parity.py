@@ -36,6 +36,50 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def _arrow_kind(t: pa.DataType) -> str:
+    """Coarse dtype family used by the driver-prediction check.  The driver
+    compares pandas-rendered values, where an int64 engine column vs a
+    decimal128 oracle column hash-mismatches even when every value agrees
+    (the r03 ``orders_rollup`` failure), while decimal-vs-double does NOT
+    (pandas renders both as float64).  Model that exactly: all ints are one
+    kind, decimal collapses into float, and int-vs-{float,decimal} must
+    FAIL locally."""
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t) or pa.types.is_decimal(t):
+        return "float"
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        return "datetime"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list"
+    return str(t)
+
+
+def _to_arrow(res) -> pa.Table:
+    if isinstance(res, pa.Table):
+        return res
+    if isinstance(res, pd.DataFrame):
+        return pa.Table.from_pandas(res, preserve_index=False)
+    # ray Dataset: native Arrow blocks, NOT via to_pandas (a pandas
+    # round-trip degrades nullable int64 to float64 and would false-flag)
+    import ray
+
+    blocks = [
+        pa.Table.from_pandas(b, preserve_index=False)
+        if isinstance(b, pd.DataFrame)
+        else b
+        for b in ray.get(res.to_arrow_refs())
+    ]
+    tbls = [t for t in blocks if t.num_rows]
+    if not tbls:
+        return pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    return pa.concat_tables(tbls, promote_options="default")
+
+
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
@@ -47,10 +91,29 @@ def con():
 NAMES = sorted(set(entrymod.queries()) & set(entrymod.oracle_sql()))
 
 
+_NUMERIC_KINDS = {"int", "float", "decimal"}
+
+
 @pytest.mark.parametrize("name", NAMES)
 def test_query_matches_oracle(name, con):
-    got = _normalize(_to_pandas(entrymod.queries()[name](SF_DIR)))
-    exp = _normalize(con.execute(entrymod.oracle_sql()[name]).df())
+    res = entrymod.queries()[name](SF_DIR)
+    got_tbl = _to_arrow(res)
+    exp_tbl = con.execute(entrymod.oracle_sql()[name]).arrow()
+    # Driver-prediction dtype gate: the driver's value hash is dtype-aware
+    # within the numeric family (int64 vs decimal128/float64 mismatch even
+    # when values agree) — fail locally on any such divergence.
+    exp_kinds = {f.name: _arrow_kind(f.type) for f in exp_tbl.schema}
+    for f in got_tbl.schema:
+        ek = exp_kinds.get(f.name)
+        gk = _arrow_kind(f.type)
+        if ek in _NUMERIC_KINDS or gk in _NUMERIC_KINDS:
+            assert gk == ek, (
+                f"{name}: column {f.name!r} numeric-kind mismatch "
+                f"(engine {f.type} -> {gk}, oracle -> {ek}); the driver's "
+                "value hash would fail on this even with equal values"
+            )
+    got = _normalize(_to_pandas(res))
+    exp = _normalize(exp_tbl.to_pandas())
     assert list(got.columns) == list(exp.columns), (
         f"{name}: columns {list(got.columns)} != {list(exp.columns)}"
     )

@@ -494,3 +494,50 @@ def test_rgb_features_discard_partial_triples():
         (1, 1, 2, 70, 20, 50),
         (1, 2, 2, 90, 30, 60),
     }
+
+
+def test_simhash_md5_dedup_mega_bucket_exact(tmp_path):
+    """Oracle-equality regression for the exhaustive (cap=None) verify path:
+    a low-entropy corpus where one 12-bit band bucket co-locates >200
+    signatures (the approximate path's mega-bucket skip threshold) must
+    still yield the exact brute-force Hamming pair set."""
+    import duckdb  # noqa: F401  (parity style: brute force in numpy below)
+    import pyarrow.parquet as pq
+
+    from realtime_clickstream_lakehouse_ray.functions.minhash import (
+        hamming64,
+        simhash_md5,
+    )
+    from realtime_clickstream_lakehouse_ray.functions.textstats import split_words
+
+    n = 260  # > the production cap of 200 identical signatures per bucket
+    texts = ["alpha beta gamma delta epsilon"] * n + [
+        "alpha beta gamma delta zeta",  # near-dup of the clone block
+        "completely different words here now",
+    ]
+    ids = list(range(len(texts)))
+    d = tmp_path / "mega"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["s0"] * len(texts),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+
+    got = dedup.simhash_md5_dedup(str(d), max_hamming=3).to_pandas()
+
+    sig = simhash_md5(split_words(pa.array(texts))).astype(np.uint64)
+    a, b = np.triu_indices(len(texts), k=1)
+    dist = hamming64(sig[a], sig[b])
+    ok = dist <= 3
+    want = set(zip(a[ok].tolist(), b[ok].tolist()))
+    assert want, "fixture must plant pairs"
+    assert len(want) >= 200 * 201 // 2  # the clone block alone exceeds cap²/2
+    assert set(zip(got["id_a"], got["id_b"])) == want
