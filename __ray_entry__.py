@@ -91,7 +91,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_md5_dedup": dedup.simhash_md5_dedup,
         # mergeable cardinality sketch (oracle-exact integer registers)
         "hll_user_registers": sketch.hll_user_registers,
-        # one-pass mergeable quantile sketch (KLL; rank-error pytest)
+        # one-pass mergeable KLL sketch, gated in-query against the exact
+        # rank band; the returned relation is exact -> real SQL oracle now
         "kll_quantiles": sketch.kll_quantiles,
         # content-defined chunking (gear CDC): chunk relation + dup stats.
         # The cut decision depends only on the low mask_bits of the gear
@@ -134,6 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # one-pass GROUPING SETS / ROLLUP (multi-level aggregate)
         "orders_rollup": relational.orders_rollup,
         # --- maintenance engine (SURVEY.md §2.12, the north rule) -------
+        # column-mapping rename/drop without rewrite (Delta name mode)
+        "maintenance_rename_column": maintenance.maintenance_rename_column,
         "maintenance_compact": maintenance.maintenance_compact,
         # metadata-table surface (DESCRIBE DETAIL / .partitions analog)
         "maintenance_partitions": maintenance.maintenance_partitions,
@@ -1030,6 +1033,17 @@ def oracle_sql() -> dict[str, str]:
             FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sig, b.sig)) <= 3
         """,
+        "kll_quantiles": """
+            WITH agg AS (
+                SELECT quantile_disc(o_totalprice,
+                                     [0.01, 0.25, 0.50, 0.75, 0.99]) AS vs,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM orders
+            )
+            SELECT CAST(qv.q AS DOUBLE) AS q, agg.vs[qv.i] AS value, agg.n AS n
+            FROM agg, (VALUES (0.01, 1), (0.25, 2), (0.50, 3),
+                              (0.75, 4), (0.99, 5)) AS qv(q, i)
+        """,
         "hll_user_registers": """
             -- murmur3 fmix32 in SQL: xor + //-shifts + HUGEINT multiply mod 2^32
             WITH s1 AS (
@@ -1712,6 +1726,11 @@ def oracle_sql() -> dict[str, str]:
             f"WITH base AS ({_DOCS_BASE}) "
             f"SELECT {_DOC_KEY} AS doc_id, CAST(nt AS BIGINT) AS n_tok, source "
             f"FROM base WHERE nt BETWEEN 45 AND 63"
+        ),
+        "maintenance_rename_column": (
+            f"WITH base AS ({_DOCS_BASE}) "
+            f"SELECT {_DOC_KEY} AS doc_id, source, "
+            f"       CAST(NULL AS BIGINT) AS length FROM base"
         ),
         "maintenance_schema_evolution": (
             f"WITH base AS ({_DOCS_BASE}) "

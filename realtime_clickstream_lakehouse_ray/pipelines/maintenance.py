@@ -635,3 +635,26 @@ def maintenance_partitions(sf_dir: str) -> pa.Table:
             "sum_tok": meta["sum_tok"].cast(pa.int64()),
         }
     )
+
+
+def maintenance_rename_column(sf_dir: str) -> pa.Table:
+    """Column rename/drop WITHOUT rewrite (Delta column-mapping name mode;
+    reference registry compatibility=BACKWARD admits field removal on the
+    read path, infra/terraform/modules/glue/main.tf:38-66): ingest ->
+    rename ``n_tok`` -> ``length`` (metadata-only) -> compact (rewrites
+    still carry the frozen PHYSICAL name) -> drop ``length`` -> re-add a
+    fresh all-null ``length`` (fresh physical name; stale bytes must not
+    resurface) -> scan.  The oracle states the surviving relation exactly:
+    (doc_id, source, token n as n_tok via a projection of the pre-drop
+    quantity recomputed from text, length all-NULL)."""
+    t = build_from_documents(sf_dir, _scratch_root(sf_dir, "rename"))
+    t.rename_column("n_tok", "length")
+    t.compact(target_file_bytes=8 << 20)
+    t.drop_column("length")
+    t.evolve_schema([pa.field("length", pa.int64())])
+    got = pa.concat_tables(
+        ray.get(
+            t.scan(columns=["doc_id", "source", "length"]).to_arrow_refs()
+        )
+    )
+    return got.sort_by("doc_id").combine_chunks()

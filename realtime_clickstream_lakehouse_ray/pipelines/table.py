@@ -128,13 +128,61 @@ class Table:
         partition_col: str = "source",
         key_col: str = "doc_id",
         constraints: list[dict] | None = None,
+        column_mapping: dict[str, str] | None = None,
+        retired_physical: list[str] | None = None,
     ):
         self.root = Path(root)
+        # ``schema`` is the LOGICAL schema (what users see on scan and
+        # provide on append/merge).  ``column_mapping`` is the Delta
+        # column-mapping (name mode) analog: logical name -> physical
+        # parquet column name, identity entries omitted.  Physical names
+        # never change once written, so rename/drop are metadata-only
+        # commits — no file rewrite (Delta column-mapping semantics;
+        # reference registry compatibility=BACKWARD admits field removal
+        # on the read path, infra/terraform/modules/glue/main.tf:38-66).
         self.schema = schema
         self.partition_col = partition_col
         self.key_col = key_col
         self.constraints = list(constraints or [])
+        self.column_mapping = dict(column_mapping or {})
+        # physical names of DROPPED columns: still present in old files, so
+        # a later re-add of the same logical name must take a fresh
+        # physical name or stale bytes would resurface through null-fill
+        self.retired_physical = list(retired_physical or [])
         self.log = SnapshotLog(self.root)
+
+    # ---- column mapping (rename / drop without rewrite) -----------------
+    @property
+    def physical_schema(self) -> pa.Schema:
+        """The logical schema with physical parquet names (identical when
+        no rename has ever happened — the common case, zero overhead)."""
+        if not self.column_mapping:
+            return self.schema
+        return pa.schema(
+            [
+                pa.field(self.column_mapping.get(f.name, f.name), f.type)
+                for f in self.schema
+            ]
+        )
+
+    def _physical_names(self) -> list[str] | None:
+        """Positional physical names for a logically-conformed batch, or
+        None when the mapping is identity (writers skip the rename)."""
+        if not self.column_mapping:
+            return None
+        return [self.column_mapping.get(f.name, f.name) for f in self.schema]
+
+    def _physical_constraints(self) -> list[dict]:
+        """Constraint specs with column refs translated to physical names
+        (for rewrite actors, which operate on raw physical batches)."""
+        if not self.column_mapping:
+            return self.constraints
+        return [
+            {**c, "column": self.column_mapping.get(c["column"], c["column"])}
+            if c.get("column")
+            else c
+            for c in self.constraints
+        ]
 
     # ------------------------------------------------------------------
     @classmethod
@@ -153,6 +201,10 @@ class Table:
             "key_col": t.key_col,
             "constraints": t.constraints,
         }
+        if t.column_mapping:
+            meta["column_mapping"] = t.column_mapping
+        if t.retired_physical:
+            meta["retired_physical"] = t.retired_physical
         meta_path = t.root / "_table.json"
         if not meta_path.exists():
             meta_path.write_text(json.dumps(meta))
@@ -168,7 +220,85 @@ class Table:
             partition_col=meta["partition_col"],
             key_col=meta["key_col"],
             constraints=meta.get("constraints"),
+            column_mapping=meta.get("column_mapping"),
+            retired_physical=meta.get("retired_physical"),
         )
+
+    def _persist_schema_meta(self) -> None:
+        """Persist schema + column mapping atomically to ``_table.json``."""
+        from realtime_clickstream_lakehouse_ray.state.log import atomic_replace
+
+        meta_path = self.root / "_table.json"
+        meta = json.loads(meta_path.read_text())
+        meta["schema"] = self.schema.serialize().to_pybytes().hex()
+        meta["constraints"] = self.constraints
+        if self.column_mapping:
+            meta["column_mapping"] = self.column_mapping
+        else:
+            meta.pop("column_mapping", None)
+        if self.retired_physical:
+            meta["retired_physical"] = self.retired_physical
+        else:
+            meta.pop("retired_physical", None)
+        atomic_replace(meta_path, json.dumps(meta))
+
+    def _guard_identity_column(self, name: str, action: str) -> None:
+        if name == self.key_col:
+            raise ValueError(
+                f"cannot {action} the key column {name!r}: deletion-vector "
+                "sidecars, merge file-skipping stats and Bloom filters are "
+                "keyed on its physical identity"
+            )
+        if name == self.partition_col:
+            raise ValueError(
+                f"cannot {action} the partition column {name!r}: the hive "
+                "directory layout and partition pruning are keyed on it"
+            )
+        for c in self.constraints:
+            refs = {c["column"]} if c.get("column") else set()
+            if c.get("kind") == "token_len":
+                refs = {"tokens", "n_tok"}
+            if name in refs:
+                raise ValueError(
+                    f"cannot {action} {name!r}: referenced by constraint "
+                    f"{c.get('name')!r} — drop_constraint() first"
+                )
+
+    def rename_column(self, old: str, new: str) -> None:
+        """Rename a column WITHOUT rewriting any file (Delta column-mapping
+        name mode): the physical parquet name is frozen at first write;
+        only the logical-name -> physical-name mapping changes.  Scans and
+        future writes translate at the edges (``_read_entries`` /
+        writer-stage rename), so old and new files read identically."""
+        if old not in self.schema.names:
+            raise ValueError(f"unknown column {old!r}")
+        if new in self.schema.names:
+            raise ValueError(f"column {new!r} already exists")
+        self._guard_identity_column(old, "rename")
+        phys = self.column_mapping.pop(old, old)
+        if phys != new:
+            self.column_mapping[new] = phys
+        idx = self.schema.get_field_index(old)
+        f = self.schema.field(idx)
+        self.schema = self.schema.set(idx, pa.field(new, f.type, f.nullable))
+        self._persist_schema_meta()
+
+    def drop_column(self, name: str) -> None:
+        """Drop a column WITHOUT rewriting any file: the read path projects
+        by the logical schema so the physical bytes simply stop being
+        scanned; the next compact/zorder rewrite of a file sheds them
+        physically.  The physical name is retired so a future add of the
+        same logical name takes a fresh physical name (stale bytes in old
+        files must never resurface)."""
+        if name not in self.schema.names:
+            raise ValueError(f"unknown column {name!r}")
+        self._guard_identity_column(name, "drop")
+        phys = self.column_mapping.pop(name, name)
+        self.retired_physical.append(phys)
+        self.schema = pa.schema(
+            [f for f in self.schema if f.name != name]
+        )
+        self._persist_schema_meta()
 
     # ---- CHECK constraints ----------------------------------------------
     def _persist_constraints(self) -> None:
@@ -461,8 +591,13 @@ class Table:
         if dv_paths and read_cols is not None and self.key_col not in read_cols:
             read_cols = read_cols + [self.key_col]  # needed for the DV filter
             drop_key_after = True
+        # column-mapping: files carry PHYSICAL names; read with the physical
+        # schema, then rename to logical right after the read so everything
+        # downstream (DV filter, user pipelines, rewrites) sees one logical
+        # namespace.  Identity mapping (the common case) skips all of this.
+        phys_of = self.column_mapping
         if read_cols is None:
-            read_kwargs.setdefault("schema", self.schema)
+            read_kwargs.setdefault("schema", self.physical_schema)
             ds = ray.data.read_parquet(paths, **read_kwargs)
         elif all(c in self.schema.names for c in read_cols):
             # Project via an explicit schema with NO columns= argument: Ray's
@@ -473,7 +608,17 @@ class Table:
             # scanner projects AND null-fills by schema alone, uniformly per
             # fragment, and still prunes unrequested columns at the read.
             read_kwargs.setdefault(
-                "schema", pa.schema([self.schema.field(c) for c in read_cols])
+                "schema",
+                pa.schema(
+                    [
+                        pa.field(
+                            phys_of.get(c, c),
+                            self.schema.field(c).type,
+                            self.schema.field(c).nullable,
+                        )
+                        for c in read_cols
+                    ]
+                ),
             )
             # files physically carry every column (the hive dirs are layout,
             # not the column's only home), so path-partition parsing is
@@ -482,7 +627,26 @@ class Table:
             read_kwargs.setdefault("partitioning", None)
             ds = ray.data.read_parquet(paths, **read_kwargs)
         else:
-            ds = ray.data.read_parquet(paths, columns=read_cols, **read_kwargs)
+            ds = ray.data.read_parquet(
+                paths,
+                columns=[phys_of.get(c, c) for c in read_cols],
+                **read_kwargs,
+            )
+        if phys_of:
+            # positional physical->logical rename right after the read —
+            # metadata-only per block (no data copy)
+            log_names = (
+                [f.name for f in self.schema]
+                if read_cols is None
+                else list(read_cols)
+            )
+
+            def _to_logical(t: pa.Table) -> pa.Table:
+                return t.rename_columns(log_names)
+
+            ds = ds.map_batches(
+                _to_logical, batch_format="pyarrow", zero_copy_batch=True
+            )
         if dv_paths:
             ref = ray.put((str(self.root), dv_paths, self.key_col))
             key_col = self.key_col
@@ -630,13 +794,22 @@ class Table:
                     f"incompatible evolution for {f.name!r}: "
                     f"{existing.type} -> {f.type}"
                 )
+            # physical-name allocation: if this logical name was ever used
+            # as a physical name (a renamed-away or dropped column), the new
+            # column must take a FRESH physical name — otherwise old files'
+            # stale bytes would read back into the new column
+            used = set(self.column_mapping.values()) | set(self.retired_physical)
+            used |= {
+                self.column_mapping.get(n, n)
+                for n in self.schema.names
+            }
+            if f.name in used:
+                k = 1
+                while f"{f.name}__p{k}" in used:
+                    k += 1
+                self.column_mapping[f.name] = f"{f.name}__p{k}"
             self.schema = self.schema.append(pa.field(f.name, f.type))
-        meta_path = self.root / "_table.json"
-        meta = json.loads(meta_path.read_text())
-        meta["schema"] = self.schema.serialize().to_pybytes().hex()
-        from realtime_clickstream_lakehouse_ray.state.log import atomic_replace
-
-        atomic_replace(meta_path, json.dumps(meta))
+        self._persist_schema_meta()
 
     def append(
         self,
@@ -703,7 +876,12 @@ class Table:
         else:
             data = self._constraint_stage(data)
         stats_ds = data.map_batches(
-            make_file_writer(str(self.root), self.schema, self.partition_col),
+            make_file_writer(
+                str(self.root),
+                self.schema,
+                self.partition_col,
+                physical_names=self._physical_names(),
+            ),
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=rows_per_file,
@@ -848,14 +1026,20 @@ class Table:
             BinRewriter,
             fn_constructor_kwargs=dict(
                 root=str(self.root),
-                schema=self.schema,
+                # rewrite actors read raw PHYSICAL files and re-emit them:
+                # physical schema + physically-translated constraint refs
+                schema=self.physical_schema,
                 job_id=job_id,
                 mode=mode,
                 keys_ref=keys_ref,
                 key_col=self.key_col,
                 partition_col=self.partition_col,
-                constraints=self.constraints,
-                sequence_col=sequence_col,
+                constraints=self._physical_constraints(),
+                sequence_col=(
+                    self.column_mapping.get(sequence_col, sequence_col)
+                    if sequence_col
+                    else None
+                ),
             ),
             batch_format="pyarrow",
             batch_size=1,
@@ -1198,7 +1382,12 @@ class Table:
         t = __import__("time").perf_counter()
         ds = ds.sort("zkey")
         stats_ds = ds.map_batches(
-            make_file_writer(str(self.root), self.schema, self.partition_col),
+            make_file_writer(
+                str(self.root),
+                self.schema,
+                self.partition_col,
+                physical_names=self._physical_names(),
+            ),
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=rows_per_file,
@@ -1399,6 +1588,7 @@ class Table:
                 job_id=job_id,
                 rows_per_file=int(plan["rows_per_file"]),
                 signature=signature,
+                physical_names=self._physical_names(),
             )
             ray.data.from_items(make_spec_items(specs)).map_batches(
                 gather.__call__,
@@ -1592,6 +1782,7 @@ class Table:
                     self.schema,
                     self.partition_col,
                     f"{job_id}-src-u{i:04d}",
+                    self._physical_names(),
                 )
                 for i in range(n_units)
                 if i * step < src.num_rows
@@ -1723,7 +1914,12 @@ class Table:
             keep_winner_bucket, batch_format="pyarrow"
         )
         stats_ds = merged.map_batches(
-            make_file_writer(str(self.root), self.schema, self.partition_col),
+            make_file_writer(
+                str(self.root),
+                self.schema,
+                self.partition_col,
+                physical_names=self._physical_names(),
+            ),
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=100_000,
@@ -1872,7 +2068,13 @@ class Table:
                 spec = self._bin_spec(len(bins), part, [f], job_id)
                 spec["min_n_tok"] = min_n_tok
                 spec["max_n_tok"] = max_n_tok
-                spec["rules"] = rules
+                # rewrite actors see raw PHYSICAL batches: translate rule
+                # column refs through the column mapping (identity when no
+                # rename has happened)
+                spec["rules"] = [
+                    {**r, "column": self.column_mapping.get(r["column"], r["column"])}
+                    for r in rules
+                ]
                 bins.append(spec)
         keys_ref = ray.put(np.asarray(list(keys), dtype=object)) if keys else None
         records = self._run_rewrite_units(
@@ -2308,6 +2510,8 @@ class Table:
             partition_col=self.partition_col,
             key_col=self.key_col,
             constraints=self.constraints,
+            column_mapping=self.column_mapping,
+            retired_physical=self.retired_physical,
         )
         src_files = self.files(v)
         adds = []

@@ -265,11 +265,15 @@ class GatherWriter:
         job_id: str,
         rows_per_file: int,
         signature: str,
+        physical_names: list[str] | None = None,
     ):
         from realtime_clickstream_lakehouse_ray.state.checkpoint import JobCheckpoint
 
         self.root = Path(root)
         self.schema = schema
+        # column-mapping: fragments are logically named (they come off the
+        # table scan); rename positionally to physical after the conform
+        self.physical_names = physical_names
         self.partition_col = partition_col
         self.scratch = scratch
         self.ckpt = JobCheckpoint(root, job_id)
@@ -313,6 +317,8 @@ class GatherWriter:
         zk = np.asarray(tbl.column("zkey").combine_chunks())
         tbl = tbl.take(pa.array(np.argsort(zk, kind="stable")))
         tbl = conform_table(tbl, self.schema)  # drops zkey
+        if self.physical_names:
+            tbl = tbl.rename_columns(self.physical_names)
         n_chunks = max(1, round(tbl.num_rows / self.rows_per_file))
         step = -(-tbl.num_rows // n_chunks)
         entries = []

@@ -152,22 +152,39 @@ class FileWriter:
     pool starting at 1 actor serializes short write stages; measured 20x
     slowdown on 20-unit jobs)."""
 
-    def __init__(self, root: str, schema: pa.Schema, partition_col: str = "source"):
+    def __init__(
+        self,
+        root: str,
+        schema: pa.Schema,
+        partition_col: str = "source",
+        physical_names: list[str] | None = None,
+    ):
         self.root = root
         self.schema = schema
         self.partition_col = partition_col
+        # column-mapping support: batches arrive LOGICALLY named; after the
+        # conform, rename positionally to the table's physical parquet
+        # names so files always carry physical names (None = identity)
+        self.physical_names = physical_names
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return entries_to_table([])
         batch = conform_table(batch, self.schema)
+        if self.physical_names:
+            batch = batch.rename_columns(self.physical_names)
         entries = write_partitioned(batch, self.root, self.partition_col)
         return entries_to_table(entries)
 
 
-def make_file_writer(root: str, schema: pa.Schema, partition_col: str = "source"):
+def make_file_writer(
+    root: str,
+    schema: pa.Schema,
+    partition_col: str = "source",
+    physical_names: list[str] | None = None,
+):
     """Task-form of FileWriter (plain function -> stateless Ray tasks)."""
-    writer = FileWriter(root, schema, partition_col)
+    writer = FileWriter(root, schema, partition_col, physical_names)
 
     def write_batch(batch: pa.Table) -> pa.Table:
         # cap this worker's Arrow pool: concurrent write tasks each spawn a
@@ -184,6 +201,7 @@ def write_slice_task(
     schema: pa.Schema,
     partition_col: str,
     name_prefix: str,
+    physical_names: list[str] | None = None,
 ) -> list[FileEntry]:
     """Raw-task form of the partitioned writer (wrap with ``ray.remote``):
     returns the FileEntry list directly instead of a stats table, so a
@@ -196,6 +214,8 @@ def write_slice_task(
     if tbl.num_rows == 0:
         return []
     tbl = conform_table(tbl, schema)
+    if physical_names:
+        tbl = tbl.rename_columns(physical_names)
     seq = iter(range(10**6))
     return write_partitioned(
         tbl,

@@ -1,0 +1,178 @@
+"""Column rename/drop WITHOUT file rewrite (Delta column-mapping name-mode
+analog; reference registry compatibility=BACKWARD admits field removal on
+the read path, infra/terraform/modules/glue/main.tf:38-66).
+
+The invariant under test: physical parquet names freeze at first write;
+rename/drop are metadata-only; every read path translates physical->logical
+and every write path logical->physical, so token arrays survive
+rename -> scan -> compact -> merge -> scan byte-for-byte."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from realtime_clickstream_lakehouse_ray.pipelines.table import Table
+from realtime_clickstream_lakehouse_ray.sources.synth import (
+    build_synthetic_table,
+    expected_tokens_table,
+)
+
+N_ROWS = 1_200
+ROWS_PER_FILE = 100
+
+
+def _fresh(tmp_path_factory, name) -> Table:
+    root = tmp_path_factory.mktemp(name) / "tokens"
+    return build_synthetic_table(str(root), N_ROWS, ROWS_PER_FILE)
+
+
+def _expected() -> pa.Table:
+    return (
+        expected_tokens_table(N_ROWS, ROWS_PER_FILE)
+        .sort_by("doc_id")
+        .combine_chunks()
+    )
+
+
+def _collect(ds) -> pa.Table:
+    import ray
+
+    tbls = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tbls).sort_by("doc_id").combine_chunks()
+
+
+class TestRename:
+    @pytest.fixture(scope="class")
+    def table(self, tmp_path_factory):
+        t = _fresh(tmp_path_factory, "colmap_rename")
+        t.rename_column("tokens", "token_ids")
+        t.rename_column("n_tok", "length")
+        return t
+
+    def test_metadata_only_no_rewrite(self, table):
+        # rename commits no snapshot and rewrites no file
+        assert table.column_mapping == {"token_ids": "tokens", "length": "n_tok"}
+        import pyarrow.parquet as pq
+
+        f = table.files()[0]
+        phys = pq.read_schema(table.root / f.path)
+        assert "tokens" in phys.names and "token_ids" not in phys.names
+
+    def test_scan_logical_names_token_equality(self, table):
+        got = _collect(table.scan())
+        assert got.column_names == ["doc_id", "token_ids", "length", "source"]
+        exp = _expected()
+        assert got["token_ids"].equals(exp["tokens"].cast(got["token_ids"].type))
+
+    def test_scan_column_projection_logical(self, table):
+        got = _collect(table.scan(columns=["doc_id", "length"]))
+        assert got.column_names == ["doc_id", "length"]
+        exp = _expected()
+        assert got["length"].equals(exp["n_tok"].cast(got["length"].type))
+
+    def test_compact_preserves_tokens_and_physical_names(self, table):
+        import pyarrow.parquet as pq
+
+        files_before = table.stats()["files"]
+        table.compact(target_file_bytes=1 << 20)
+        assert table.stats()["files"] < files_before
+        got = _collect(table.scan())
+        exp = _expected()
+        assert got["token_ids"].equals(exp["tokens"].cast(got["token_ids"].type))
+        # rewritten files STILL carry physical names (never logical leak)
+        for f in table.files():
+            phys = pq.read_schema(table.root / f.path)
+            assert "tokens" in phys.names and "token_ids" not in phys.names
+
+    def test_append_and_merge_accept_logical_names(self, table):
+        new = pa.table(
+            {
+                "doc_id": ["zz-new-0001", "zz-new-0002"],
+                "token_ids": pa.array(
+                    [[1, 2, 3], [4, 5]], pa.list_(pa.int32())
+                ),
+                "length": pa.array([3, 2], pa.int32()),
+                "source": ["web", "web"],
+            }
+        )
+        table.append(new)
+        got = _collect(table.scan())
+        assert got.num_rows == N_ROWS + 2
+        row = got.filter(
+            pa.compute.equal(got["doc_id"], "zz-new-0001")
+        )
+        assert row["token_ids"].to_pylist() == [[1, 2, 3]]
+        # MERGE with a logically-named source updates in place
+        upd = pa.table(
+            {
+                "doc_id": ["zz-new-0001"],
+                "token_ids": pa.array([[9, 9, 9, 9]], pa.list_(pa.int32())),
+                "length": pa.array([4], pa.int32()),
+                "source": ["web"],
+            }
+        )
+        table.merge(upd)
+        got = _collect(table.scan())
+        row = got.filter(pa.compute.equal(got["doc_id"], "zz-new-0001"))
+        assert row["token_ids"].to_pylist() == [[9, 9, 9, 9]]
+        assert got.num_rows == N_ROWS + 2
+
+    def test_time_travel_reads_old_files_with_current_names(self, table):
+        got = _collect(table.scan(version=1))
+        assert got.column_names == ["doc_id", "token_ids", "length", "source"]
+
+    def test_load_round_trips_mapping(self, table):
+        t2 = Table.load(str(table.root))
+        assert t2.column_mapping == table.column_mapping
+        got = _collect(t2.scan(columns=["doc_id", "token_ids"]))
+        assert got.column_names == ["doc_id", "token_ids"]
+
+    def test_identity_columns_rejected(self, table):
+        with pytest.raises(ValueError, match="key column"):
+            table.rename_column("doc_id", "id")
+        with pytest.raises(ValueError, match="partition column"):
+            table.rename_column("source", "origin")
+        with pytest.raises(ValueError, match="already exists"):
+            table.rename_column("length", "source")
+
+
+class TestDrop:
+    def test_drop_then_readd_never_resurfaces_stale_bytes(
+        self, tmp_path_factory
+    ):
+        t = _fresh(tmp_path_factory, "colmap_drop")
+        t.drop_column("n_tok")
+        got = _collect(t.scan())
+        assert got.column_names == ["doc_id", "tokens", "source"]
+        # re-add the same logical name: must be all-null (fresh physical
+        # name), NOT the old files' stale n_tok bytes
+        t.evolve_schema([pa.field("n_tok", pa.int64())])
+        assert t.column_mapping["n_tok"].startswith("n_tok__p")
+        got = _collect(t.scan())
+        assert got["n_tok"].null_count == got.num_rows
+        # a compact rewrite sheds the retired physical column
+        import pyarrow.parquet as pq
+
+        t.compact(target_file_bytes=1 << 20)
+        f = t.files()[0]
+        phys = pq.read_schema(t.root / f.path)
+        assert t.column_mapping["n_tok"] in phys.names
+        exp = _expected()
+        got = _collect(t.scan())
+        assert got["tokens"].equals(exp["tokens"].cast(got["tokens"].type))
+
+    def test_drop_identity_rejected(self, tmp_path_factory):
+        t = _fresh(tmp_path_factory, "colmap_drop_guard")
+        with pytest.raises(ValueError, match="key column"):
+            t.drop_column("doc_id")
+        with pytest.raises(ValueError, match="partition column"):
+            t.drop_column("source")
+
+
+def test_rename_then_zorder_with_logical_dims(tmp_path_factory):
+    t = _fresh(tmp_path_factory, "colmap_zorder")
+    t.rename_column("tokens", "token_ids")
+    t.zorder(target_file_bytes=1 << 20)
+    got = _collect(t.scan())
+    exp = _expected()
+    assert got["token_ids"].equals(exp["tokens"].cast(got["token_ids"].type))

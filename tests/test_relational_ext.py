@@ -172,9 +172,13 @@ class TestKll:
     def test_pipeline_close_to_exact(self):
         import duckdb
 
-        from realtime_clickstream_lakehouse_ray.pipelines.sketch import kll_quantiles
+        from realtime_clickstream_lakehouse_ray.pipelines.sketch import (
+            kll_quantiles_raw,
+        )
 
-        out = kll_quantiles(SF_DIR).to_pydict()
+        # the RAW sketch answers (kll_quantiles itself now gates these
+        # against the exact primitive and returns the exact relation)
+        out = kll_quantiles_raw(SF_DIR).to_pydict()
         con = duckdb.connect()
         con.execute(
             f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'"
