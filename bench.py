@@ -103,6 +103,7 @@ def run_bench() -> dict:
     from realtime_clickstream_lakehouse_ray.pipelines import (
         ann,
         clickstream,
+        corpus,
         dedup,
         filters,
         relational,
@@ -247,6 +248,12 @@ def run_bench() -> dict:
     timed("knn", lambda: consume(ann.knn_bruteforce(SF_DIR)))
     timed("quality_filter", lambda: consume(filters.quality_filter(SF_DIR)))
     timed("decontaminate", lambda: consume(filters.decontaminate(SF_DIR)))
+    # round-3 surface additions (verdict ask #7): per-event windowed
+    # session ids, the composed cleaning journey, and the bucketed
+    # 100-TB-vocabulary doc-rarity regime
+    timed("events_session_ids", lambda: consume(clickstream.events_session_ids(SF_DIR)))
+    timed("corpus_clean", lambda: consume(dedup.corpus_clean(SF_DIR)))
+    timed("doc_rarity_bucketed", lambda: consume(corpus.doc_rarity_bucketed(SF_DIR)))
 
     ray.shutdown()
     if not table_path:

@@ -2626,4 +2626,27 @@ class Table:
             removed.append(rel)
             if not dry_run:
                 p.unlink()
+        # crashed-job scatter scratch: ``_zorder_scatter`` stages per-bucket
+        # IPC fragments under _scratch/<job_id> and removes them on commit;
+        # a SIGKILL between the scatter phase and the commit orphans the
+        # whole directory.  A COMMITTED job's leftover scratch (crash after
+        # commit, before cleanup) is garbage immediately; an uncommitted
+        # job's scratch is a resumable in-flight plan, so it only falls to
+        # the age guard (a rerun inside the window resumes it instead).
+        import shutil as _shutil
+
+        scratch_root = self.root / "_scratch"
+        if scratch_root.is_dir():
+            for d in sorted(scratch_root.iterdir()):
+                if not d.is_dir():
+                    continue
+                committed = self.log.find_commit_by_job(d.name) is not None
+                newest = max(
+                    (p.stat().st_mtime for p in d.rglob("*") if p.is_file()),
+                    default=d.stat().st_mtime,
+                )
+                if committed or now - newest >= min_age_seconds:
+                    removed.append(str(d.relative_to(self.root)))
+                    if not dry_run:
+                        _shutil.rmtree(d, ignore_errors=True)
         return sorted(removed)

@@ -668,3 +668,42 @@ def test_clustering_report_degenerate_partitions(tmp_path_factory, monkeypatch):
     payload = json.dumps({p: r for p, r in rep.items()})
     json.loads(payload)
     assert "NaN" not in payload
+
+
+def test_auto_optimize_lifecycle_converges_via_cli(tmp_path):
+    """Round-3 verdict ask #8: the trigger-based auto-optimize policy wired
+    through the CLI op sequence converges — the first run compacts the
+    degraded partitions, the second run (same policy, maintained table)
+    commits NOTHING, and clustering-report rides the same invocation as
+    the operator's observability surface."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = str(tmp_path / "tokens")
+    build_synthetic_table(root, N_ROWS, ROWS_PER_FILE)  # many small files
+
+    def run_cli(ops):
+        out = subprocess.run(
+            [
+                sys.executable, "-m",
+                "realtime_clickstream_lakehouse_ray.maintain",
+                "--table", root, "--ops", ops, "--target-file-mb", "2",
+            ],
+            cwd=repo, capture_output=True, text=True, check=True,
+            env=dict(os.environ, RAY_ADDRESS="local"),
+        )
+        return out.stdout
+
+    run_cli("auto-optimize,clustering-report")
+    t = Table.load(root)
+    v1 = t.version()
+    assert v1 == 2  # build commit + one auto-optimize compact
+    assert_tokens_equal(collect_sorted(t.scan()), _expected())
+
+    # second run: policy finds no degraded partition -> commits nothing
+    out = run_cli("auto-optimize,clustering-report")
+    t = Table.load(root)
+    assert t.version() == v1
+    assert "clustering-report" in out
