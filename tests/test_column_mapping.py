@@ -176,3 +176,72 @@ def test_rename_then_zorder_with_logical_dims(tmp_path_factory):
     got = _collect(t.scan())
     exp = _expected()
     assert got["token_ids"].equals(exp["tokens"].cast(got["token_ids"].type))
+
+
+class TestMappingInteractions:
+    """Column mapping composed with the rest of the table surface: DV
+    merge-on-read deletes, the change data feed, UPDATE set-rules, and
+    clone-based replication all run over PHYSICAL files while users speak
+    logical names — each interaction has a translation seam worth pinning."""
+
+    def test_rename_then_mor_delete_and_update(self, tmp_path_factory):
+        import pyarrow.compute as pc
+
+        t = _fresh(tmp_path_factory, "colmap_mor")
+        t.rename_column("n_tok", "length")
+        dead = ["doc-000000000000", "doc-000000000007"]
+        t.delete(keys=dead, mode="mor")  # DV sidecar, no rewrite
+        got = _collect(t.scan())
+        assert got.num_rows == N_ROWS - 2
+        assert not set(dead) & set(got["doc_id"].to_pylist())
+        # UPDATE with a set-rule on the RENAMED column (rule columns are
+        # translated to physical names for the rewrite actors)
+        t.update(
+            set_rules=[{"column": "length", "op": "set", "value": -1}],
+            min_n_tok=0,
+        )
+        got = _collect(t.scan())
+        assert pc.min(got["length"]).as_py() == -1
+        assert pc.max(got["length"]).as_py() == -1
+        assert got.num_rows == N_ROWS - 2  # tombstones survive the rewrite
+
+    def test_rename_then_change_feed_logical_names(self, tmp_path_factory):
+        import ray
+
+        t = _fresh(tmp_path_factory, "colmap_cdf")
+        t.rename_column("n_tok", "length")
+        v_pre = t.version()
+        src = pa.table(
+            {
+                "doc_id": ["doc-000000000003"],
+                "tokens": pa.array([[7, 7]], pa.list_(pa.int32())),
+                "length": pa.array([2], pa.int32()),
+                "source": ["web"],
+            }
+        ).rename_columns(["doc_id", "token_ids", "length", "source"])
+        # merge source speaks LOGICAL names -- rename tokens too, to make
+        # the seam unmistakable
+        t.rename_column("tokens", "token_ids")
+        t.merge(src)
+        ch = t.changes(v_pre)
+        blocks = [b for b in ray.get(ch.to_arrow_refs()) if b.num_rows]
+        got = pa.concat_tables(blocks)
+        assert {"token_ids", "length", "_change_type"} <= set(got.column_names)
+        kinds = dict(
+            zip(got["doc_id"].to_pylist(), got["_change_type"].to_pylist())
+        )
+        assert "doc-000000000003" in kinds
+        post = got.filter(
+            pa.compute.equal(got["_change_type"], "update_postimage")
+        )
+        assert post["token_ids"].to_pylist() == [[7, 7]]
+
+    def test_rename_then_clone_replicates_mapping(self, tmp_path_factory):
+        t = _fresh(tmp_path_factory, "colmap_clone")
+        t.rename_column("tokens", "token_ids")
+        target = str(tmp_path_factory.mktemp("colmap_clone_dst") / "tokens")
+        replica = t.clone(target)
+        assert replica.column_mapping == t.column_mapping
+        got = _collect(replica.scan())
+        exp = _expected()
+        assert got["token_ids"].equals(exp["tokens"].cast(got["token_ids"].type))
