@@ -137,6 +137,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- maintenance engine (SURVEY.md §2.12, the north rule) -------
         # column-mapping rename/drop without rewrite (Delta name mode)
         "maintenance_rename_column": maintenance.maintenance_rename_column,
+        # DELETE FROM ... WHERE <conjunctive predicate string>
+        "maintenance_delete_where": maintenance.maintenance_delete_where,
         "maintenance_compact": maintenance.maintenance_compact,
         # metadata-table surface (DESCRIBE DETAIL / .partitions analog)
         "maintenance_partitions": maintenance.maintenance_partitions,
@@ -1747,6 +1749,12 @@ def oracle_sql() -> dict[str, str]:
             f"UNION ALL "
             f"SELECT 'doc-' || lpad(CAST(id + 2000000 AS VARCHAR), 12, '0'), "
             f"       CAST(nt AS BIGINT), source FROM base"
+        ),
+        "maintenance_delete_where": (
+            f"WITH base AS ({_DOCS_BASE}) "
+            f"SELECT {_DOC_KEY} AS doc_id, CAST(nt AS BIGINT) AS n_tok, source "
+            f"FROM base WHERE NOT (source = 'web' AND nt >= 40 "
+            f"AND {_DOC_KEY} < 'doc-000000000400')"
         ),
         "maintenance_delete": (
             f"WITH base AS ({_DOCS_BASE}) "

@@ -26,7 +26,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--ops",
         default="compact,zorder",
-        help="comma list: compact,auto-optimize,zorder,merge,update,delete,materialize-deletes,restore,rewrite-manifests,changes,tag,drop-tag,metrics,clustering-report,expire,vacuum",
+        help="comma list: compact,auto-optimize,zorder,merge,update,delete (supports --where),materialize-deletes,restore,rewrite-manifests,changes,tag,drop-tag,metrics,clustering-report,expire,vacuum",
     )
     p.add_argument("--target-file-mb", type=int, default=128)
     p.add_argument(
@@ -66,6 +66,12 @@ def main(argv: list[str] | None = None) -> int:
         default="cow",
         choices=["cow", "mor"],
         help="cow = copy-on-write rewrite; mor = deletion-vector tombstones",
+    )
+    p.add_argument(
+        "--where",
+        help="conjunctive predicate string for the delete/update ops "
+        "(DELETE FROM ... WHERE analog; see functions/predicate.py for "
+        "the grammar)",
     )
     p.add_argument(
         "--update-rules",
@@ -139,10 +145,12 @@ def main(argv: list[str] | None = None) -> int:
                 or args.delete_keys_file
                 or args.delete_min_n_tok is not None
                 or args.delete_max_n_tok is not None
+                or args.where
             ):
                 p.error(
-                    "delete op needs --delete-partitions / --delete-keys-file"
-                    " / --delete-min-n-tok / --delete-max-n-tok"
+                    "delete op needs --where / --delete-partitions / "
+                    "--delete-keys-file / --delete-min-n-tok / "
+                    "--delete-max-n-tok"
                 )
             keys = None
             if args.delete_keys_file:
@@ -161,6 +169,7 @@ def main(argv: list[str] | None = None) -> int:
                 min_n_tok=args.delete_min_n_tok,
                 max_n_tok=args.delete_max_n_tok,
                 mode=args.delete_mode,
+                where=args.where,
             )
         elif op == "update":
             if not args.update_rules:
@@ -174,6 +183,7 @@ def main(argv: list[str] | None = None) -> int:
                 ),
                 min_n_tok=args.delete_min_n_tok,
                 max_n_tok=args.delete_max_n_tok,
+                where=args.where,
             )
         elif op == "changes":
             if args.changes_from is None:

@@ -658,3 +658,17 @@ def maintenance_rename_column(sf_dir: str) -> pa.Table:
         )
     )
     return got.sort_by("doc_id").combine_chunks()
+
+
+def maintenance_delete_where(sf_dir: str) -> pa.Table:
+    """Ingest -> compact -> predicate-STRING DELETE mixing all three
+    planner classes (partition equality -> file pruning; integer n_tok
+    range -> stats pruning; key-range residual -> row-level evaluation in
+    the rewrite actors) -> scan.  The oracle restates the surviving
+    relation with the same conjunction negated."""
+    t = build_from_documents(sf_dir, _scratch_root(sf_dir, "delwhere"))
+    t.compact(target_file_bytes=8 << 20)
+    t.delete(
+        where="source = 'web' AND n_tok >= 40 AND doc_id < 'doc-000000000400'"
+    )
+    return _scan_projected(t)

@@ -2003,6 +2003,7 @@ class Table:
         max_n_tok: int | None = None,
         job_id: str | None = None,
         concurrency: int | tuple[int, int] = (1, 16),
+        where: str | None = None,
     ) -> int | None:
         """Predicate UPDATE (Delta ``UPDATE ... SET`` equivalent):
         copy-on-write rewrite of every file whose stats overlap the
@@ -2036,6 +2037,13 @@ class Table:
                 raise ValueError(f"unknown update op {r['op']!r}")
         if not rules:
             raise ValueError("UPDATE needs at least one set rule")
+        conds: list[dict] = []
+        if where is not None:
+            conds, keys, partitions, min_n_tok, max_n_tok, _ = self._plan_where(
+                where, keys, partitions, min_n_tok, max_n_tok
+            )  # UPDATE always rewrites matches, so residuals need no demotion
+            if keys == [] or partitions == []:
+                return None  # contradictory conjunction: empty match set
 
         self._start_op()
         parent = self.version()
@@ -2044,7 +2052,7 @@ class Table:
                 json.dumps(
                     [rules, sorted(keys) if keys else None,
                      sorted(partitions) if partitions else None,
-                     min_n_tok, max_n_tok],
+                     min_n_tok, max_n_tok, conds],
                 ).encode()
             ).hexdigest()[:10]
             job_id = f"update-v{parent}-{sig}"
@@ -2075,6 +2083,12 @@ class Table:
                     {**r, "column": self.column_mapping.get(r["column"], r["column"])}
                     for r in rules
                 ]
+                if conds:
+                    from realtime_clickstream_lakehouse_ray.functions.predicate import (
+                        translate_columns,
+                    )
+
+                    spec["where"] = translate_columns(conds, self.column_mapping)
                 bins.append(spec)
         keys_ref = ray.put(np.asarray(list(keys), dtype=object)) if keys else None
         records = self._run_rewrite_units(
@@ -2092,6 +2106,70 @@ class Table:
         JobCheckpoint(self.root, job_id).mark_committed(version)
         return version
 
+    def _plan_where(
+        self,
+        where: str,
+        keys: Sequence[str] | None,
+        partitions: Sequence[str] | None,
+        min_n_tok: int | None,
+        max_n_tok: int | None,
+    ) -> tuple[list[dict], Sequence[str] | None, Sequence[str] | None, int | None, int | None, bool]:
+        """Parse a conjunctive WHERE string and fold what the planner can
+        prove into the stats-pruning hints (partition set, key set, n_tok
+        range); everything else stays a row-level residual evaluated inside
+        the rewrite actors.  Returns ``(conds, keys, partitions, min_n_tok,
+        max_n_tok, has_residual)`` — ``has_residual`` means whole-file
+        metadata-only deletes are off the table (stats alone cannot prove a
+        file fully matches)."""
+        from realtime_clickstream_lakehouse_ray.functions.predicate import (
+            parse_predicate,
+        )
+
+        conds = parse_predicate(where)
+        for c in conds:
+            if c["column"] not in self.schema.names:
+                raise ValueError(f"unknown column {c['column']!r} in WHERE")
+        # the stats dimension is the logical column whose PHYSICAL name is
+        # n_tok (identity unless renamed via column mapping)
+        stats_col = next(
+            (
+                n
+                for n in self.schema.names
+                if self.column_mapping.get(n, n) == "n_tok"
+            ),
+            None,
+        )
+        has_residual = False
+        for c in conds:
+            col, op, v = c["column"], c["op"], c["value"]
+            if col == self.partition_col and op == "=":
+                vs = {str(v)}
+                partitions = sorted(vs & set(partitions)) if partitions is not None else sorted(vs)
+            elif col == self.partition_col and op == "in":
+                vs = {str(x) for x in v}
+                partitions = sorted(vs & set(partitions)) if partitions is not None else sorted(vs)
+            elif col == self.key_col and op == "=":
+                ks = {v}
+                keys = sorted(ks & set(keys)) if keys is not None else sorted(ks)
+            elif col == self.key_col and op == "in":
+                ks = set(v)
+                keys = sorted(ks & set(keys)) if keys is not None else sorted(ks)
+            elif col == stats_col and op in ("=", "<", "<=", ">", ">=") and isinstance(v, int):
+                if op in (">", ">="):
+                    lo = v + 1 if op == ">" else v
+                    min_n_tok = lo if min_n_tok is None else max(min_n_tok, lo)
+                elif op in ("<", "<="):
+                    hi = v - 1 if op == "<" else v
+                    max_n_tok = hi if max_n_tok is None else min(max_n_tok, hi)
+                else:  # "="
+                    min_n_tok = v if min_n_tok is None else max(min_n_tok, v)
+                    max_n_tok = v if max_n_tok is None else min(max_n_tok, v)
+            else:
+                # key-range / string comparisons / IS NULL / non-int values:
+                # row-level only — a file's stats cannot prove full match
+                has_residual = True
+        return conds, keys, partitions, min_n_tok, max_n_tok, has_residual
+
     def delete(
         self,
         keys: Sequence[str] | None = None,
@@ -2101,6 +2179,7 @@ class Table:
         job_id: str | None = None,
         concurrency: int | tuple[int, int] = (1, 16),
         mode: str = "cow",
+        where: str | None = None,
     ) -> int | None:
         """Predicate DELETE (conjunction of the given conditions) — the
         Delta ``DELETE FROM`` capability.
@@ -2126,23 +2205,45 @@ class Table:
         covers the tombstoning files), NOT via raw ``append()`` of the
         same key — ``append(validate_tombstones=True)`` guards that edge.
 
+        ``where``: a conjunctive predicate STRING (``"source = 'web' AND
+        n_tok > 40 AND doc_id < 'doc-05'"``, grammar in
+        ``functions/predicate.py``) — partition / key / n_tok-range
+        conditions fold into the same stats pruning as the keyword args;
+        anything else (key ranges, string comparisons, IS NULL) is
+        evaluated row-level inside the rewrite actors.  Conditions on
+        columns renamed via column mapping are translated to physical
+        names automatically.
+
         Returns the new version, or None when nothing matches."""
         import hashlib
 
         if mode not in ("cow", "mor"):
             raise ValueError(f"unknown delete mode {mode!r}")
+        if mode == "mor" and where is not None:
+            raise ValueError(
+                "mode='mor' tombstones KEYS only: WHERE predicates need "
+                "mode='cow'"
+            )
         if mode == "mor" and (keys is None or min_n_tok is not None or max_n_tok is not None):
             raise ValueError(
                 "mode='mor' tombstones KEYS: pass keys=..., without n_tok "
                 "range predicates (use mode='cow' for range deletes)"
             )
+        conds: list[dict] = []
+        has_residual = False
+        if where is not None:
+            conds, keys, partitions, min_n_tok, max_n_tok, has_residual = (
+                self._plan_where(where, keys, partitions, min_n_tok, max_n_tok)
+            )
+            if keys == [] or partitions == []:
+                return None  # contradictory conjunction: empty match set
         self._start_op()
         parent = self.version()
         if job_id is None:
             sig = hashlib.md5(
                 json.dumps(
                     [sorted(keys) if keys else None, sorted(partitions) if partitions else None,
-                     min_n_tok, max_n_tok, mode],
+                     min_n_tok, max_n_tok, mode, conds],
                 ).encode()
             ).hexdigest()[:10]
             job_id = f"delete-v{parent}-{sig}"
@@ -2153,6 +2254,11 @@ class Table:
         whole_files, rewrite_files = self._match_candidates(
             parent, keys, partitions, min_n_tok, max_n_tok
         )
+        if has_residual:
+            # stats cannot prove any file fully matches a residual
+            # condition: every candidate goes through the row-level rewrite
+            rewrite_files = whole_files + rewrite_files
+            whole_files = []
 
         if not whole_files and not rewrite_files:
             return None
@@ -2192,11 +2298,18 @@ class Table:
             for f in rewrite_files:
                 by_part.setdefault(f.partition, []).append(f)
             bins = []
+            from realtime_clickstream_lakehouse_ray.functions.predicate import (
+                translate_columns,
+            )
+
             for part in sorted(by_part):
                 for f in sorted(by_part[part], key=lambda f: f.path):
                     spec = self._bin_spec(len(bins), part, [f], job_id)
                     spec["min_n_tok"] = min_n_tok
                     spec["max_n_tok"] = max_n_tok
+                    if conds:
+                        # rewrite actors see PHYSICAL batches
+                        spec["where"] = translate_columns(conds, self.column_mapping)
                     bins.append(spec)
             keys_ref = (
                 ray.put(np.asarray(list(keys), dtype=object)) if keys else None

@@ -345,6 +345,15 @@ class BinRewriter:
             mask = pc.and_(mask, pc.greater_equal(tbl["n_tok"], lo))
         if hi is not None:
             mask = pc.and_(mask, pc.less_equal(tbl["n_tok"], hi))
+        if spec.get("where"):
+            # WHERE-string residual conditions (column refs already
+            # translated to physical names by the planner); re-applying the
+            # plan-extracted conditions here is an idempotent conjunction
+            from realtime_clickstream_lakehouse_ray.functions.predicate import (
+                predicate_mask,
+            )
+
+            mask = pc.and_(mask, predicate_mask(tbl, spec["where"]))
         return mask
 
     def _write_update_unit(

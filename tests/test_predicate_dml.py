@@ -1,0 +1,174 @@
+"""Predicate-string DML: DELETE FROM ... WHERE / UPDATE ... WHERE with the
+safe conjunctive grammar (functions/predicate.py) — plan-level stats
+pruning for partition/key/n_tok conditions, row-level residuals inside the
+rewrite actors, column-mapping translation for renamed columns."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from realtime_clickstream_lakehouse_ray.functions.predicate import (
+    parse_predicate,
+    predicate_mask,
+)
+from realtime_clickstream_lakehouse_ray.pipelines.table import Table
+from realtime_clickstream_lakehouse_ray.sources.synth import (
+    build_synthetic_table,
+    expected_tokens_table,
+)
+
+N_ROWS = 1_500
+ROWS_PER_FILE = 100
+
+
+def _fresh(tmp_path_factory, name) -> Table:
+    root = tmp_path_factory.mktemp(name) / "tokens"
+    return build_synthetic_table(str(root), N_ROWS, ROWS_PER_FILE)
+
+
+def _collect(ds) -> pa.Table:
+    import ray
+
+    tbls = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tbls).sort_by("doc_id").combine_chunks()
+
+
+def _expected() -> pa.Table:
+    return (
+        expected_tokens_table(N_ROWS, ROWS_PER_FILE)
+        .sort_by("doc_id")
+        .combine_chunks()
+    )
+
+
+class TestParser:
+    def test_full_grammar(self):
+        conds = parse_predicate(
+            "source = 'web' AND n_tok >= 10 AND n_tok < 500 AND "
+            "doc_id IN ('a', 'b''c') AND score != 1.5 AND flag = TRUE AND "
+            "note IS NULL AND other IS NOT NULL"
+        )
+        assert conds == [
+            {"column": "source", "op": "=", "value": "web"},
+            {"column": "n_tok", "op": ">=", "value": 10},
+            {"column": "n_tok", "op": "<", "value": 500},
+            {"column": "doc_id", "op": "in", "value": ["a", "b'c"]},
+            {"column": "score", "op": "!=", "value": 1.5},
+            {"column": "flag", "op": "=", "value": True},
+            {"column": "note", "op": "is_null", "value": None},
+            {"column": "other", "op": "is_not_null", "value": None},
+        ]
+
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            "a = 1 OR b = 2",          # OR rejected
+            "NOT a = 1",               # NOT rejected
+            "lower(a) = 'x'",          # function call -> parses as column then (
+            "a + 1 = 2",               # arithmetic
+            "a = ",                    # dangling op
+            "a IN ()",                 # empty IN
+            "a = 1 AND",               # dangling AND
+            "",                        # empty
+            "a ~ 'x'",                 # unknown operator
+        ],
+    )
+    def test_rejects_everything_else(self, bad):
+        with pytest.raises(ValueError):
+            parse_predicate(bad)
+
+    def test_mask_null_semantics(self):
+        t = pa.table({"x": pa.array([1, None, 3], pa.int64())})
+        m = predicate_mask(t, parse_predicate("x > 1"))
+        # SQL WHERE: NULL comparison keeps the row OUT (not an error)
+        assert m.to_pylist() == [False, False, True]
+
+
+class TestDeleteWhere:
+    def test_stats_plus_residual_conjunction(self, tmp_path_factory):
+        t = _fresh(tmp_path_factory, "dml_del")
+        exp = _expected()
+        pred = (
+            pc.equal(exp["source"], "web").to_numpy(zero_copy_only=False)
+            & (np.asarray(exp["n_tok"]) > 40)
+            & (np.asarray(exp["doc_id"]).astype(str) < "doc-000000000900")
+        )
+        assert pred.any() and not pred.all()
+        v = t.delete(
+            where="source = 'web' AND n_tok > 40 "
+            "AND doc_id < 'doc-000000000900'"
+        )
+        assert v is not None
+        got = _collect(t.scan())
+        keep = exp.filter(pa.array(~pred))
+        assert got.num_rows == keep.num_rows
+        assert got["doc_id"].equals(keep["doc_id"])
+        assert got["tokens"].equals(keep["tokens"].cast(got["tokens"].type))
+
+    def test_partition_only_predicate_is_metadata_only(self, tmp_path_factory):
+        t = _fresh(tmp_path_factory, "dml_del_meta")
+        v = t.delete(where="source = 'web'")
+        assert v is not None
+        payload = t.log.read_version(v)
+        assert payload["metadata_only_deletes"], (
+            "a pure partition predicate must drop whole files by manifest "
+            "remove, not rewrite them"
+        )
+        got = _collect(t.scan())
+        assert "web" not in set(got["source"].to_pylist())
+
+    def test_contradictory_predicate_is_noop(self, tmp_path_factory):
+        t = _fresh(tmp_path_factory, "dml_del_noop")
+        v0 = t.version()
+        assert t.delete(where="source = 'web' AND source = 'chat'") is None
+        assert t.version() == v0
+
+    def test_idempotent_rerun(self, tmp_path_factory):
+        t = _fresh(tmp_path_factory, "dml_del_idem")
+        pred = "n_tok > 100 AND doc_id >= 'doc-000000000500'"
+        v = t.delete(where=pred, job_id="del-where-1")
+        assert v is not None
+        # same-job rerun (crash-rerun path) short-circuits to the commit
+        assert t.delete(where=pred, job_id="del-where-1") == v
+        # a FRESH job over the already-deleted predicate matches nothing
+        assert t.delete(where=pred) is None
+        assert t.version() == v
+
+    def test_mor_rejects_where(self, tmp_path_factory):
+        t = _fresh(tmp_path_factory, "dml_del_morrej")
+        with pytest.raises(ValueError, match="mode='cow'"):
+            t.delete(where="n_tok > 10", mode="mor")
+
+    def test_renamed_column_in_where(self, tmp_path_factory):
+        t = _fresh(tmp_path_factory, "dml_del_renamed")
+        t.rename_column("n_tok", "length")
+        exp = _expected()
+        pred = np.asarray(exp["n_tok"]) > 100
+        v = t.delete(where="length > 100")
+        assert v is not None
+        got = _collect(t.scan())
+        assert got.num_rows == int((~pred).sum())
+        assert pc.max(got["length"]).as_py() <= 100
+
+
+class TestUpdateWhere:
+    def test_update_with_residual_predicate(self, tmp_path_factory):
+        t = _fresh(tmp_path_factory, "dml_upd")
+        exp = _expected()
+        pred = (
+            pc.equal(exp["source"], "chat").to_numpy(zero_copy_only=False)
+            & (np.asarray(exp["doc_id"]).astype(str) >= "doc-000000000700")
+        )
+        assert pred.any()
+        v = t.update(
+            set_rules=[{"column": "n_tok", "op": "set", "value": -7}],
+            where="source = 'chat' AND doc_id >= 'doc-000000000700'",
+        )
+        assert v is not None
+        got = _collect(t.scan())
+        hit = got.filter(pc.equal(got["n_tok"], -7))
+        assert hit.num_rows == int(pred.sum())
+        assert set(hit["source"].to_pylist()) == {"chat"}
+        # untouched rows keep their token arrays byte-for-byte
+        assert got["tokens"].equals(exp["tokens"].cast(got["tokens"].type))
