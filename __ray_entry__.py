@@ -139,6 +139,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maintenance_rename_column": maintenance.maintenance_rename_column,
         # DELETE FROM ... WHERE <conjunctive predicate string>
         "maintenance_delete_where": maintenance.maintenance_delete_where,
+        # DESCRIBE HISTORY (operation-log relation, restore-as-new-commit)
+        "maintenance_history": maintenance.maintenance_history,
         "maintenance_compact": maintenance.maintenance_compact,
         # metadata-table surface (DESCRIBE DETAIL / .partitions analog)
         "maintenance_partitions": maintenance.maintenance_partitions,
@@ -1750,6 +1752,12 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT 'doc-' || lpad(CAST(id + 2000000 AS VARCHAR), 12, '0'), "
             f"       CAST(nt AS BIGINT), source FROM base"
         ),
+        "maintenance_history": """
+            SELECT * FROM (VALUES
+                (CAST(1 AS BIGINT), CAST(0 AS BIGINT), 'append'),
+                (2, 1, 'compact'), (3, 2, 'merge'), (4, 3, 'restore')
+            ) AS h(version, parent, operation)
+        """,
         "maintenance_delete_where": (
             f"WITH base AS ({_DOCS_BASE}) "
             f"SELECT {_DOC_KEY} AS doc_id, CAST(nt AS BIGINT) AS n_tok, source "

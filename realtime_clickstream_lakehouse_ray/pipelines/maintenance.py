@@ -672,3 +672,26 @@ def maintenance_delete_where(sf_dir: str) -> pa.Table:
         where="source = 'web' AND n_tok >= 40 AND doc_id < 'doc-000000000400'"
     )
     return _scan_projected(t)
+
+
+def maintenance_history(sf_dir: str) -> pa.Table:
+    """DESCRIBE HISTORY surface (Delta history / Iceberg snapshots analog):
+    run a fixed op recipe (ingest -> compact -> MERGE -> RESTORE) and emit
+    the deterministic slice of the operation log — (version, parent,
+    operation).  Timestamps/job ids are projected away (wall-clock); the
+    oracle states the expected commit sequence literally."""
+    t = build_from_documents(sf_dir, _scratch_root(sf_dir, "history"))
+    t.compact(target_file_bytes=8 << 20)
+    t.merge(updates_from_documents(sf_dir))
+    t.restore(2)
+    rows = t.history()
+    return pa.table(
+        {
+            "version": pa.array([r["version"] for r in rows], pa.int64()),
+            "parent": pa.array(
+                [r["parent"] if r["parent"] is not None else -1 for r in rows],
+                pa.int64(),
+            ),
+            "operation": pa.array([r["operation"] for r in rows], pa.string()),
+        }
+    )

@@ -322,6 +322,19 @@ class Table:
         spec = validate_spec(spec)
         if any(c["name"] == spec["name"] for c in self.constraints):
             raise ValueError(f"constraint {spec['name']!r} already exists")
+        # constraint specs reference LOGICAL column names (they run on scan
+        # output and on logically-named write data); a spec naming a column
+        # that does not exist logically would KeyError deep in a rewrite
+        refs = (
+            {"tokens", "n_tok"} if spec["kind"] == "token_len"
+            else {spec["column"]} if spec.get("column") else set()
+        )
+        missing = refs - set(self.schema.names)
+        if missing:
+            raise ValueError(
+                f"constraint references missing column(s) {sorted(missing)} "
+                "(renamed or dropped? constraints bind to logical names)"
+            )
         if verify and self.version() > 0:
             key_col = self.key_col
 
