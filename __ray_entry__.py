@@ -141,6 +141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maintenance_delete_where": maintenance.maintenance_delete_where,
         # DESCRIBE HISTORY (operation-log relation, restore-as-new-commit)
         "maintenance_history": maintenance.maintenance_history,
+        # SELECT-side predicate pushdown (scan(where=...), stats-pruned)
+        "maintenance_scan_where": maintenance.maintenance_scan_where,
         "maintenance_compact": maintenance.maintenance_compact,
         # metadata-table surface (DESCRIBE DETAIL / .partitions analog)
         "maintenance_partitions": maintenance.maintenance_partitions,
@@ -1751,6 +1753,12 @@ def oracle_sql() -> dict[str, str]:
             f"UNION ALL "
             f"SELECT 'doc-' || lpad(CAST(id + 2000000 AS VARCHAR), 12, '0'), "
             f"       CAST(nt AS BIGINT), source FROM base"
+        ),
+        "maintenance_scan_where": (
+            f"WITH base AS ({_DOCS_BASE}) "
+            f"SELECT {_DOC_KEY} AS doc_id, CAST(nt AS BIGINT) AS n_tok, source "
+            f"FROM base WHERE source = 'src3' AND nt BETWEEN 30 AND 80 "
+            f"AND {_DOC_KEY} >= 'doc-000000000010'"
         ),
         "maintenance_history": """
             SELECT * FROM (VALUES

@@ -695,3 +695,32 @@ def maintenance_history(sf_dir: str) -> pa.Table:
             "operation": pa.array([r["operation"] for r in rows], pa.string()),
         }
     )
+
+
+def maintenance_scan_where(sf_dir: str) -> pa.Table:
+    """SELECT-side predicate pushdown through the oracle gate: ingest ->
+    zorder (tight per-file n_tok ranges) -> ``scan(where=...)`` mixing a
+    partition condition (file-pruned), an n_tok range (stats-pruned — the
+    clustered layout makes the pruning real) and a key-range residual
+    (row-filtered)."""
+    t = build_from_documents(sf_dir, _scratch_root(sf_dir, "scanwhere"))
+    t.zorder(target_file_bytes=1 << 20)
+    blocks = ray.get(
+        t.scan(
+            columns=["doc_id", "n_tok", "source"],
+            where="source = 'src3' AND n_tok >= 30 AND n_tok <= 80 "
+            "AND doc_id >= 'doc-000000000010'",
+        ).to_arrow_refs()
+    )
+    blocks = [b for b in blocks if b.num_rows]
+    if not blocks:
+        return pa.table(
+            {"doc_id": pa.array([], pa.string()),
+             "n_tok": pa.array([], pa.int64()),
+             "source": pa.array([], pa.string())}
+        )
+    got = pa.concat_tables(blocks)
+    got = got.set_column(
+        got.column_names.index("n_tok"), "n_tok", got["n_tok"].cast(pa.int64())
+    )
+    return got.sort_by("doc_id").combine_chunks()

@@ -538,6 +538,7 @@ class Table:
         as_of: float | None = None,
         tag: str | None = None,
         apply_dvs: bool = True,
+        where: str | None = None,
         **read_kwargs: Any,
     ) -> ray.data.Dataset:
         """Snapshot-pinned scan: plan ``read_parquet`` over exactly the files
@@ -563,6 +564,14 @@ class Table:
             version = self.log.resolve_ref(tag)
         elif as_of is not None:
             version = self.log.version_at(as_of)
+        conds: list[dict] = []
+        if where is not None:
+            # SELECT-side filter pushdown through the same conjunctive
+            # grammar as DML: partition/key/n_tok conditions prune FILES
+            # from the plan below; the full conjunction then filters rows.
+            conds, _keys, partitions, min_n_tok, max_n_tok, _resid = (
+                self._plan_where(where, None, partitions, min_n_tok, max_n_tok)
+            )
         files = self.files(version)
         if partitions is not None:
             parts = set(partitions)
@@ -571,9 +580,52 @@ class Table:
             files = [f for f in files if f.max_n_tok is None or f.max_n_tok >= min_n_tok]
         if max_n_tok is not None:
             files = [f for f in files if f.min_n_tok is None or f.min_n_tok <= max_n_tok]
-        return self._read_entries(
+        if conds and _keys is not None:
+            # key-equality conditions: min/max-key + Bloom file skipping,
+            # the same pruning MERGE uses
+            from realtime_clickstream_lakehouse_ray.functions.bloom import (
+                bloom_any_match,
+            )
+            from realtime_clickstream_lakehouse_ray.functions.hashing import hash64
+
+            karr = sorted(_keys)
+            blooms = self.blooms(version)
+            kept = []
+            for f in files:
+                if f.min_key is not None and f.max_key is not None:
+                    inside = [k for k in karr if f.min_key <= k <= f.max_key]
+                    if not inside:
+                        continue
+                    b = blooms.get(f.path)
+                    if b is not None and not bloom_any_match(
+                        b, hash64(pa.array(inside, pa.string()))
+                    ):
+                        continue
+                kept.append(f)
+            files = kept
+        ds = self._read_entries(
             files, columns=columns, apply_dvs=apply_dvs, **read_kwargs
         )
+        if conds:
+            from realtime_clickstream_lakehouse_ray.functions.predicate import (
+                predicate_mask,
+            )
+
+            if columns is not None:
+                missing = [c["column"] for c in conds if c["column"] not in columns]
+                if missing:
+                    raise ValueError(
+                        f"where references column(s) {sorted(set(missing))} "
+                        "not in the columns= projection"
+                    )
+
+            def _filter(t: pa.Table) -> pa.Table:
+                return t.filter(predicate_mask(t, conds))
+
+            ds = ds.map_batches(
+                _filter, batch_format="pyarrow", zero_copy_batch=True
+            )
+        return ds
 
     def _read_entries(
         self,

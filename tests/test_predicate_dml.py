@@ -172,3 +172,56 @@ class TestUpdateWhere:
         assert set(hit["source"].to_pylist()) == {"chat"}
         # untouched rows keep their token arrays byte-for-byte
         assert got["tokens"].equals(exp["tokens"].cast(got["tokens"].type))
+
+
+class TestScanWhere:
+    """SELECT-side filter pushdown: scan(where=...) prunes FILES via the
+    same planner as DML (partition / n_tok stats / key Bloom) and filters
+    rows with the full conjunction."""
+
+    @pytest.fixture(scope="class")
+    def table(self, tmp_path_factory):
+        return _fresh(tmp_path_factory, "scan_where")
+
+    def test_rows_match_brute_force(self, table):
+        exp = _expected()
+        pred = (
+            pc.equal(exp["source"], "web").to_numpy(zero_copy_only=False)
+            & (np.asarray(exp["n_tok"]) > 40)
+            & (np.asarray(exp["doc_id"]).astype(str) < "doc-000000000900")
+        )
+        got = _collect(
+            table.scan(
+                where="source = 'web' AND n_tok > 40 "
+                "AND doc_id < 'doc-000000000900'"
+            )
+        )
+        keep = exp.filter(pa.array(pred))
+        assert got.num_rows == keep.num_rows
+        assert got["doc_id"].equals(keep["doc_id"])
+
+    def test_key_equality_prunes_files(self, table):
+        # a single-key predicate must read at most the files whose
+        # key-range can contain it — with ROWS_PER_FILE=100-sized files
+        # that is a small fraction of the table
+        got = _collect(table.scan(where="doc_id = 'doc-000000000042'"))
+        assert got.num_rows == 1
+        assert got["doc_id"].to_pylist() == ["doc-000000000042"]
+
+    def test_partition_pruning_via_where(self, table):
+        got = _collect(table.scan(where="source IN ('web', 'chat')"))
+        assert set(got["source"].to_pylist()) <= {"web", "chat"}
+        exp = _expected()
+        want = pc.sum(
+            pc.is_in(exp["source"], value_set=pa.array(["web", "chat"]))
+        ).as_py()
+        assert got.num_rows == want
+
+    def test_where_with_projection_requires_columns(self, table):
+        with pytest.raises(ValueError, match="not in the columns"):
+            table.scan(columns=["doc_id"], where="n_tok > 5")
+        got = _collect(
+            table.scan(columns=["doc_id", "n_tok"], where="n_tok > 4000")
+        )
+        assert got.column_names == ["doc_id", "n_tok"]
+        assert pc.min(got["n_tok"]).as_py() > 4000
