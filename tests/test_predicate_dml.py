@@ -225,3 +225,90 @@ class TestScanWhere:
         )
         assert got.column_names == ["doc_id", "n_tok"]
         assert pc.min(got["n_tok"]).as_py() > 4000
+
+
+class TestParserPropertyVsDuckDB:
+    """Property: for random conjunctions over a random table, the engine's
+    predicate_mask must keep exactly the rows DuckDB's WHERE keeps —
+    including NULL comparison semantics."""
+
+    def test_random_conjunctions_match_duckdb(self):
+        import duckdb
+        from hypothesis import given, settings, strategies as st
+
+        cols = {
+            "a": st.one_of(st.none(), st.integers(-5, 5)),
+            "b": st.one_of(st.none(), st.sampled_from(["x", "y", "z", "w'q"])),
+            "c": st.one_of(
+                st.none(),
+                st.floats(-2, 2, allow_nan=False).map(lambda v: round(v, 3)),
+            ),
+        }
+        ops = ["=", "!=", "<", "<=", ">", ">="]
+
+        def lit_for(col):
+            if col == "a":
+                return st.integers(-5, 5)
+            if col == "b":
+                return st.sampled_from(["x", "y", "z", "w'q"])
+            return st.floats(-2, 2, allow_nan=False).map(lambda v: round(v, 3))
+
+        cond = st.sampled_from(list(cols)).flatmap(
+            lambda c: st.one_of(
+                st.tuples(st.just(c), st.sampled_from(ops), lit_for(c)),
+                st.tuples(
+                    st.just(c),
+                    st.just("in"),
+                    st.lists(lit_for(c), min_size=1, max_size=3),
+                ),
+                st.tuples(
+                    st.just(c),
+                    st.sampled_from(["is_null", "is_not_null"]),
+                    st.none(),
+                ),
+            )
+        )
+        rows = st.lists(
+            st.fixed_dictionaries(cols), min_size=0, max_size=30
+        )
+
+        def sql_lit(v):
+            if isinstance(v, str):
+                return "'" + v.replace("'", "''") + "'"
+            if isinstance(v, float):
+                return repr(v)
+            return str(v)
+
+        def to_sql(c, op, v):
+            if op == "in":
+                return f"{c} IN (" + ", ".join(sql_lit(x) for x in v) + ")"
+            if op == "is_null":
+                return f"{c} IS NULL"
+            if op == "is_not_null":
+                return f"{c} IS NOT NULL"
+            return f"{c} {op} {sql_lit(v)}"
+
+        @settings(max_examples=150, deadline=None)
+        @given(rows=rows, conds=st.lists(cond, min_size=1, max_size=4))
+        def check(rows, conds):
+            t = pa.table(
+                {
+                    "a": pa.array([r["a"] for r in rows], pa.int64()),
+                    "b": pa.array([r["b"] for r in rows], pa.string()),
+                    "c": pa.array([r["c"] for r in rows], pa.float64()),
+                }
+            )
+            where = " AND ".join(to_sql(*c) for c in conds)
+            parsed = parse_predicate(where)
+            got = t.filter(predicate_mask(t, parsed))
+            con = duckdb.connect()
+            con.register("t", t)
+            exp = con.execute(
+                f"SELECT * FROM t WHERE {where}"
+            ).arrow()
+            assert got.num_rows == exp.num_rows, where
+            # order-preserving filter on both sides -> positional equality
+            for col in ("a", "b", "c"):
+                assert got[col].to_pylist() == exp[col].to_pylist(), where
+
+        check()
