@@ -62,13 +62,22 @@ def ingest_clicks(
     table_root: str,
     ingest_ts: str = "1970-01-01T00:00:00Z",
     rows_per_file: int | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> dict:
-    """Drain all currently-visible click JSON files into the clicks table.
+    """Drain currently-visible click JSON files into the clicks table.
 
-    Returns ``{version, files, rows, rejects}``; a rerun over the same
-    files is a no-op (``version`` None, ``files`` 0) — the bookmark makes
-    ingestion exactly-once per input file even across crashes, because the
-    bookmark and the data files land in one atomic commit.
+    ``max_files_per_trigger`` bounds one micro-batch (the Spark
+    ``maxFilesPerTrigger`` option the reference's availableNow trigger
+    composes with, glue_stream.py trigger config): at most that many
+    not-yet-ingested files commit per call, oldest-path-first, so a
+    backlogged bucket drains in bounded-size exactly-once commits instead
+    of one giant job — call in a loop until ``files == 0`` to drain.
+
+    Returns ``{version, files, rows, rejects, remaining}``; a rerun over
+    the same files is a no-op (``version`` None, ``files`` 0) — the
+    bookmark makes ingestion exactly-once per input file even across
+    crashes, because the bookmark and the data files land in one atomic
+    commit.
     """
     if isinstance(paths, (str, Path)):
         p = Path(paths)
@@ -78,8 +87,15 @@ def ingest_clicks(
 
     table = clicks_table(table_root)
     todo = sorted(set(files) - ingested_files(table))
+    remaining = 0
+    if max_files_per_trigger is not None:
+        if max_files_per_trigger < 1:
+            raise ValueError("max_files_per_trigger must be >= 1")
+        remaining = max(0, len(todo) - max_files_per_trigger)
+        todo = todo[:max_files_per_trigger]
     if not todo:
-        return {"version": None, "files": 0, "rows": 0, "rejects": 0}
+        return {"version": None, "files": 0, "rows": 0, "rejects": 0,
+                "remaining": 0}
 
     ds = read_click_json(todo, ingest_ts=ingest_ts)
     valid, rejects = split_rejects(ds)
@@ -97,4 +113,5 @@ def ingest_clicks(
         "files": len(todo),
         "rows": table.stats(version)["rows"] - rows_before,
         "rejects": n_rejects,
+        "remaining": remaining,
     }

@@ -112,7 +112,8 @@ def test_composed_ingest_job_bookmark_and_partitioning(tmp_path_factory):
 
     # rerun over the same files: bookmark makes it a no-op
     r2 = ingest.ingest_clicks([str(f1)], root)
-    assert r2 == {"version": None, "files": 0, "rows": 0, "rejects": 0}
+    assert r2 == {"version": None, "files": 0, "rows": 0, "rejects": 0,
+                  "remaining": 0}
 
     # new file arrives: only it is drained (availableNow incremental)
     f2 = d / "b.jsonl"
@@ -157,7 +158,8 @@ def test_ingest_bookmark_survives_snapshot_expiry(tmp_path_factory):
 
     # bookmark survives the consolidation: full rerun is a no-op
     r = ingest.ingest_clicks(files, root)
-    assert r == {"version": None, "files": 0, "rows": 0, "rejects": 0}
+    assert r == {"version": None, "files": 0, "rows": 0, "rejects": 0,
+                 "remaining": 0}
     assert ingest.clicks_table(root).stats()["rows"] == 3
 
     # and a rewrite_manifests on its own also keeps it
@@ -264,3 +266,33 @@ def test_vectorized_parse_matches_perline_path(monkeypatch):
         "2024-06-01 00:00:00",
         "2024-06-01 00:00:00",
     ]
+
+
+def test_max_files_per_trigger_bounded_microbatches(tmp_path_factory):
+    """maxFilesPerTrigger analog: a backlog drains in bounded exactly-once
+    commits, oldest-path-first, and the loop converges."""
+    import json as _json
+
+    from realtime_clickstream_lakehouse_ray.pipelines import ingest
+
+    d = tmp_path_factory.mktemp("ingest_mft")
+    files = []
+    for i in range(7):
+        f = d / f"part-{i:02d}.jsonl"
+        f.write_text(_json.dumps({**CANONICAL, "element": f"e{i}"}))
+        files.append(str(f))
+    root = str(d / "clicks_table")
+
+    r1 = ingest.ingest_clicks(files, root, max_files_per_trigger=3)
+    assert r1["files"] == 3 and r1["remaining"] == 4
+    r2 = ingest.ingest_clicks(files, root, max_files_per_trigger=3)
+    assert r2["files"] == 3 and r2["remaining"] == 1
+    r3 = ingest.ingest_clicks(files, root, max_files_per_trigger=3)
+    assert r3["files"] == 1 and r3["remaining"] == 0
+    r4 = ingest.ingest_clicks(files, root, max_files_per_trigger=3)
+    assert r4["files"] == 0
+
+    table = ingest.clicks_table(root)
+    assert table.stats()["rows"] == 7
+    # three micro-batch commits, each exactly-once per input file
+    assert table.version() == 3
