@@ -145,6 +145,9 @@ class TestDeleteWhere:
         t.rename_column("n_tok", "length")
         exp = _expected()
         pred = np.asarray(exp["n_tok"]) > 100
+        # SELECT-side pushdown resolves the renamed stats column too
+        pre = _collect(t.scan(where="length > 100"))
+        assert pre.num_rows == int(pred.sum())
         v = t.delete(where="length > 100")
         assert v is not None
         got = _collect(t.scan())
