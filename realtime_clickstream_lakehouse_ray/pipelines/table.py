@@ -130,6 +130,7 @@ class Table:
         constraints: list[dict] | None = None,
         column_mapping: dict[str, str] | None = None,
         retired_physical: list[str] | None = None,
+        stats_cols: Sequence[str] | None = None,
     ):
         self.root = Path(root)
         # ``schema`` is the LOGICAL schema (what users see on scan and
@@ -149,6 +150,11 @@ class Table:
         # a later re-add of the same logical name must take a fresh
         # physical name or stale bytes would resurface through null-fill
         self.retired_physical = list(retired_physical or [])
+        # LOGICAL column names to keep generic per-file [min, max] stats
+        # for (Delta dataSkippingNumIndexedCols analog) — what
+        # scan(where=) prunes arbitrary-column predicates with; n_tok and
+        # the key column are always indexed regardless
+        self.stats_cols = tuple(stats_cols or ())
         self.log = SnapshotLog(self.root)
 
     # ---- column mapping (rename / drop without rewrite) -----------------
@@ -171,6 +177,13 @@ class Table:
         if not self.column_mapping:
             return None
         return [self.column_mapping.get(f.name, f.name) for f in self.schema]
+
+    def _physical_stats_cols(self) -> tuple[str, ...]:
+        """stats_cols translated to physical parquet names (what writers
+        and file pruning key ``col_stats`` by)."""
+        return tuple(
+            self.column_mapping.get(c, c) for c in self.stats_cols
+        )
 
     def _physical_constraints(self) -> list[dict]:
         """Constraint specs with column refs translated to physical names
@@ -205,6 +218,8 @@ class Table:
             meta["column_mapping"] = t.column_mapping
         if t.retired_physical:
             meta["retired_physical"] = t.retired_physical
+        if t.stats_cols:
+            meta["stats_cols"] = list(t.stats_cols)
         meta_path = t.root / "_table.json"
         if not meta_path.exists():
             meta_path.write_text(json.dumps(meta))
@@ -222,6 +237,7 @@ class Table:
             constraints=meta.get("constraints"),
             column_mapping=meta.get("column_mapping"),
             retired_physical=meta.get("retired_physical"),
+            stats_cols=meta.get("stats_cols"),
         )
 
     def _persist_schema_meta(self) -> None:
@@ -240,6 +256,10 @@ class Table:
             meta["retired_physical"] = self.retired_physical
         else:
             meta.pop("retired_physical", None)
+        if self.stats_cols:
+            meta["stats_cols"] = list(self.stats_cols)
+        else:
+            meta.pop("stats_cols", None)
         atomic_replace(meta_path, json.dumps(meta))
 
     def _guard_identity_column(self, name: str, action: str) -> None:
@@ -281,6 +301,10 @@ class Table:
         idx = self.schema.get_field_index(old)
         f = self.schema.field(idx)
         self.schema = self.schema.set(idx, pa.field(new, f.type, f.nullable))
+        if old in self.stats_cols:  # stats_cols are logical names
+            self.stats_cols = tuple(
+                new if c == old else c for c in self.stats_cols
+            )
         self._persist_schema_meta()
 
     def drop_column(self, name: str) -> None:
@@ -295,6 +319,7 @@ class Table:
         self._guard_identity_column(name, "drop")
         phys = self.column_mapping.pop(name, name)
         self.retired_physical.append(phys)
+        self.stats_cols = tuple(c for c in self.stats_cols if c != name)
         self.schema = pa.schema(
             [f for f in self.schema if f.name != name]
         )
@@ -580,6 +605,8 @@ class Table:
             files = [f for f in files if f.max_n_tok is None or f.max_n_tok >= min_n_tok]
         if max_n_tok is not None:
             files = [f for f in files if f.min_n_tok is None or f.min_n_tok <= max_n_tok]
+        if conds:
+            files = self._prune_by_col_stats(files, conds)
         if conds and _keys is not None:
             # key-equality conditions: min/max-key + Bloom file skipping,
             # the same pruning MERGE uses
@@ -626,6 +653,52 @@ class Table:
                 _filter, batch_format="pyarrow", zero_copy_batch=True
             )
         return ds
+
+    def _prune_by_col_stats(
+        self, files: list[FileEntry], conds: list[dict]
+    ) -> list[FileEntry]:
+        """Generic-stats file skipping for scan(where=): drop any file whose
+        recorded [min, max] for a condition's column PROVES no row can
+        match.  Files without stats for a column (older than the stats_cols
+        config, or a type without ordering) always survive — pruning is an
+        optimization, correctness comes from the row filter."""
+        if not any(f.col_stats for f in files):
+            return files
+        phys = self.column_mapping
+
+        def provably_empty(f: FileEntry) -> bool:
+            cs = f.col_stats or {}
+            for c in conds:
+                rng = cs.get(phys.get(c["column"], c["column"]))
+                if not rng:
+                    continue
+                lo, hi = rng
+                op, v = c["op"], c["value"]
+                vals = v if op == "in" else [v]
+                if op not in ("=", "in", "<", "<=", ">", ">="):
+                    continue
+                # only compare like-kinded values (numbers with numbers,
+                # strings with strings) — a kind mismatch cannot prune
+                if not all(
+                    isinstance(x, (int, float)) == isinstance(lo, (int, float))
+                    and isinstance(x, str) == isinstance(lo, str)
+                    for x in vals
+                ):
+                    continue
+                if op in ("=", "in"):
+                    if all(x < lo or x > hi for x in vals):
+                        return True
+                elif op == "<" and lo >= v:
+                    return True
+                elif op == "<=" and lo > v:
+                    return True
+                elif op == ">" and hi <= v:
+                    return True
+                elif op == ">=" and hi < v:
+                    return True
+            return False
+
+        return [f for f in files if not provably_empty(f)]
 
     def _read_entries(
         self,
@@ -737,7 +810,9 @@ class Table:
         return [FileEntry(**{k: r[k] for k in (
             "path", "partition", "rows", "bytes",
             "min_n_tok", "max_n_tok", "min_key", "max_key", "sum_tok", "bloom",
-        )}) for r in rows]
+        )}, col_stats=(
+            json.loads(r["col_stats"]) if r.get("col_stats") else None
+        )) for r in rows]
 
     def _start_op(self) -> None:
         """Mark the start of a public op; the next commit computes the op's
@@ -946,6 +1021,7 @@ class Table:
                 self.schema,
                 self.partition_col,
                 physical_names=self._physical_names(),
+                stats_cols=self._physical_stats_cols(),
             ),
             batch_format="pyarrow",
             zero_copy_batch=True,
@@ -1100,6 +1176,7 @@ class Table:
                 key_col=self.key_col,
                 partition_col=self.partition_col,
                 constraints=self._physical_constraints(),
+                stats_cols=self._physical_stats_cols(),
                 sequence_col=(
                     self.column_mapping.get(sequence_col, sequence_col)
                     if sequence_col
@@ -1452,6 +1529,7 @@ class Table:
                 self.schema,
                 self.partition_col,
                 physical_names=self._physical_names(),
+                stats_cols=self._physical_stats_cols(),
             ),
             batch_format="pyarrow",
             zero_copy_batch=True,
@@ -1654,6 +1732,7 @@ class Table:
                 rows_per_file=int(plan["rows_per_file"]),
                 signature=signature,
                 physical_names=self._physical_names(),
+                stats_cols=self._physical_stats_cols(),
             )
             ray.data.from_items(make_spec_items(specs)).map_batches(
                 gather.__call__,
@@ -1848,6 +1927,7 @@ class Table:
                     self.partition_col,
                     f"{job_id}-src-u{i:04d}",
                     self._physical_names(),
+                    self._physical_stats_cols(),
                 )
                 for i in range(n_units)
                 if i * step < src.num_rows
@@ -1984,6 +2064,7 @@ class Table:
                 self.schema,
                 self.partition_col,
                 physical_names=self._physical_names(),
+                stats_cols=self._physical_stats_cols(),
             ),
             batch_format="pyarrow",
             zero_copy_batch=True,
@@ -2690,6 +2771,7 @@ class Table:
             constraints=self.constraints,
             column_mapping=self.column_mapping,
             retired_physical=self.retired_physical,
+            stats_cols=self.stats_cols,
         )
         src_files = self.files(v)
         adds = []

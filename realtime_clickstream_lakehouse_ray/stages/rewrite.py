@@ -102,6 +102,7 @@ class BinRewriter:
         partition_col: str = "source",
         constraints: list[dict] | None = None,
         sequence_col: str | None = None,
+        stats_cols: tuple[str, ...] = (),
     ):
         # each pool actor caps its Arrow thread pool: N actors x default
         # 32-thread pools oversubscribe the node and *degrade* with more
@@ -116,6 +117,7 @@ class BinRewriter:
         self.partition_col = partition_col
         self.constraints = constraints or []
         self.sequence_col = sequence_col
+        self.stats_cols = tuple(stats_cols)
         self.keys = None
         self.seq_keys = None
         if keys_ref is not None:
@@ -258,7 +260,10 @@ class BinRewriter:
             adds = []
         else:
             nbytes = write_file_atomic(tbl, self.root / out_rel)
-            fe = file_stats(tbl, out_rel, spec["partition"], nbytes)
+            fe = file_stats(
+                tbl, out_rel, spec["partition"], nbytes,
+                stats_cols=self.stats_cols,
+            )
             if self.mode == "compact" and spec.get("signature"):
                 fe.clustered = spec["signature"]
             adds = [fe.to_action()]
@@ -314,7 +319,10 @@ class BinRewriter:
         adds = []
         if out.num_rows:
             nbytes = write_file_atomic(out, self.root / spec["out"])
-            fe = file_stats(out, spec["out"], spec["partition"], nbytes)
+            fe = file_stats(
+                out, spec["out"], spec["partition"], nbytes,
+                stats_cols=self.stats_cols,
+            )
             adds = [fe.to_action()]
             if fe.bloom is not None:
                 self._write_unit_bloom(spec["unit"], fe.path, fe.bloom)
@@ -393,7 +401,9 @@ class BinRewriter:
                 else out_base
             )
             nbytes = write_file_atomic(sub, self.root / out_rel)
-            fe = file_stats(sub, out_rel, part, nbytes)
+            fe = file_stats(
+                sub, out_rel, part, nbytes, stats_cols=self.stats_cols
+            )
             adds.append(fe.to_action())
             if fe.bloom is not None:
                 self._write_unit_bloom(f"{spec['unit']}-{i}", fe.path, fe.bloom)

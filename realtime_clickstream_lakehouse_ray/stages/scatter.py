@@ -266,6 +266,7 @@ class GatherWriter:
         rows_per_file: int,
         signature: str,
         physical_names: list[str] | None = None,
+        stats_cols: tuple[str, ...] = (),
     ):
         from realtime_clickstream_lakehouse_ray.state.checkpoint import JobCheckpoint
 
@@ -274,6 +275,7 @@ class GatherWriter:
         # column-mapping: fragments are logically named (they come off the
         # table scan); rename positionally to physical after the conform
         self.physical_names = physical_names
+        self.stats_cols = tuple(stats_cols)
         self.partition_col = partition_col
         self.scratch = scratch
         self.ckpt = JobCheckpoint(root, job_id)
@@ -331,6 +333,7 @@ class GatherWriter:
                     chunk,
                     self.root,
                     self.partition_col,
+                    stats_cols=self.stats_cols,
                     # deterministic WITHIN a job (crash-rerun overwrites its
                     # own partial output) but namespaced BY job — without the
                     # job id, the next zorder's unit 0 would silently

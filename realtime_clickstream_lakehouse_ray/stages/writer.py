@@ -43,14 +43,23 @@ STATS_SCHEMA = pa.schema(
         ("max_key", pa.string()),
         ("sum_tok", pa.int64()),
         ("bloom", pa.binary()),
+        ("col_stats", pa.string()),  # JSON {phys_col: [lo, hi]} or null
     ]
 )
 
 
-def file_stats(tbl: pa.Table, path: str, partition: str, nbytes: int) -> FileEntry:
+def file_stats(
+    tbl: pa.Table,
+    path: str,
+    partition: str,
+    nbytes: int,
+    stats_cols: tuple[str, ...] = (),
+) -> FileEntry:
     """Compute a FileEntry from an in-memory table slice (vectorized),
     including the per-file key Bloom filter (functions/bloom.py) that
-    restores MERGE file-skipping after Z-order scatters the key ranges."""
+    restores MERGE file-skipping after Z-order scatters the key ranges.
+    ``stats_cols`` (PHYSICAL names) get generic [min, max] entries in
+    ``col_stats`` — the file-skipping index scan(where=) prunes with."""
     from realtime_clickstream_lakehouse_ray.functions.bloom import build_bloom
     from realtime_clickstream_lakehouse_ray.functions.hashing import hash64
 
@@ -62,6 +71,22 @@ def file_stats(tbl: pa.Table, path: str, partition: str, nbytes: int) -> FileEnt
         if "doc_id" in tbl.column_names and tbl.num_rows
         else None
     )
+    col_stats = None
+    if stats_cols and tbl.num_rows:
+        col_stats = {}
+        for c in stats_cols:
+            if c not in tbl.column_names:
+                continue
+            t = tbl.schema.field(c).type
+            if pa.types.is_nested(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+                continue  # no meaningful ordering for skipping
+            mm = pc.min_max(tbl[c])
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            if lo is not None and hi is not None:
+                if pa.types.is_timestamp(t) or pa.types.is_date(t):
+                    lo, hi = str(lo), str(hi)  # JSON-safe, order-preserving ISO
+                col_stats[c] = [lo, hi]
+        col_stats = col_stats or None
     return FileEntry(
         path=path,
         partition=partition,
@@ -73,6 +98,7 @@ def file_stats(tbl: pa.Table, path: str, partition: str, nbytes: int) -> FileEnt
         max_key=(mm_key["max"].as_py() if mm_key else None),
         sum_tok=sum_tok,
         bloom=bloom,
+        col_stats=col_stats,
     )
 
 
@@ -105,6 +131,7 @@ def write_partitioned(
     partition_col: str = "source",
     name_fn: Callable[[str], str] | None = None,
     compression: str = "snappy",
+    stats_cols: tuple[str, ...] = (),
 ) -> list[FileEntry]:
     """Write one file per partition value present in ``tbl``; return stats."""
     root = Path(root)
@@ -116,11 +143,13 @@ def write_partitioned(
         name = name_fn(part) if name_fn else f"part-{uuid.uuid4().hex}.parquet"
         rel = f"{partition_col}={part}/{name}"
         nbytes = write_file_atomic(sub, root / rel, compression)
-        entries.append(file_stats(sub, rel, part, nbytes))
+        entries.append(file_stats(sub, rel, part, nbytes, stats_cols=stats_cols))
     return entries
 
 
 def entries_to_table(entries: list[FileEntry]) -> pa.Table:
+    import json as _json
+
     return pa.Table.from_pylist(
         [
             {
@@ -134,6 +163,9 @@ def entries_to_table(entries: list[FileEntry]) -> pa.Table:
                 "max_key": e.max_key,
                 "sum_tok": e.sum_tok,
                 "bloom": e.bloom,
+                "col_stats": (
+                    _json.dumps(e.col_stats) if e.col_stats else None
+                ),
             }
             for e in entries
         ],
@@ -158,6 +190,7 @@ class FileWriter:
         schema: pa.Schema,
         partition_col: str = "source",
         physical_names: list[str] | None = None,
+        stats_cols: tuple[str, ...] = (),
     ):
         self.root = root
         self.schema = schema
@@ -166,6 +199,7 @@ class FileWriter:
         # conform, rename positionally to the table's physical parquet
         # names so files always carry physical names (None = identity)
         self.physical_names = physical_names
+        self.stats_cols = tuple(stats_cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -173,7 +207,9 @@ class FileWriter:
         batch = conform_table(batch, self.schema)
         if self.physical_names:
             batch = batch.rename_columns(self.physical_names)
-        entries = write_partitioned(batch, self.root, self.partition_col)
+        entries = write_partitioned(
+            batch, self.root, self.partition_col, stats_cols=self.stats_cols
+        )
         return entries_to_table(entries)
 
 
@@ -182,9 +218,10 @@ def make_file_writer(
     schema: pa.Schema,
     partition_col: str = "source",
     physical_names: list[str] | None = None,
+    stats_cols: tuple[str, ...] = (),
 ):
     """Task-form of FileWriter (plain function -> stateless Ray tasks)."""
-    writer = FileWriter(root, schema, partition_col, physical_names)
+    writer = FileWriter(root, schema, partition_col, physical_names, stats_cols)
 
     def write_batch(batch: pa.Table) -> pa.Table:
         # cap this worker's Arrow pool: concurrent write tasks each spawn a
@@ -202,6 +239,7 @@ def write_slice_task(
     partition_col: str,
     name_prefix: str,
     physical_names: list[str] | None = None,
+    stats_cols: tuple[str, ...] = (),
 ) -> list[FileEntry]:
     """Raw-task form of the partitioned writer (wrap with ``ray.remote``):
     returns the FileEntry list directly instead of a stats table, so a
@@ -222,4 +260,5 @@ def write_slice_task(
         root,
         partition_col,
         name_fn=lambda part: f"{name_prefix}-{next(seq):03d}.parquet",
+        stats_cols=stats_cols,
     )

@@ -59,6 +59,11 @@ class FileEntry:
     # that wrote this file, None for unclustered writers — what incremental
     # zorder uses to cluster only new data (liquid-clustering direction).
     clustered: str | None = None
+    # optional generic per-column [min, max] stats (PHYSICAL column name ->
+    # [lo, hi]) for the table's configured stats_cols — what scan(where=)
+    # prunes arbitrary-column predicates with (Delta dataSkippingNumIndexed
+    # analog).  None for tables that configure none (the common case).
+    col_stats: dict | None = None
     # per-file key Bloom filter (bytes). NOT serialized into the JSON
     # snapshot — it rides a parquet sidecar (`_blooms/`, see Table) so the
     # manifest stays small at 10^12-row scale.
@@ -72,6 +77,8 @@ class FileEntry:
             d.pop("dv_rows", None)
         if d.get("clustered") is None:
             d.pop("clustered", None)
+        if d.get("col_stats") is None:
+            d.pop("col_stats", None)
         d["op"] = op
         return d
 

@@ -42,6 +42,12 @@ def _expected() -> pa.Table:
     )
 
 
+def _collect_rows(ds) -> int:
+    import ray
+
+    return sum(t.num_rows for t in ray.get(ds.to_arrow_refs()))
+
+
 class TestParser:
     def test_full_grammar(self):
         conds = parse_predicate(
@@ -315,3 +321,97 @@ class TestParserPropertyVsDuckDB:
                 assert got[col].to_pylist() == exp[col].to_pylist(), where
 
         check()
+
+
+class TestColStatsSkipping:
+    """Generic per-column file stats (stats_cols config, Delta
+    dataSkippingNumIndexedCols analog): scan(where=) must PRUNE files whose
+    recorded [min, max] proves no match, across append and rewrite paths,
+    and keep working after a rename."""
+
+    @pytest.fixture(scope="class")
+    def table(self, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("colstats") / "scored")
+        schema = pa.schema(
+            [
+                pa.field("doc_id", pa.string()),
+                pa.field("tokens", pa.list_(pa.int32())),
+                pa.field("n_tok", pa.int32()),
+                pa.field("source", pa.string()),
+                pa.field("score", pa.float64()),
+            ]
+        )
+        t = Table.create(root, schema=schema, stats_cols=("score",))
+        # four appends with DISJOINT score ranges -> 4 prunable files
+        for i in range(4):
+            t.append(
+                pa.table(
+                    {
+                        "doc_id": [f"d-{i}-{j}" for j in range(50)],
+                        "tokens": pa.array(
+                            [[i, j] for j in range(50)], pa.list_(pa.int32())
+                        ),
+                        "n_tok": pa.array([2] * 50, pa.int32()),
+                        "source": ["web"] * 50,
+                        "score": pa.array(
+                            [i * 10.0 + j / 10 for j in range(50)], pa.float64()
+                        ),
+                    }
+                )
+            )
+        return t
+
+    def test_stats_recorded_and_pruned(self, table):
+        files = table.files()
+        assert all(f.col_stats and "score" in f.col_stats for f in files)
+        # predicate matching ONLY the last range must plan 1 of 4 files
+        pruned = table._prune_by_col_stats(
+            files, parse_predicate("score >= 30")
+        )
+        assert len(pruned) == 1
+        got = _collect(table.scan(where="score >= 30"))
+        assert got.num_rows == 50
+        assert all(v >= 30 for v in got["score"].to_pylist())
+        # IN-list entirely outside every range plans zero files
+        assert (
+            table._prune_by_col_stats(files, parse_predicate("score = 999"))
+            == []
+        )
+        assert _collect_rows(table.scan(where="score = 999")) == 0
+
+    def test_stats_survive_compact_rewrite(self, table):
+        table.compact(target_file_bytes=1 << 30)  # everything into one bin
+        files = table.files()
+        assert all(f.col_stats and "score" in f.col_stats for f in files)
+        lo = min(f.col_stats["score"][0] for f in files)
+        hi = max(f.col_stats["score"][1] for f in files)
+        assert lo == 0.0 and hi == 34.9
+
+    def test_pruning_after_rename(self, table):
+        table.rename_column("score", "quality")
+        assert table.stats_cols == ("quality",)
+        ds = table.scan(where="quality < 1")
+        got = _collect(ds)
+        assert got.num_rows == 10
+        # new appends record stats under the FROZEN physical name
+        table.append(
+            pa.table(
+                {
+                    "doc_id": ["z-1"],
+                    "tokens": pa.array([[1]], pa.list_(pa.int32())),
+                    "n_tok": pa.array([1], pa.int32()),
+                    "source": ["web"],
+                    "quality": pa.array([99.0], pa.float64()),
+                }
+            )
+        )
+        newest = table.files()[-1]
+        assert set(newest.col_stats) == {"score"}
+        assert (
+            len(
+                table._prune_by_col_stats(
+                    table.files(), parse_predicate("quality > 90")
+                )
+            )
+            == 1
+        )
