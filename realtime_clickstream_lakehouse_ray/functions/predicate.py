@@ -161,6 +161,17 @@ def predicate_mask(tbl: pa.Table, conds: list[dict]) -> pa.Array:
     for c in conds:
         col = tbl[c["column"]]
         op, v = c["op"], c["value"]
+        # temporal columns: Arrow has no (timestamp, string) kernels, so a
+        # string literal is cast to the column type ('2023-09-15 16:00:00'
+        # style — the same lexicographic form the col_stats planner uses)
+        ctype = col.type if not isinstance(col, pa.ChunkedArray) else col.type
+        if (
+            pa.types.is_timestamp(ctype) or pa.types.is_date(ctype)
+        ) and op not in ("is_null", "is_not_null"):
+            if op == "in":
+                v = [pa.scalar(x).cast(ctype).as_py() for x in v]
+            else:
+                v = pa.scalar(v).cast(ctype)
         if op == "=":
             m = pc.equal(col, v)
         elif op == "!=":
@@ -174,7 +185,15 @@ def predicate_mask(tbl: pa.Table, conds: list[dict]) -> pa.Array:
         elif op == ">=":
             m = pc.greater_equal(col, v)
         elif op == "in":
-            m = pc.is_in(col, value_set=pa.array(v))
+            if pa.types.is_floating(ctype):
+                # Arrow is_in uses BITWISE float identity (-0.0 not in
+                # {0.0}), SQL IN uses arithmetic equality — OR of equals
+                # matches SQL (found by the hypothesis-vs-DuckDB property)
+                m = pc.equal(col, v[0])
+                for x in v[1:]:
+                    m = pc.or_kleene(m, pc.equal(col, x))
+            else:
+                m = pc.is_in(col, value_set=pa.array(v))
         elif op == "is_null":
             m = pc.is_null(col)
         elif op == "is_not_null":

@@ -46,6 +46,10 @@ def clicks_table(root: str) -> Table:
         schema=OUT_SCHEMA,
         partition_col=CLICKS_PARTITION_COL,
         key_col=CLICKS_KEY_COL,
+        # data-skipping index on the event timestamp: day partitions give
+        # coarse pruning, event_ts [min, max] lets scan(where=) skip files
+        # WITHIN a day for narrow time-range reads
+        stats_cols=("event_ts",),
     )
 
 

@@ -296,3 +296,44 @@ def test_max_files_per_trigger_bounded_microbatches(tmp_path_factory):
     assert table.stats()["rows"] == 7
     # three micro-batch commits, each exactly-once per input file
     assert table.version() == 3
+
+
+def test_event_ts_stats_skipping(tmp_path_factory):
+    """The clicks table indexes event_ts (stats_cols): a narrow time-range
+    scan(where=) prunes files WITHIN a day partition and the row filter
+    agrees with a brute-force pandas check."""
+    import json as _json
+
+    from realtime_clickstream_lakehouse_ray.pipelines import ingest
+    from realtime_clickstream_lakehouse_ray.functions.predicate import (
+        parse_predicate,
+    )
+    from realtime_clickstream_lakehouse_ray.util import to_arrow_table
+
+    d = tmp_path_factory.mktemp("ingest_ts_stats")
+    files = []
+    for h in (1, 9, 17):  # three files, disjoint hour ranges, same day
+        f = d / f"h{h:02d}.jsonl"
+        f.write_text(
+            "\n".join(
+                _json.dumps(
+                    {**CANONICAL, "timestamp": f"2023-09-15T{h:02d}:{m:02d}:00Z"}
+                )
+                for m in range(5)
+            )
+        )
+        files.append(str(f))
+    root = str(d / "clicks_table")
+    for f in files:  # one commit per file -> three prunable files
+        ingest.ingest_clicks([f], root)
+
+    t = ingest.clicks_table(root)
+    assert all(f.col_stats and "event_ts" in f.col_stats for f in t.files())
+    pred = "event_ts >= '2023-09-15 16:00:00'"
+    pruned = t._prune_by_col_stats(t.files(), parse_predicate(pred))
+    # only files whose recorded range can reach 16:00 survive the plan
+    assert 0 < len(pruned) < len(t.files())
+    assert all(f.col_stats["event_ts"][1] >= "2023-09-15 16:00:00" for f in pruned)
+    got = to_arrow_table(t.scan(where=pred))
+    assert got.num_rows == 5
+    assert min(got["event_ts"].to_pylist()).hour == 17

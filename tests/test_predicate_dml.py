@@ -316,9 +316,20 @@ class TestParserPropertyVsDuckDB:
                 f"SELECT * FROM t WHERE {where}"
             ).arrow()
             assert got.num_rows == exp.num_rows, where
-            # order-preserving filter on both sides -> positional equality
-            for col in ("a", "b", "c"):
-                assert got[col].to_pylist() == exp[col].to_pylist(), where
+
+            def rows_of(t):
+                # multiset compare: DuckDB does not guarantee scan order
+                def key(r):
+                    return tuple(
+                        (x is None, str(type(x)), x if x is not None else 0)
+                        for x in r
+                    )
+
+                return sorted(
+                    zip(*(t[c].to_pylist() for c in ("a", "b", "c"))), key=key
+                )
+
+            assert rows_of(got) == rows_of(exp), where
 
         check()
 
