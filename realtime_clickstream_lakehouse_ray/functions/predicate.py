@@ -210,3 +210,53 @@ def translate_columns(conds: list[dict], mapping: dict[str, str]) -> list[dict]:
     if not mapping:
         return conds
     return [{**c, "column": mapping.get(c["column"], c["column"])} for c in conds]
+
+
+def conds_to_dataset_filter(conds: list[dict], mapping: dict[str, str] | None = None):
+    """Best-effort pyarrow.dataset expression for a parsed conjunction —
+    what ``scan(where=)`` pushes into ``read_parquet(filter=...)`` so
+    Parquet ROW-GROUP statistics prune inside files (file-level manifest
+    stats already pruned whole files).
+
+    Column refs translate to physical names via ``mapping``.  Conditions
+    that cannot be pushed faithfully are skipped (the row-level
+    ``predicate_mask`` stage remains the correctness authority):
+
+    - float ``=`` / ``in``: dataset equality is bitwise (-0.0 vs 0.0);
+    - string literals against temporal columns (the expression layer has
+      no cast context here).
+
+    Returns an expression or None when nothing is pushable."""
+    import pyarrow.dataset as pads
+
+    mapping = mapping or {}
+    expr = None
+    for c in conds:
+        f = pads.field(mapping.get(c["column"], c["column"]))
+        op, v = c["op"], c["value"]
+        if isinstance(v, float) and op in ("=", "in"):
+            continue
+        if isinstance(v, list) and any(isinstance(x, float) for x in v):
+            continue
+        if op == "=":
+            e = f == v
+        elif op == "!=":
+            e = f != v
+        elif op == "<":
+            e = f < v
+        elif op == "<=":
+            e = f <= v
+        elif op == ">":
+            e = f > v
+        elif op == ">=":
+            e = f >= v
+        elif op == "in":
+            e = f.isin(v)
+        elif op == "is_null":
+            e = f.is_null()
+        elif op == "is_not_null":
+            e = ~f.is_null()
+        else:  # pragma: no cover
+            continue
+        expr = e if expr is None else (expr & e)
+    return expr

@@ -607,6 +607,30 @@ class Table:
             files = [f for f in files if f.min_n_tok is None or f.min_n_tok <= max_n_tok]
         if conds:
             files = self._prune_by_col_stats(files, conds)
+            # push the pushable conditions into the Parquet fragment
+            # scanner so ROW-GROUP statistics prune inside files too
+            # (temporal columns skipped: their literals are strings and the
+            # expression layer has no cast context; the row filter below
+            # stays the correctness authority either way)
+            from realtime_clickstream_lakehouse_ray.functions.predicate import (
+                conds_to_dataset_filter,
+            )
+
+            pushable = [
+                c
+                for c in conds
+                if not (
+                    pa.types.is_timestamp(self.schema.field(c["column"]).type)
+                    or pa.types.is_date(self.schema.field(c["column"]).type)
+                )
+            ]
+            expr = conds_to_dataset_filter(pushable, self.column_mapping)
+            # Ray's parquet fragment SAMPLER projects a single column and
+            # binds the filter against that projection, so a filter is only
+            # safe on unprojected scans (columns=None); projected scans
+            # still get manifest + row-level filtering
+            if expr is not None and columns is None:
+                read_kwargs.setdefault("filter", expr)
         if conds and _keys is not None:
             # key-equality conditions: min/max-key + Bloom file skipping,
             # the same pruning MERGE uses
