@@ -426,3 +426,19 @@ class TestColStatsSkipping:
             )
             == 1
         )
+
+
+def test_scan_where_composes_with_deletion_vectors(tmp_path_factory):
+    """Pushed-down fragment filters + the DV tombstone stage are both
+    row-level conjunctive filters — their composition must equal brute
+    force."""
+    t = _fresh(tmp_path_factory, "dml_where_dv")
+    exp = _expected()
+    dead = [f"doc-{i:012d}" for i in range(0, N_ROWS, 11)]
+    t.delete(keys=dead, mode="mor")
+    pred = (np.asarray(exp["n_tok"]) > 100) & ~np.isin(
+        np.asarray(exp["doc_id"]).astype(str), dead
+    )
+    got = _collect(t.scan(where="n_tok > 100"))
+    assert got.num_rows == int(pred.sum())
+    assert not set(dead) & set(got["doc_id"].to_pylist())
