@@ -2218,13 +2218,12 @@ class Table:
         self._start_op()
         parent = self.version()
         if job_id is None:
-            sig = hashlib.md5(
-                json.dumps(
-                    [rules, sorted(keys) if keys else None,
-                     sorted(partitions) if partitions else None,
-                     min_n_tok, max_n_tok, conds],
-                ).encode()
-            ).hexdigest()[:10]
+            payload = [rules, sorted(keys) if keys else None,
+                       sorted(partitions) if partitions else None,
+                       min_n_tok, max_n_tok]
+            if conds:  # keep pre-WHERE job signatures stable
+                payload.append(conds)
+            sig = hashlib.md5(json.dumps(payload).encode()).hexdigest()[:10]
             job_id = f"update-v{parent}-{sig}"
         done = self.log.find_commit_by_job(job_id)
         if done is not None:
@@ -2410,12 +2409,12 @@ class Table:
         self._start_op()
         parent = self.version()
         if job_id is None:
-            sig = hashlib.md5(
-                json.dumps(
-                    [sorted(keys) if keys else None, sorted(partitions) if partitions else None,
-                     min_n_tok, max_n_tok, mode, conds],
-                ).encode()
-            ).hexdigest()[:10]
+            payload = [sorted(keys) if keys else None,
+                       sorted(partitions) if partitions else None,
+                       min_n_tok, max_n_tok, mode]
+            if conds:  # keep pre-WHERE job signatures stable
+                payload.append(conds)
+            sig = hashlib.md5(json.dumps(payload).encode()).hexdigest()[:10]
             job_id = f"delete-v{parent}-{sig}"
         done = self.log.find_commit_by_job(job_id)
         if done is not None:
