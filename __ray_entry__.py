@@ -143,6 +143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maintenance_history": maintenance.maintenance_history,
         # SELECT-side predicate pushdown (scan(where=...), stats-pruned)
         "maintenance_scan_where": maintenance.maintenance_scan_where,
+        # exact dedup ON the lakehouse table (fingerprint -> key DELETE)
+        "maintenance_dedup_rows": maintenance.maintenance_dedup_rows,
         "maintenance_compact": maintenance.maintenance_compact,
         # metadata-table surface (DESCRIBE DETAIL / .partitions analog)
         "maintenance_partitions": maintenance.maintenance_partitions,
@@ -1754,6 +1756,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT 'doc-' || lpad(CAST(id + 2000000 AS VARCHAR), 12, '0'), "
             f"       CAST(nt AS BIGINT), source FROM base"
         ),
+        "maintenance_dedup_rows": docs_scan,
         "maintenance_scan_where": (
             f"WITH base AS ({_DOCS_BASE}) "
             f"SELECT {_DOC_KEY} AS doc_id, CAST(nt AS BIGINT) AS n_tok, source "

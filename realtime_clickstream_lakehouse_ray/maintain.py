@@ -26,7 +26,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--ops",
         default="compact,zorder",
-        help="comma list: compact,auto-optimize,zorder,merge,update,delete (supports --where),materialize-deletes,restore,rewrite-manifests,changes,tag,drop-tag,metrics,clustering-report,expire,vacuum",
+        help="comma list: compact,auto-optimize,zorder,merge,update,delete (supports --where),dedup-rows,materialize-deletes,restore,rewrite-manifests,changes,tag,drop-tag,metrics,clustering-report,expire,vacuum",
     )
     p.add_argument("--target-file-mb", type=int, default=128)
     p.add_argument(
@@ -200,6 +200,8 @@ def main(argv: list[str] | None = None) -> int:
                     for t_, n_ in zip(vals, ns):
                         counts[str(t_)] = counts.get(str(t_), 0) + int(n_)
             results[op] = counts
+        elif op == "dedup-rows":
+            results[op] = table.dedup_rows(mode=args.delete_mode)
         elif op == "materialize-deletes":
             results[op] = table.materialize_deletes()
         elif op == "restore":

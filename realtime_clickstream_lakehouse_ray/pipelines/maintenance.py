@@ -724,3 +724,29 @@ def maintenance_scan_where(sf_dir: str) -> pa.Table:
         got.column_names.index("n_tok"), "n_tok", got["n_tok"].cast(pa.int64())
     )
     return got.sort_by("doc_id").combine_chunks()
+
+
+def maintenance_dedup_rows(sf_dir: str) -> pa.Table:
+    """Exact dedup ON the lakehouse table (the training-data dedup family
+    applied to the north-rule payload): ingest -> append a byte-identical
+    copy of every row re-keyed +5_000_000 -> ``Table.dedup_rows()`` (xor
+    token fingerprints -> distinct-fp groupby -> dup-proportional loser
+    list -> key DELETE) -> scan.  Winners are the smallest key per
+    duplicate group, so exactly the original rows survive — the oracle is
+    the plain base relation."""
+    t = build_from_documents(sf_dir, _scratch_root(sf_dir, "deduprows"))
+
+    def rekey(tok: pa.Table) -> pa.Table:
+        ids = pc.utf8_slice_codeunits(tok["doc_id"].combine_chunks(), 4, 16)
+        ids = pc.add(pc.cast(ids, pa.int64()), 5_000_000)
+        doc_id = pc.binary_join_element_wise(
+            "doc-", pc.utf8_lpad(pc.cast(ids, pa.string()), 12, "0"), ""
+        )
+        return tok.set_column(0, "doc_id", doc_id)
+
+    tune_context()
+    t.append(t.scan().map_batches(rekey, batch_format="pyarrow", zero_copy_batch=True))
+    assert t.stats()["rows"] > 0
+    v = t.dedup_rows()
+    assert v is not None
+    return _scan_projected(t)

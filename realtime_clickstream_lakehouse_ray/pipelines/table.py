@@ -1382,6 +1382,113 @@ class Table:
             d["rows"] += r.get("rows", 0)
         return per_part
 
+    def dedup_rows(
+        self,
+        job_id: str | None = None,
+        concurrency: int | tuple[int, int] = (1, 16),
+        mode: str = "cow",
+    ) -> int | None:
+        """Exact in-place row dedup of the TABLE (the exact-dedup operator
+        of the training-data family applied to the lakehouse payload):
+        rows whose ``tokens`` arrays are byte-identical collapse to the one
+        with the smallest key; the rest are DELETEd through the normal
+        predicate-delete path (copy-on-write rewrite, or ``mode="mor"``
+        deletion-vector tombstones for O(dups) write cost).
+
+        Scale shape: fingerprints are computed per batch (one xor-fold
+        over the flat token values per row — no Python loops), reduced by
+        a (fingerprint -> min key, count) groupby whose output is
+        DISTINCT-fingerprint-sized, and only the DUP-PROPORTIONAL loser
+        key list returns to the driver.  Token text never shuffles; the
+        delete reuses stats+Bloom file pruning.  Returns the new version,
+        or None when the table has no duplicate rows."""
+        from ray.data.aggregate import Count, Min
+
+        from realtime_clickstream_lakehouse_ray.functions.hashing import hash64
+
+        def fp_stage(t: pa.Table) -> pa.Table:
+            tok = t["tokens"].combine_chunks()
+            offsets = np.asarray(tok.offsets).astype(np.int64)
+            lo, hi = int(offsets[0]), int(offsets[-1])
+            vals = np.asarray(tok.values)[lo:hi].astype(np.int64, copy=False)
+            offs = offsets - lo
+            lengths = offs[1:] - offs[:-1]
+            h = hash64(pa.array(vals)) if len(vals) else np.empty(0, np.uint64)
+            # order-sensitive fold: position-salted xor per document
+            pos = (
+                np.arange(len(vals), dtype=np.uint64)
+                - np.repeat(offs[:-1], lengths).astype(np.uint64)
+            )
+            mixed = h ^ (pos * np.uint64(0x9E3779B97F4A7C15))
+            fp = np.zeros(t.num_rows, dtype=np.uint64)
+            if len(mixed):
+                np.bitwise_xor.at(fp, np.repeat(
+                    np.arange(t.num_rows, dtype=np.int64), lengths
+                ), mixed)
+            fp ^= lengths.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+            return pa.table(
+                {
+                    "fp": pa.array(fp.astype(np.int64)),
+                    "key": t[self.key_col],
+                }
+            )
+
+        grouped = (
+            self.scan(columns=[self.key_col, "tokens"])
+            .map_batches(fp_stage, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("fp")
+            .aggregate(Min("key", alias_name="winner"), Count(alias_name="n"))
+        )
+        losers: list[str] = []
+        # dup-proportional second pass: only fingerprints with n > 1 need
+        # their member keys re-derived (broadcast the small dup-fp set)
+        dup_blocks = [
+            t.filter(pc.greater(t["n"], 1))
+            for t in ray.get(grouped.to_arrow_refs())
+            if t.num_rows and "fp" in t.column_names
+        ]
+        dup_tbl = pa.concat_tables(dup_blocks) if dup_blocks else None
+        if dup_tbl is None or dup_tbl.num_rows == 0:
+            return None
+        dup_fps = np.sort(np.asarray(dup_tbl["fp"]).astype(np.int64))
+        winners = dict(
+            zip(dup_tbl["fp"].to_pylist(), dup_tbl["winner"].to_pylist())
+        )
+        ref = ray.put(dup_fps)
+
+        def losers_stage(t: pa.Table) -> pa.Table:
+            from realtime_clickstream_lakehouse_ray.functions.broadcast import (
+                get_broadcast,
+            )
+
+            d = get_broadcast(ref)
+            fps = np.asarray(t["fp"]).astype(np.int64)
+            idx = np.searchsorted(d, fps)
+            in_r = idx < len(d)
+            hit = np.zeros(len(fps), dtype=bool)
+            hit[in_r] = d[idx[in_r]] == fps[in_r]
+            return t.filter(pa.array(hit))
+
+        members = (
+            self.scan(columns=[self.key_col, "tokens"])
+            .map_batches(fp_stage, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(losers_stage, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        for t in ray.get(members.to_arrow_refs()):
+            if not t.num_rows or "fp" not in t.column_names:
+                continue
+            for f, k in zip(t["fp"].to_pylist(), t["key"].to_pylist()):
+                if k != winners[f]:
+                    losers.append(k)
+        if not losers:
+            return None
+        return self.delete(
+            keys=sorted(losers),
+            job_id=job_id or f"dedup-v{self.version()}",
+            concurrency=concurrency,
+            mode=mode,
+        )
+
     def materialize_deletes(
         self,
         job_id: str | None = None,

@@ -707,3 +707,40 @@ def test_auto_optimize_lifecycle_converges_via_cli(tmp_path):
     t = Table.load(root)
     assert t.version() == v1
     assert "clustering-report" in out
+
+
+class TestDedupRows:
+    def test_dedup_rows_keeps_min_key_and_tokens(self, tmp_path_factory):
+        t = _fresh(tmp_path_factory, "dedup_rows")
+        base = collect_sorted(t.scan())
+        # byte-identical duplicate of every row under fresh keys
+        dup = base.set_column(
+            base.column_names.index("doc_id"),
+            "doc_id",
+            pc.binary_join_element_wise("zz-", base["doc_id"].combine_chunks(), ""),
+        )
+        t.append(dup)
+        assert t.stats()["rows"] == 2 * N_ROWS
+        v = t.dedup_rows()
+        assert v is not None
+        got = collect_sorted(t.scan())
+        # winners are the min keys = the originals; arrays byte-equal
+        assert_tokens_equal(got, _expected())
+        # idempotent: a second dedup finds nothing
+        assert t.dedup_rows() is None
+
+    def test_dedup_rows_mor_is_cheap(self, tmp_path_factory):
+        t = _fresh(tmp_path_factory, "dedup_rows_mor")
+        base = collect_sorted(t.scan())
+        dup = base.set_column(
+            base.column_names.index("doc_id"),
+            "doc_id",
+            pc.binary_join_element_wise("zz-", base["doc_id"].combine_chunks(), ""),
+        )
+        t.append(dup)
+        files_before = t.stats()["files"]
+        v = t.dedup_rows(mode="mor")
+        assert v is not None
+        # deletion vectors, not rewrites: file count unchanged
+        assert t.stats()["files"] == files_before
+        assert_tokens_equal(collect_sorted(t.scan()), _expected())
