@@ -1569,6 +1569,17 @@ class Table:
         already clustered."""
         self._start_op()
         parent = self.version()
+        # dims are LOGICAL names; the stock default still names the
+        # canonical physical columns, so resolve each default dim that no
+        # longer exists logically (renamed via column mapping) to its
+        # current logical name — an explicit dims= with a stale name still
+        # errors loudly downstream
+        if self.column_mapping:
+            phys2log = {v: k for k, v in self.column_mapping.items()}
+            dims = tuple(
+                phys2log.get(d, d) if d not in self.schema.names else d
+                for d in dims
+            )
         signature = f"{curve}:{','.join(dims)}"
         if job_id is None:
             tag = "zorder" if curve == "z" else f"zorder-{curve}"

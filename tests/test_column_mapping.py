@@ -245,3 +245,17 @@ class TestMappingInteractions:
         got = _collect(replica.scan())
         exp = _expected()
         assert got["token_ids"].equals(exp["tokens"].cast(got["token_ids"].type))
+
+
+def test_zorder_default_dims_follow_rename(tmp_path_factory):
+    """The stock zorder dims name the canonical physical columns; after a
+    rename the default must resolve to the current logical names instead
+    of KeyErroring."""
+    t = _fresh(tmp_path_factory, "colmap_zorder_dims")
+    t.rename_column("n_tok", "length")
+    v = t.zorder(target_file_bytes=1 << 20)  # default dims include n_tok
+    assert v is not None
+    got = _collect(t.scan())
+    exp = _expected()
+    assert got["tokens"].equals(exp["tokens"].cast(got["tokens"].type))
+    assert all(f.clustered for f in t.files())
