@@ -145,6 +145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maintenance_scan_where": maintenance.maintenance_scan_where,
         # exact dedup ON the lakehouse table (fingerprint -> key DELETE)
         "maintenance_dedup_rows": maintenance.maintenance_dedup_rows,
+        # Iceberg partition-spec evolution + compaction-driven migration
+        "maintenance_partition_evolution": maintenance.maintenance_partition_evolution,
         "maintenance_compact": maintenance.maintenance_compact,
         # metadata-table surface (DESCRIBE DETAIL / .partitions analog)
         "maintenance_partitions": maintenance.maintenance_partitions,
@@ -1757,6 +1759,17 @@ def oracle_sql() -> dict[str, str]:
             f"       CAST(nt AS BIGINT), source FROM base"
         ),
         "maintenance_dedup_rows": docs_scan,
+        "maintenance_partition_evolution": (
+            f"WITH base AS ({_DOCS_BASE}) "
+            f"SELECT {_DOC_KEY} AS doc_id, CAST(nt AS BIGINT) AS n_tok, source, "
+            f"       CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS region "
+            f"FROM base "
+            f"UNION ALL "
+            f"SELECT 'doc-' || lpad(CAST(id + 3000000 AS VARCHAR), 12, '0'), "
+            f"       CAST(nt AS BIGINT), source, "
+            f"       CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END "
+            f"FROM base"
+        ),
         "maintenance_scan_where": (
             f"WITH base AS ({_DOCS_BASE}) "
             f"SELECT {_DOC_KEY} AS doc_id, CAST(nt AS BIGINT) AS n_tok, source "

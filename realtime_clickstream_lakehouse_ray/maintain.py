@@ -26,7 +26,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--ops",
         default="compact,zorder",
-        help="comma list: compact,auto-optimize,zorder,merge,update,delete (supports --where),dedup-rows,materialize-deletes,restore,rewrite-manifests,changes,tag,drop-tag,metrics,clustering-report,expire,vacuum",
+        help="comma list: compact,auto-optimize,zorder,merge,update,delete (supports --where),dedup-rows,evolve-partitioning,materialize-deletes,restore,rewrite-manifests,changes,tag,drop-tag,metrics,clustering-report,expire,vacuum",
     )
     p.add_argument("--target-file-mb", type=int, default=128)
     p.add_argument(
@@ -66,6 +66,11 @@ def main(argv: list[str] | None = None) -> int:
         default="cow",
         choices=["cow", "mor"],
         help="cow = copy-on-write rewrite; mor = deletion-vector tombstones",
+    )
+    p.add_argument(
+        "--partition-by",
+        help="new partition column for the evolve-partitioning op "
+        "(metadata-only; compaction migrates the layout)",
     )
     p.add_argument(
         "--where",
@@ -200,6 +205,11 @@ def main(argv: list[str] | None = None) -> int:
                     for t_, n_ in zip(vals, ns):
                         counts[str(t_)] = counts.get(str(t_), 0) + int(n_)
             results[op] = counts
+        elif op == "evolve-partitioning":
+            if not args.partition_by:
+                p.error("--partition-by required for evolve-partitioning")
+            table.evolve_partitioning(args.partition_by)
+            results[op] = table.partition_col
         elif op == "dedup-rows":
             results[op] = table.dedup_rows(mode=args.delete_mode)
         elif op == "materialize-deletes":

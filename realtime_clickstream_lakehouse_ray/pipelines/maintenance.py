@@ -750,3 +750,63 @@ def maintenance_dedup_rows(sf_dir: str) -> pa.Table:
     v = t.dedup_rows()
     assert v is not None
     return _scan_projected(t)
+
+
+def maintenance_partition_evolution(sf_dir: str) -> pa.Table:
+    """Partition evolution through the oracle gate (Iceberg spec
+    evolution): ingest a tokens+region table partitioned by ``source``
+    (spec 0) -> ``evolve_partitioning("region")`` (metadata-only) ->
+    append a re-keyed +3_000_000 copy under the NEW layout (spec 1) ->
+    ``compact`` (old-layout bins split per region value = the migration)
+    -> scan.  Every surviving file must carry the new spec and the new
+    hive layout; the oracle states the doubled relation with the exact
+    region rule."""
+    from realtime_clickstream_lakehouse_ray.schema import TOKENS_SCHEMA
+
+    schema = TOKENS_SCHEMA.append(pa.field("region", pa.string()))
+    root = _scratch_root(sf_dir, "partevo")
+    t = Table.create(root, schema=schema)
+    tune_context()
+
+    def with_region(docs: pa.Table, offset: int = 0) -> pa.Table:
+        base = doc_to_tokens(docs)
+        ids = np.asarray(docs["doc_id"].combine_chunks()).astype(np.int64) + offset
+        region = np.where(ids % 2 == 0, "even", "odd")
+        out = base.append_column("region", pa.array(region.astype(object), pa.string()))
+        if offset:
+            doc_id = pc.binary_join_element_wise(
+                "doc-",
+                pc.utf8_lpad(pc.cast(pa.array(ids), pa.string()), 12, "0"),
+                "",
+            )
+            out = out.set_column(0, "doc_id", doc_id)
+        return out
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    t.append(
+        docs.map_batches(with_region, batch_format="pyarrow", zero_copy_batch=True),
+        rows_per_file=64,
+    )
+    t.evolve_partitioning("region")
+    t.append(
+        docs.map_batches(
+            lambda b: with_region(b, 3_000_000),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        rows_per_file=64,
+    )
+    t.compact(target_file_bytes=8 << 20)
+    assert all((f.spec or 0) == 1 for f in t.files()), "migration incomplete"
+    assert all(f.path.startswith("region=") for f in t.files())
+    got = pa.concat_tables(
+        ray.get(
+            t.scan(columns=["doc_id", "n_tok", "source", "region"]).to_arrow_refs()
+        )
+    )
+    got = got.set_column(
+        got.column_names.index("n_tok"), "n_tok", got["n_tok"].cast(pa.int64())
+    )
+    return got.sort_by("doc_id").combine_chunks()

@@ -143,6 +143,10 @@ class Table:
         # on the read path, infra/terraform/modules/glue/main.tf:38-66).
         self.schema = schema
         self.partition_col = partition_col
+        # partition-spec HISTORY (Iceberg partition evolution): index i is
+        # the partition column files of spec i were written under; the
+        # last entry is the current spec (== self.partition_col).
+        self.partition_specs: list[str] = [partition_col]
         self.key_col = key_col
         self.constraints = list(constraints or [])
         self.column_mapping = dict(column_mapping or {})
@@ -220,6 +224,8 @@ class Table:
             meta["retired_physical"] = t.retired_physical
         if t.stats_cols:
             meta["stats_cols"] = list(t.stats_cols)
+        if len(t.partition_specs) > 1:
+            meta["partition_specs"] = t.partition_specs
         meta_path = t.root / "_table.json"
         if not meta_path.exists():
             meta_path.write_text(json.dumps(meta))
@@ -229,7 +235,7 @@ class Table:
     def load(cls, root: str) -> "Table":
         meta = json.loads((Path(root) / "_table.json").read_text())
         schema = pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(meta["schema"])))
-        return cls(
+        t = cls(
             root,
             schema=schema,
             partition_col=meta["partition_col"],
@@ -239,6 +245,11 @@ class Table:
             retired_physical=meta.get("retired_physical"),
             stats_cols=meta.get("stats_cols"),
         )
+        specs = meta.get("partition_specs")
+        if specs:
+            t.partition_specs = list(specs)
+            t.partition_col = t.partition_specs[-1]
+        return t
 
     def _persist_schema_meta(self) -> None:
         """Persist schema + column mapping atomically to ``_table.json``."""
@@ -260,6 +271,9 @@ class Table:
             meta["stats_cols"] = list(self.stats_cols)
         else:
             meta.pop("stats_cols", None)
+        if len(self.partition_specs) > 1:
+            meta["partition_specs"] = self.partition_specs
+            meta["partition_col"] = self.partition_col
         atomic_replace(meta_path, json.dumps(meta))
 
     def _guard_identity_column(self, name: str, action: str) -> None:
@@ -269,10 +283,10 @@ class Table:
                 "sidecars, merge file-skipping stats and Bloom filters are "
                 "keyed on its physical identity"
             )
-        if name == self.partition_col:
+        if name in self.partition_specs:
             raise ValueError(
-                f"cannot {action} the partition column {name!r}: the hive "
-                "directory layout and partition pruning are keyed on it"
+                f"cannot {action} partition(-spec) column {name!r}: the "
+                "hive directory layout and partition pruning are keyed on it"
             )
         for c in self.constraints:
             refs = {c["column"]} if c.get("column") else set()
@@ -324,6 +338,37 @@ class Table:
             [f for f in self.schema if f.name != name]
         )
         self._persist_schema_meta()
+
+    def evolve_partitioning(self, new_col: str) -> None:
+        """Partition evolution (Iceberg spec evolution): FUTURE writes
+        partition by ``new_col``; existing files keep their old hive layout
+        untouched (no rewrite).  Every manifest entry records the spec id
+        it was written under, so the planner prunes current-spec files by
+        partition VALUE as before, keeps old-spec files in the plan, and
+        row-filters them on the new column — and DML partition predicates
+        turn into row-level conditions for old-spec files.  A full
+        ``compact()`` or ``zorder()`` migrates old-spec files into the new
+        layout (their bins split per new-partition value), so the table
+        converges to the new spec through normal maintenance.
+
+        ``new_col`` must be an existing, non-nested column; renaming a
+        column that is (or ever was) a partition spec stays rejected."""
+        if new_col == self.partition_col:
+            raise ValueError(f"table is already partitioned by {new_col!r}")
+        if new_col not in self.schema.names:
+            raise ValueError(f"unknown column {new_col!r}")
+        if new_col == self.key_col:
+            raise ValueError("partitioning by the key column is degenerate")
+        t = self.schema.field(new_col).type
+        if pa.types.is_nested(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            raise ValueError(f"cannot partition by non-scalar column {new_col!r}")
+        self.partition_specs.append(new_col)
+        self.partition_col = new_col
+        self._persist_schema_meta()
+
+    @property
+    def current_spec(self) -> int:
+        return len(self.partition_specs) - 1
 
     # ---- CHECK constraints ----------------------------------------------
     def _persist_constraints(self) -> None:
@@ -598,9 +643,23 @@ class Table:
                 self._plan_where(where, None, partitions, min_n_tok, max_n_tok)
             )
         files = self.files(version)
+        part_row_filter: list[str] | None = None
         if partitions is not None:
             parts = set(partitions)
-            files = [f for f in files if f.partition in parts]
+            cur_spec = self.current_spec
+            kept, old_spec_files = [], []
+            for f in files:
+                if (f.spec or 0) == cur_spec:
+                    if f.partition in parts:
+                        kept.append(f)
+                else:
+                    # pre-evolution layout: its f.partition is a value of
+                    # an OLD spec column — cannot prune by value; keep the
+                    # file and row-filter on the current partition column
+                    old_spec_files.append(f)
+            files = kept + old_spec_files
+            if old_spec_files:
+                part_row_filter = sorted(parts)
         if min_n_tok is not None:
             files = [f for f in files if f.max_n_tok is None or f.max_n_tok >= min_n_tok]
         if max_n_tok is not None:
@@ -675,6 +734,33 @@ class Table:
 
             ds = ds.map_batches(
                 _filter, batch_format="pyarrow", zero_copy_batch=True
+            )
+        if part_row_filter is not None:
+            from realtime_clickstream_lakehouse_ray.functions.predicate import (
+                predicate_mask,
+            )
+
+            pconds = [
+                {
+                    "column": self.partition_col,
+                    "op": "in",
+                    "value": part_row_filter,
+                }
+            ]
+            keep_cols = list(columns) if columns else None
+            if keep_cols is not None and self.partition_col not in keep_cols:
+                raise ValueError(
+                    "partitions= over a mixed-partition-spec snapshot needs "
+                    f"the current partition column {self.partition_col!r} in "
+                    "the columns= projection (old-layout files are "
+                    "row-filtered on it)"
+                )
+
+            def _part_filter(t: pa.Table) -> pa.Table:
+                return t.filter(predicate_mask(t, pconds))
+
+            ds = ds.map_batches(
+                _part_filter, batch_format="pyarrow", zero_copy_batch=True
             )
         return ds
 
@@ -836,7 +922,7 @@ class Table:
             "min_n_tok", "max_n_tok", "min_key", "max_key", "sum_tok", "bloom",
         )}, col_stats=(
             json.loads(r["col_stats"]) if r.get("col_stats") else None
-        )) for r in rows]
+        ), spec=self.current_spec) for r in rows]
 
     def _start_op(self) -> None:
         """Mark the start of a public op; the next commit computes the op's
@@ -1092,38 +1178,53 @@ class Table:
         after Z-order tightens file counts without degrading the
         clustering (Delta's OPTIMIZE-preserves-liquid-clustering
         behavior), so ``zorder(incremental=True)`` stays a no-op."""
-        by_group: dict[tuple[str, str | None], list[FileEntry]] = {}
+        cur_spec = self.current_spec
+        by_group: dict[tuple[int, str, str | None], list[FileEntry]] = {}
         for f in files:
             # a file carrying a deletion vector is always eligible —
-            # compaction is where pending MOR deletes get materialized
-            if f.bytes < target_file_bytes * 0.9 or f.dv:
-                by_group.setdefault((f.partition, f.clustered), []).append(f)
+            # compaction is where pending MOR deletes get materialized;
+            # an OLD-partition-spec file is always eligible too — compaction
+            # is also where partition evolution migrates the layout
+            old = (f.spec or 0) != cur_spec
+            if f.bytes < target_file_bytes * 0.9 or f.dv or old:
+                by_group.setdefault(
+                    ((f.spec or 0), f.partition, f.clustered), []
+                ).append(f)
         bins: list[dict] = []
 
-        def _keep(cur: list[FileEntry]) -> bool:
+        def _keep(spec_id: int, cur: list[FileEntry]) -> bool:
+            if spec_id != cur_spec:
+                return True  # single old-spec files still migrate
             return len(cur) > 1 or any(f.dv for f in cur)
 
-        def _emit(part: str, sig: str | None, cur: list[FileEntry]) -> None:
+        def _emit(spec_id: int, part: str, sig: str | None, cur: list[FileEntry]) -> None:
             spec = self._bin_spec(len(bins), part, cur, job_tag)
-            if sig:
+            if spec_id != cur_spec:
+                # migration bin: the rewrite splits its output per CURRENT
+                # partition value (rows move to the new hive layout);
+                # clustering provenance is not preserved across specs
+                spec["split_partition"] = True
+            elif sig:
                 spec.update(self._cluster_spec(sig, cur))
             bins.append(spec)
 
-        for part, sig in sorted(by_group, key=lambda k: (k[0], k[1] or "")):
+        for spec_id, part, sig in sorted(
+            by_group, key=lambda k: (k[0], k[1], k[2] or "")
+        ):
             # clustered (scatter-output) paths sort in bucket = zkey-range
             # order, so path-order packing keeps each bin range-local
-            group = sorted(by_group[(part, sig)], key=lambda f: f.path)
+            group = sorted(by_group[(spec_id, part, sig)], key=lambda f: f.path)
             cur: list[FileEntry] = []
             cur_bytes = 0
             for f in group:
                 if cur and cur_bytes + f.bytes > target_file_bytes:
-                    if _keep(cur):
-                        _emit(part, sig, cur)
+                    if _keep(spec_id, cur):
+                        _emit(spec_id, part, sig, cur)
                     cur, cur_bytes = [], 0
                 cur.append(f)
                 cur_bytes += f.bytes
-            if _keep(cur):
-                _emit(part, sig, cur)
+            if _keep(spec_id, cur):
+                _emit(spec_id, part, sig, cur)
         return bins
 
     def _cluster_spec(self, signature: str, files: list[FileEntry]) -> dict:
@@ -1212,6 +1313,12 @@ class Table:
             concurrency=concurrency,
         ).count()  # consume; stats flow into the checkpoint manifest
         records = ckpt.list_units()
+        if mode != "dv":  # DV units re-emit the ORIGINAL entry (keep spec)
+            cur = self.current_spec
+            if cur:
+                for r in records.values():
+                    for a in r.get("adds", []):
+                        a.setdefault("spec", cur)
         missing = {str(b["unit"]) for b in bins} - set(records)
         if missing:
             raise RuntimeError(f"units did not complete: {sorted(missing)[:10]}")
@@ -1889,6 +1996,9 @@ class Table:
             raise RuntimeError(f"buckets did not complete: {sorted(missing)[:10]}")
         t = self._phase("gather", t)
         adds = [a for r in records.values() for a in r["adds"]]
+        if self.current_spec:  # zorder rewrites land under the current spec
+            for a in adds:
+                a.setdefault("spec", self.current_spec)
         removes = [f.path for f in stat_files]
         version = self._commit_with_rebase(
             adds,
@@ -2117,6 +2227,8 @@ class Table:
         src_entries: list[FileEntry] = []
         if src_unit is None:
             entries = [e for part in ray.get(src_futures) for e in part]
+            for e in entries:
+                e.spec = self.current_spec
             src_entries = entries
             src_unit = {
                 "unit": "src-append",
@@ -2254,11 +2366,17 @@ class Table:
         blooms = self.blooms(parent) if keys else {}
         part_set = set(partitions) if partitions is not None else None
 
+        cur_spec = self.current_spec
         whole_files: list[FileEntry] = []
         rewrite_files: list[FileEntry] = []
         for f in self.files(parent):
-            if part_set is not None and f.partition not in part_set:
+            is_cur = (f.spec or 0) == cur_spec
+            if part_set is not None and is_cur and f.partition not in part_set:
                 continue
+            # old-spec file + partition predicate: cannot prune OR prove
+            # full match by the (old-spec) partition value — always a
+            # rewrite candidate; the caller adds a row-level partition
+            # condition for it
             # n_tok range overlap test from stats
             if min_n_tok is not None and f.max_n_tok is not None and f.max_n_tok < min_n_tok:
                 continue
@@ -2276,7 +2394,8 @@ class Table:
                 rewrite_files.append(f)
                 continue
             fully = (
-                (min_n_tok is None or (f.min_n_tok is not None and f.min_n_tok >= min_n_tok))
+                (part_set is None or is_cur)
+                and (min_n_tok is None or (f.min_n_tok is not None and f.min_n_tok >= min_n_tok))
                 and (max_n_tok is None or (f.max_n_tok is not None and f.max_n_tok <= max_n_tok))
             )
             (whole_files if fully else rewrite_files).append(f)
@@ -2370,12 +2489,23 @@ class Table:
                     {**r, "column": self.column_mapping.get(r["column"], r["column"])}
                     for r in rules
                 ]
-                if conds:
+                bin_conds = list(conds)
+                if partitions is not None and (f.spec or 0) != self.current_spec:
+                    # old-layout file under partition evolution: the
+                    # partition predicate must apply row-level
+                    bin_conds = bin_conds + [
+                        {
+                            "column": self.partition_col,
+                            "op": "in",
+                            "value": sorted(partitions),
+                        }
+                    ]
+                if bin_conds:
                     from realtime_clickstream_lakehouse_ray.functions.predicate import (
                         translate_columns,
                     )
 
-                    spec["where"] = translate_columns(conds, self.column_mapping)
+                    spec["where"] = translate_columns(bin_conds, self.column_mapping)
                 bins.append(spec)
         keys_ref = ray.put(np.asarray(list(keys), dtype=object)) if keys else None
         records = self._run_rewrite_units(
@@ -2516,6 +2646,13 @@ class Table:
                 "mode='mor' tombstones KEYS: pass keys=..., without n_tok "
                 "range predicates (use mode='cow' for range deletes)"
             )
+        if mode == "mor" and partitions is not None and len(self.partition_specs) > 1:
+            raise ValueError(
+                "mode='mor' with partitions= is not supported on a "
+                "mixed-partition-spec table: a DV tombstone is row-blind "
+                "and old-layout files need a row-level partition check — "
+                "use mode='cow'"
+            )
         conds: list[dict] = []
         has_residual = False
         if where is not None:
@@ -2589,14 +2726,26 @@ class Table:
                 translate_columns,
             )
 
+            cur_spec = self.current_spec
             for part in sorted(by_part):
                 for f in sorted(by_part[part], key=lambda f: f.path):
                     spec = self._bin_spec(len(bins), part, [f], job_id)
                     spec["min_n_tok"] = min_n_tok
                     spec["max_n_tok"] = max_n_tok
-                    if conds:
+                    bin_conds = list(conds)
+                    if partitions is not None and (f.spec or 0) != cur_spec:
+                        # old-layout file: the partition predicate becomes
+                        # a row-level condition on the CURRENT column
+                        bin_conds = bin_conds + [
+                            {
+                                "column": self.partition_col,
+                                "op": "in",
+                                "value": sorted(partitions),
+                            }
+                        ]
+                    if bin_conds:
                         # rewrite actors see PHYSICAL batches
-                        spec["where"] = translate_columns(conds, self.column_mapping)
+                        spec["where"] = translate_columns(bin_conds, self.column_mapping)
                     bins.append(spec)
             keys_ref = (
                 ray.put(np.asarray(list(keys), dtype=object)) if keys else None
@@ -2914,6 +3063,10 @@ class Table:
             retired_physical=self.retired_physical,
             stats_cols=self.stats_cols,
         )
+        if len(self.partition_specs) > 1:
+            t.partition_specs = list(self.partition_specs)
+            t.partition_col = self.partition_col
+            t._persist_schema_meta()
         src_files = self.files(v)
         adds = []
         for f in src_files:

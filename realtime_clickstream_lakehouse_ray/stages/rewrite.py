@@ -236,6 +236,41 @@ class BinRewriter:
                 return record
             tbl = tbl.filter(pc.invert(mask))
 
+        if self.mode == "compact" and spec.get("split_partition") and tbl.num_rows:
+            # partition-evolution migration bin: rows were written under an
+            # OLD partition spec; split the rewrite's output per CURRENT
+            # partition value so the bin lands in the new hive layout.
+            # Deterministic names (one file per partition value under the
+            # unit's base name) keep the crash-rerun overwrite property.
+            from realtime_clickstream_lakehouse_ray.stages.writer import (
+                write_partitioned,
+            )
+
+            base = Path(spec["out"]).name[:-8]  # strip ".parquet"
+            entries = write_partitioned(
+                tbl,
+                self.root,
+                self.partition_col,
+                name_fn=lambda part: f"{base}-mig.parquet",
+                stats_cols=self.stats_cols,
+            )
+            adds = []
+            for i, fe in enumerate(entries):
+                adds.append(fe.to_action())
+                if fe.bloom is not None:
+                    self._write_unit_bloom(f"{unit}-m{i}", fe.path, fe.bloom)
+            record = {
+                "unit": unit,
+                "partition": spec["partition"],
+                "inputs": spec["files"],
+                "unchanged": False,
+                "adds": adds,
+                "removes": removes,
+                "rows": tbl.num_rows,
+            }
+            self.ckpt.write_unit(unit, _stamp(record))
+            return record
+
         if self.mode == "compact" and spec.get("signature") and tbl.num_rows:
             # clustering-preserving compact: re-key the bin under its
             # inputs' (curve, dims) signature and sort, so the output file

@@ -64,6 +64,10 @@ class FileEntry:
     # prunes arbitrary-column predicates with (Delta dataSkippingNumIndexed
     # analog).  None for tables that configure none (the common case).
     col_stats: dict | None = None
+    # partition-spec id (Iceberg partition evolution): index into the
+    # table's partition_specs history under which this file was written.
+    # 0 = the creation spec, so pre-evolution manifests load unchanged.
+    spec: int = 0
     # per-file key Bloom filter (bytes). NOT serialized into the JSON
     # snapshot — it rides a parquet sidecar (`_blooms/`, see Table) so the
     # manifest stays small at 10^12-row scale.
@@ -79,6 +83,8 @@ class FileEntry:
             d.pop("clustered", None)
         if d.get("col_stats") is None:
             d.pop("col_stats", None)
+        if not d.get("spec"):  # spec 0 is the overwhelming common case
+            d.pop("spec", None)
         d["op"] = op
         return d
 

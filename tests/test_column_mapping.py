@@ -130,7 +130,7 @@ class TestRename:
     def test_identity_columns_rejected(self, table):
         with pytest.raises(ValueError, match="key column"):
             table.rename_column("doc_id", "id")
-        with pytest.raises(ValueError, match="partition column"):
+        with pytest.raises(ValueError, match="partition"):
             table.rename_column("source", "origin")
         with pytest.raises(ValueError, match="already exists"):
             table.rename_column("length", "source")
@@ -165,7 +165,7 @@ class TestDrop:
         t = _fresh(tmp_path_factory, "colmap_drop_guard")
         with pytest.raises(ValueError, match="key column"):
             t.drop_column("doc_id")
-        with pytest.raises(ValueError, match="partition column"):
+        with pytest.raises(ValueError, match="partition"):
             t.drop_column("source")
 
 

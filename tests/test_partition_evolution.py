@@ -1,0 +1,166 @@
+"""Partition evolution (Iceberg spec evolution): future writes partition by
+a new column without rewriting existing files; the planner prunes
+current-spec files by value, row-filters old-layout files, and normal
+maintenance (compact/zorder) migrates the layout."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from realtime_clickstream_lakehouse_ray.pipelines.table import Table
+
+SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("tokens", pa.list_(pa.int32())),
+        pa.field("n_tok", pa.int32()),
+        pa.field("source", pa.string()),
+        pa.field("region", pa.string()),
+    ]
+)
+
+REGIONS = ["r-east", "r-west"]
+SOURCES = ["web", "chat"]
+
+
+def _batch(start: int, n: int) -> pa.Table:
+    rng = np.random.default_rng(start)
+    toks = [rng.integers(0, 100, size=3 + i % 4).astype(np.int32) for i in range(n)]
+    return pa.table(
+        {
+            "doc_id": [f"d-{start + i:06d}" for i in range(n)],
+            "tokens": pa.array([t.tolist() for t in toks], pa.list_(pa.int32())),
+            "n_tok": pa.array([len(t) for t in toks], pa.int32()),
+            "source": [SOURCES[(start + i) % 2] for i in range(n)],
+            "region": [REGIONS[(start + i) // 2 % 2] for i in range(n)],
+        }
+    )
+
+
+def _collect(ds) -> pa.Table:
+    import ray
+
+    tbls = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    return (
+        pa.concat_tables(tbls).sort_by("doc_id").combine_chunks()
+        if tbls
+        else SCHEMA.empty_table()
+    )
+
+
+@pytest.fixture()
+def evolved(tmp_path):
+    t = Table.create(str(tmp_path / "evo"), schema=SCHEMA)
+    t.append(_batch(0, 100))  # spec 0: source=...
+    t.evolve_partitioning("region")
+    t.append(_batch(100, 100))  # spec 1: region=...
+    return t
+
+
+def test_metadata_and_layout(evolved):
+    t = evolved
+    assert t.partition_specs == ["source", "region"]
+    assert t.partition_col == "region"
+    specs = {(f.spec or 0) for f in t.files()}
+    assert specs == {0, 1}
+    # new files under region=, old untouched under source=
+    assert any(f.path.startswith("region=") for f in t.files())
+    assert any(f.path.startswith("source=") for f in t.files())
+    t2 = Table.load(str(t.root))
+    assert t2.partition_specs == ["source", "region"]
+
+
+def test_scan_partitions_spans_both_layouts(evolved):
+    t = evolved
+    got = _collect(t.scan(partitions=["r-east"]))
+    exp = pa.concat_tables([_batch(0, 100), _batch(100, 100)])
+    exp = exp.filter(pc.equal(exp["region"], "r-east")).sort_by("doc_id")
+    assert got.num_rows == exp.num_rows
+    assert got["doc_id"].combine_chunks().equals(exp["doc_id"].combine_chunks())
+    # old-layout rows ARE present (they were never under region= dirs)
+    assert got.num_rows > 50
+
+
+def test_scan_projection_needs_partition_col_on_mixed_specs(evolved):
+    with pytest.raises(ValueError, match="columns= projection"):
+        evolved.scan(partitions=["r-east"], columns=["doc_id"])
+    got = _collect(
+        evolved.scan(partitions=["r-east"], columns=["doc_id", "region"])
+    )
+    assert set(got["region"].to_pylist()) == {"r-east"}
+
+
+def test_compact_migrates_old_layout(evolved):
+    t = evolved
+    v = t.compact(target_file_bytes=1 << 30)
+    assert v is not None
+    files = t.files()
+    assert all((f.spec or 0) == 1 for f in files)
+    assert all(f.path.startswith("region=") for f in files)
+    # token arrays survive the migration byte-for-byte
+    got = _collect(t.scan())
+    exp = pa.concat_tables([_batch(0, 100), _batch(100, 100)]).sort_by("doc_id")
+    assert got["tokens"].combine_chunks().equals(
+        exp["tokens"].combine_chunks().cast(got["tokens"].combine_chunks().type)
+    )
+    # post-migration the partition prune is value-exact again (no row filter)
+    got = _collect(t.scan(partitions=["r-west"]))
+    assert set(got["region"].to_pylist()) == {"r-west"}
+
+
+def test_zorder_migrates_old_layout(tmp_path):
+    t = Table.create(str(tmp_path / "evoz"), schema=SCHEMA)
+    t.append(_batch(0, 100))
+    t.evolve_partitioning("region")
+    t.append(_batch(100, 100))
+    v = t.zorder(dims=("region", "n_tok", "doc_id"), target_file_bytes=1 << 20)
+    assert v is not None
+    assert all((f.spec or 0) == 1 for f in t.files())
+    assert all(f.path.startswith("region=") for f in t.files())
+    got = _collect(t.scan(partitions=["r-east"]))
+    assert set(got["region"].to_pylist()) == {"r-east"}
+
+
+def test_delete_where_partition_predicate_row_filters_old_layout(evolved):
+    t = evolved
+    exp = pa.concat_tables([_batch(0, 100), _batch(100, 100)])
+    keep = exp.filter(pc.not_equal(exp["region"], "r-east"))
+    v = t.delete(partitions=["r-east"])
+    assert v is not None
+    got = _collect(t.scan())
+    assert got.num_rows == keep.num_rows
+    assert set(got["region"].to_pylist()) == {"r-west"}
+
+
+def test_update_partition_predicate_on_old_layout(evolved):
+    t = evolved
+    v = t.update(
+        set_rules=[{"column": "n_tok", "op": "set", "value": -1}],
+        partitions=["r-west"],
+    )
+    assert v is not None
+    got = _collect(t.scan())
+    hit = got.filter(pc.equal(got["n_tok"], -1))
+    assert set(hit["region"].to_pylist()) == {"r-west"}
+    exp = pa.concat_tables([_batch(0, 100), _batch(100, 100)])
+    assert hit.num_rows == pc.sum(
+        pc.equal(exp["region"], "r-west").cast(pa.int64())
+    ).as_py()
+
+
+def test_guards(evolved):
+    t = evolved
+    with pytest.raises(ValueError, match="already partitioned"):
+        t.evolve_partitioning("region")
+    with pytest.raises(ValueError, match="degenerate"):
+        t.evolve_partitioning("doc_id")
+    with pytest.raises(ValueError, match="non-scalar"):
+        t.evolve_partitioning("tokens")
+    # BOTH the old and the new spec column are rename/drop-protected
+    with pytest.raises(ValueError, match="partition"):
+        t.rename_column("source", "origin")
+    with pytest.raises(ValueError, match="partition"):
+        t.drop_column("region")
+    with pytest.raises(ValueError, match="mixed-partition-spec"):
+        t.delete(keys=["d-000000"], partitions=["r-east"], mode="mor")
