@@ -21,10 +21,11 @@ from __future__ import annotations
 
 from typing import Any
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-KINDS = ("not_null", "range", "allowed_values", "token_len")
+KINDS = ("not_null", "range", "allowed_values", "token_len", "predicate")
 
 
 class ConstraintViolation(ValueError):
@@ -35,6 +36,20 @@ def validate_spec(c: dict[str, Any]) -> dict[str, Any]:
     kind = c.get("kind")
     if kind not in KINDS:
         raise ValueError(f"unknown constraint kind {kind!r} (supported: {KINDS})")
+    if kind == "predicate":
+        # CHECK (<conjunctive predicate>): parsed once here so a malformed
+        # expression fails at ADD CONSTRAINT time, not inside a rewrite
+        from realtime_clickstream_lakehouse_ray.functions.predicate import (
+            parse_predicate,
+        )
+
+        if not c.get("where"):
+            raise ValueError("predicate constraint needs a where string")
+        parsed = parse_predicate(c["where"])
+        name = c.get("name") or "check_" + "_".join(
+            sorted({p["column"] for p in parsed})
+        )
+        return {**c, "name": name, "conds": parsed}
     if kind != "token_len" and not c.get("column"):
         raise ValueError(f"constraint kind {kind!r} requires a column")
     if kind == "range" and c.get("min") is None and c.get("max") is None:
@@ -48,6 +63,20 @@ def validate_spec(c: dict[str, Any]) -> dict[str, Any]:
 def _violations(t: pa.Table, c: dict[str, Any]) -> pa.Array:
     """Boolean mask of VIOLATING rows for one constraint."""
     kind = c["kind"]
+    if kind == "predicate":
+        # CHECK semantics: a row VIOLATES when the predicate is FALSE or
+        # NULL-indeterminate?  Delta treats NULL as satisfied for CHECK;
+        # mirror that: violation = predicate strictly FALSE on non-null
+        # comparisons -> mask False AND all referenced columns non-null
+        from realtime_clickstream_lakehouse_ray.functions.predicate import (
+            predicate_mask,
+        )
+
+        ok = predicate_mask(t, c["conds"])
+        any_null = pa.array(np.zeros(len(t), dtype=bool))
+        for p in c["conds"]:
+            any_null = pc.or_(any_null, pc.is_null(t[p["column"]]))
+        return pc.and_(pc.invert(ok), pc.invert(any_null))
     if kind == "token_len":
         n = pc.list_value_length(t["tokens"]).cast(pa.int64())
         return pc.or_kleene(

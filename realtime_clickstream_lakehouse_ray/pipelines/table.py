@@ -194,12 +194,30 @@ class Table:
         (for rewrite actors, which operate on raw physical batches)."""
         if not self.column_mapping:
             return self.constraints
-        return [
-            {**c, "column": self.column_mapping.get(c["column"], c["column"])}
-            if c.get("column")
-            else c
-            for c in self.constraints
-        ]
+        out = []
+        for c in self.constraints:
+            if c.get("kind") == "predicate":
+                out.append(
+                    {
+                        **c,
+                        "conds": [
+                            {
+                                **p,
+                                "column": self.column_mapping.get(
+                                    p["column"], p["column"]
+                                ),
+                            }
+                            for p in c["conds"]
+                        ],
+                    }
+                )
+            elif c.get("column"):
+                out.append(
+                    {**c, "column": self.column_mapping.get(c["column"], c["column"])}
+                )
+            else:
+                out.append(c)
+        return out
 
     # ------------------------------------------------------------------
     @classmethod
@@ -292,6 +310,8 @@ class Table:
             refs = {c["column"]} if c.get("column") else set()
             if c.get("kind") == "token_len":
                 refs = {"tokens", "n_tok"}
+            elif c.get("kind") == "predicate":
+                refs = {p["column"] for p in c.get("conds", [])}
             if name in refs:
                 raise ValueError(
                     f"cannot {action} {name!r}: referenced by constraint "
@@ -385,6 +405,7 @@ class Table:
         visible rows are validated distributed first — the constraint is
         only persisted if no committed row violates it."""
         from realtime_clickstream_lakehouse_ray.functions.constraints import (
+            ConstraintViolation,
             check_batch,
             validate_spec,
         )
@@ -411,9 +432,17 @@ class Table:
             def _check(t: pa.Table) -> pa.Table:
                 return check_batch(t, [spec], key_col=key_col)
 
-            self.scan().map_batches(
-                _check, batch_format="pyarrow", zero_copy_batch=True
-            ).count()  # raises ConstraintViolation on any violating row
+            try:
+                self.scan().map_batches(
+                    _check, batch_format="pyarrow", zero_copy_batch=True
+                ).count()  # raises ConstraintViolation on any violating row
+            except Exception as e:  # unwrap Ray's task-error envelope
+                import re as _re
+
+                m = _re.search(r"CHECK constraint [^\n]*", str(e))
+                if m:
+                    raise ConstraintViolation(m.group(0)) from None
+                raise
         self.constraints.append(spec)
         self._persist_constraints()
 
@@ -1419,6 +1448,7 @@ class Table:
         job_id: str | None = None,
         concurrency: int | tuple[int, int] = (1, 16),
         partitions: Sequence[str] | None = None,
+        where: str | None = None,
     ) -> int | None:
         """Bin-packing small-file compaction (Delta OPTIMIZE equivalent).
 
@@ -1426,12 +1456,36 @@ class Table:
         partition column): only files in the named partitions are planned
         and rewritten, everything else is untouched — at 100 TB compaction
         runs incrementally on the partitions the last ingest touched, never
-        over the whole table.
+        over the whole table.  ``where`` accepts the same scoping as a
+        predicate string restricted to partition-column equality/IN
+        conditions (``OPTIMIZE ... WHERE source = 'web'``).  A SCOPED
+        compact targets current-partition-spec files only; old-layout
+        files (partition evolution) migrate on a full, unscoped compact.
 
         Deterministic job id per parent version -> idempotent + resumable:
         rerunning after a crash skips finished bins (checkpoint manifest)
         and re-commits exactly once.  Returns the new version, or None when
         there is nothing to compact."""
+        if where is not None:
+            from realtime_clickstream_lakehouse_ray.functions.predicate import (
+                parse_predicate,
+            )
+
+            pset: set[str] | None = None
+            for c in parse_predicate(where):
+                if c["column"] != self.partition_col or c["op"] not in ("=", "in"):
+                    raise ValueError(
+                        "compact(where=) supports partition-column "
+                        "equality/IN conditions only (got "
+                        f"{c['column']} {c['op']})"
+                    )
+                vs = {str(v) for v in (c["value"] if c["op"] == "in" else [c["value"]])}
+                pset = vs if pset is None else (pset & vs)
+            parts = set(partitions) if partitions is not None else None
+            parts = pset if parts is None else (parts & (pset or set()))
+            partitions = sorted(parts) if parts is not None else None
+            if partitions == []:
+                return None
         self._start_op()
         parent = self.version()
         if job_id is None:
@@ -1460,7 +1514,15 @@ class Table:
         files = self.files(parent)
         if partitions is not None:
             wanted = set(partitions)
-            files = [f for f in files if f.partition in wanted]
+            cur_spec = self.current_spec
+            # scoped compact: current-layout files only (an old-spec file's
+            # partition value names a different column; a FULL compact is
+            # the migration path)
+            files = [
+                f
+                for f in files
+                if (f.spec or 0) == cur_spec and f.partition in wanted
+            ]
         bins = self.plan_compaction_bins(files, target_file_bytes, job_id)
         if not bins:
             return None

@@ -105,3 +105,51 @@ class TestTableConstraints:
         table.drop_constraint("allowed_values_source")
         with pytest.raises(KeyError):
             table.drop_constraint("allowed_values_source")
+
+
+def test_predicate_check_constraint(tmp_path_factory):
+    """CHECK (<conjunctive predicate>): Delta CHECK semantics — NULLs
+    satisfy; a strictly-false row fails the append; existing-row
+    verification gates ADD CONSTRAINT; renamed columns translate for the
+    rewrite actors."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from realtime_clickstream_lakehouse_ray.functions.constraints import (
+        ConstraintViolation,
+    )
+    from realtime_clickstream_lakehouse_ray.pipelines.table import Table
+    from realtime_clickstream_lakehouse_ray.sources.synth import (
+        build_synthetic_table,
+    )
+
+    root = str(tmp_path_factory.mktemp("pred_check") / "tokens")
+    t = build_synthetic_table(root, 500, 100)
+    t.add_constraint({"kind": "predicate", "where": "n_tok >= 0 AND n_tok < 100000"})
+
+    bad = pa.table(
+        {
+            "doc_id": ["bad-1"],
+            "tokens": pa.array([[1]], pa.list_(pa.int32())),
+            "n_tok": pa.array([-5], pa.int32()),
+            "source": ["web"],
+        }
+    )
+    with _pytest.raises(ConstraintViolation):
+        t.append(bad)
+    # adding a constraint the CURRENT rows violate is rejected up front
+    with _pytest.raises(ConstraintViolation):
+        t.add_constraint(
+            {"kind": "predicate", "name": "impossible", "where": "n_tok > 100000"}
+        )
+    # malformed predicates fail at ADD time, loudly
+    with _pytest.raises(ValueError):
+        t.add_constraint({"kind": "predicate", "where": "n_tok >= 0 OR 1 = 1"})
+    # the named constraint guards rename/drop of its columns
+    with _pytest.raises(ValueError, match="drop_constraint"):
+        t.rename_column("n_tok", "length")
+    t.drop_constraint("check_n_tok")
+    t.rename_column("n_tok", "length")
+    t.add_constraint({"kind": "predicate", "where": "length >= 0"})
+    # compact runs the physical-translated constraint inside the actors
+    assert t.compact(target_file_bytes=1 << 20) is not None

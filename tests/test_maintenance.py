@@ -744,3 +744,25 @@ class TestDedupRows:
         # deletion vectors, not rewrites: file count unchanged
         assert t.stats()["files"] == files_before
         assert_tokens_equal(collect_sorted(t.scan()), _expected())
+
+
+def test_compact_where_scopes_to_partition(tmp_path_factory):
+    """OPTIMIZE ... WHERE as a predicate string: only the named partition
+    compacts; conditions beyond partition equality/IN reject loudly."""
+    t = _fresh(tmp_path_factory, "compact_where")
+    before = {f.partition: 0 for f in t.files()}
+    for f in t.files():
+        before[f.partition] += 1
+    target = sorted(before)[0]
+    v = t.compact(target_file_bytes=2 << 20, where=f"source = '{target}'")
+    assert v is not None
+    after: dict[str, int] = {}
+    for f in t.files():
+        after[f.partition] = after.get(f.partition, 0) + 1
+    assert after[target] < before[target]
+    for p in before:
+        if p != target:
+            assert after[p] == before[p]  # untouched
+    assert_tokens_equal(collect_sorted(t.scan()), _expected())
+    with pytest.raises(ValueError, match="partition-column"):
+        t.compact(where="n_tok > 5")
