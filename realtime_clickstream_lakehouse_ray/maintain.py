@@ -90,6 +90,12 @@ def main(argv: list[str] | None = None) -> int:
         help="from-version for the changes op (change data feed row counts)",
     )
     p.add_argument("--keep-last", type=int, default=3, help="snapshots kept by expire")
+    p.add_argument(
+        "--expire-older-than-seconds", type=float, default=None,
+        help="age-based retention for expire: versions committed more than "
+        "this many seconds ago expire (combines with --keep-last, keeping "
+        "the MORE conservative set)",
+    )
     p.add_argument("--restore-version", type=int, default=None, help="target for the restore op")
     p.add_argument(
         "--vacuum-min-age-seconds",
@@ -222,7 +228,14 @@ def main(argv: list[str] | None = None) -> int:
             table.rewrite_manifests()
             results[op] = table.version()
         elif op == "expire":
-            results[op] = table.expire_snapshots(keep_last=args.keep_last)
+            older = (
+                time.time() - args.expire_older_than_seconds
+                if args.expire_older_than_seconds is not None
+                else None
+            )
+            results[op] = table.expire_snapshots(
+                keep_last=args.keep_last, older_than=older
+            )
         elif op == "tag":
             if not args.tag_name:
                 p.error("--tag-name required for the tag op")

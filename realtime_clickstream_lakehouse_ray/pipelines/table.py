@@ -3200,8 +3200,13 @@ class Table:
         if units_dir.is_dir():
             _shutil.rmtree(units_dir, ignore_errors=True)
 
-    def expire_snapshots(self, keep_last: int) -> list[int]:
-        return self.log.expire(keep_last)
+    def expire_snapshots(
+        self, keep_last: int | None = None, older_than: float | None = None
+    ) -> list[int]:
+        """Snapshot retention: count-based (``keep_last``) and/or age-based
+        (``older_than`` UNIX seconds — the Delta ``logRetentionDuration`` /
+        Iceberg ``expire_snapshots(older_than=...)`` analog)."""
+        return self.log.expire(keep_last, older_than=older_than)
 
     DEFAULT_VACUUM_MIN_AGE = 24 * 3600.0
 

@@ -309,8 +309,14 @@ class SnapshotLog:
             payload["source_files"] = sorted(src)
         atomic_replace(self._path(version), json.dumps(payload))
 
-    def expire(self, keep_last: int) -> list[int]:
-        """Drop log versions so only the most recent ``keep_last`` remain.
+    def expire(
+        self, keep_last: int | None = None, older_than: float | None = None
+    ) -> list[int]:
+        """Drop old log versions: keep the most recent ``keep_last``, or —
+        Delta/Iceberg retention style — every version whose commit
+        timestamp is >= ``older_than`` (UNIX seconds).  Both given =
+        whichever retains MORE (the conservative intersection of the two
+        expiry sets).  The latest version is always retained.
 
         The oldest retained version is first consolidated (manifest rewrite)
         so it stays readable without its expired ancestors.  TAGGED versions
@@ -322,11 +328,25 @@ class SnapshotLog:
         every retained version, so tagged islands keep their files pinned).
         """
         vs = self.versions()
-        if keep_last < 1:
+        if keep_last is None and older_than is None:
+            raise ValueError("pass keep_last= and/or older_than=")
+        if keep_last is not None and keep_last < 1:
             raise ValueError("keep_last must be >= 1")
-        if len(vs) <= keep_last:
+        cutoffs: list[int] = []
+        if keep_last is not None:
+            if len(vs) <= keep_last:
+                return []
+            cutoffs.append(vs[-keep_last])
+        if older_than is not None:
+            fresh = [
+                v
+                for v in vs
+                if (self.read_version(v).get("timestamp") or 0.0) >= older_than
+            ]
+            cutoffs.append(min(fresh) if fresh else vs[-1])
+        cutoff = min(cutoffs)
+        if cutoff <= vs[0]:
             return []
-        cutoff = vs[-keep_last]
         protected = {v for v in self.refs().values() if v in set(vs)}
         # consolidate ascending: each materialize replays from still-intact
         # ancestors, and earlier islands become bases for later replays

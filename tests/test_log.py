@@ -84,3 +84,30 @@ def test_atomic_publish_leaves_no_temp(tmp_path):
     assert leftovers == []
     payload = json.loads((log.log_dir / f"{1:014d}.json").read_text())
     assert payload["operation"] == "append"
+
+
+def test_expire_older_than(tmp_path):
+    """Age-based retention (Iceberg expire_snapshots(older_than=...)):
+    versions committed before the threshold expire, tagged versions
+    survive as islands, the latest always stays."""
+    from realtime_clickstream_lakehouse_ray.pipelines.table import Table
+    from realtime_clickstream_lakehouse_ray.sources.synth import gen_tokens_chunk
+
+    t = Table.create(str(tmp_path / "age"))
+    for i in range(5):
+        t.append(gen_tokens_chunk(i, i * 10, 10))
+    ts = {v: t.log.read_version(v)["timestamp"] for v in t.log.versions()}
+    t.tag("pin-v2", 2)
+
+    expired = t.expire_snapshots(older_than=ts[4])
+    assert expired == [1, 3]  # v2 tagged, v4 at threshold, v5 latest
+    assert set(t.log.versions()) == {2, 4, 5}
+    # both retention axes together keep the MORE conservative set
+    t2 = Table.create(str(tmp_path / "both"))
+    for i in range(4):
+        t2.append(gen_tokens_chunk(i, i * 10, 10))
+    ts2 = {v: t2.log.read_version(v)["timestamp"] for v in t2.log.versions()}
+    # keep_last=1 alone would expire v1-v3; older_than=ts2[2] alone would
+    # expire only v1 -> the union keeps v2..v4
+    assert t2.expire_snapshots(keep_last=1, older_than=ts2[2]) == [1]
+    assert set(t2.log.versions()) == {2, 3, 4}
