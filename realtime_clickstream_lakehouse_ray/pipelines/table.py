@@ -2835,9 +2835,13 @@ class Table:
     # ---- CHANGE DATA FEED ------------------------------------------------
     def changes(
         self,
-        from_version: int,
+        from_version: int | None = None,
         to_version: int | None = None,
         num_buckets: int | None = None,
+        from_tag: str | None = None,
+        to_tag: str | None = None,
+        from_ts: float | None = None,
+        to_ts: float | None = None,
     ) -> ray.data.Dataset:
         """Change Data Feed: the net row-level difference between two
         snapshots (Delta CDF / ``table_changes`` equivalent — the reference
@@ -2863,6 +2867,16 @@ class Table:
           over all columns including the token lists — and surviving rows
           classify as update (key on both sides), insert or delete.
         """
+        if from_tag is not None:
+            from_version = self.log.resolve_ref(from_tag)
+        elif from_ts is not None:
+            from_version = self.log.version_at(from_ts)
+        if from_version is None:
+            raise ValueError("pass one of from_version=, from_tag=, from_ts=")
+        if to_tag is not None:
+            to_version = self.log.resolve_ref(to_tag)
+        elif to_ts is not None:
+            to_version = self.log.version_at(to_ts)
         to_version = self.version() if to_version is None else to_version
         old_all = {(f.path, f.dv): f for f in self.files(from_version)}
         new_all = {(f.path, f.dv): f for f in self.files(to_version)}

@@ -150,3 +150,36 @@ class TestChangeFeed:
         assert replayed["tokens"].combine_chunks().equals(
             now["tokens"].combine_chunks()
         )
+
+
+def test_changes_by_tag_and_timestamp(tmp_path):
+    """table_changes between named refs / timestamps (the Delta
+    table_changes('t', <ts1>, <ts2>) surface) resolves to the same feed as
+    the version form."""
+    import ray
+
+    from realtime_clickstream_lakehouse_ray.pipelines.table import Table
+    from realtime_clickstream_lakehouse_ray.sources.synth import gen_tokens_chunk
+
+    t = Table.create(str(tmp_path / "cdftag"))
+    t.append(gen_tokens_chunk(0, 0, 50))
+    t.tag("base", 1)
+    ts1 = t.log.read_version(1)["timestamp"]
+    t.append(gen_tokens_chunk(1, 1000, 25))
+
+    def rows(ds):
+        return sorted(
+            r
+            for b in ray.get(ds.to_arrow_refs())
+            if b.num_rows
+            for r in b.column("doc_id").to_pylist()
+        )
+
+    by_version = rows(t.changes(1))
+    assert len(by_version) == 25
+    assert rows(t.changes(from_tag="base")) == by_version
+    assert rows(t.changes(from_ts=ts1)) == by_version
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="from_version"):
+        t.changes()
