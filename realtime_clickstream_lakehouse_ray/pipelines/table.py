@@ -189,6 +189,26 @@ class Table:
             self.column_mapping.get(c, c) for c in self.stats_cols
         )
 
+    def _guard_stale_names(self, schema_names) -> None:
+        """Incoming write data naming a RENAMED-AWAY column by its old
+        (physical) name would be silently dropped as an extra while the
+        new logical column null-fills — the one conform outcome that is
+        always a user error after rename_column.  Reject it loudly."""
+        if not self.column_mapping:
+            return
+        stale = {
+            phys: logical
+            for logical, phys in self.column_mapping.items()
+            if phys not in self.schema.names
+        }
+        hit = [n for n in schema_names if n in stale]
+        if hit:
+            raise ValueError(
+                "write data uses pre-rename column name(s) "
+                + ", ".join(f"{n!r} (now {stale[n]!r})" for n in sorted(hit))
+                + " — use the current logical names"
+            )
+
     def _physical_constraints(self) -> list[dict]:
         """Constraint specs with column refs translated to physical names
         (for rewrite actors, which operate on raw physical batches)."""
@@ -1148,6 +1168,12 @@ class Table:
             new = [f for f in incoming if f.name not in self.schema.names]
             if new:
                 self.evolve_schema(new)
+        incoming_names = (
+            data.column_names
+            if isinstance(data, pa.Table)
+            else [f.name for f in data.schema().base_schema]
+        )
+        self._guard_stale_names(incoming_names)
         if isinstance(data, pa.Table):
             data = ray.data.from_arrow(
                 self._constraint_stage(conform_table(data, self.schema))
@@ -2122,6 +2148,7 @@ class Table:
         self._start_op()
         parent = self.version()
         if isinstance(source, pa.Table):
+            self._guard_stale_names(source.column_names)
             source = self._constraint_stage(conform_table(source, self.schema))
         else:
             source = self._constraint_stage(source)

@@ -259,3 +259,23 @@ def test_zorder_default_dims_follow_rename(tmp_path_factory):
     exp = _expected()
     assert got["tokens"].equals(exp["tokens"].cast(got["tokens"].type))
     assert all(f.clustered for f in t.files())
+
+
+def test_stale_prerename_names_rejected(tmp_path_factory):
+    """Writing with a renamed-away (physical) column name must fail loudly
+    instead of silently dropping the column and null-filling the logical
+    one (the exact silent-data-loss the model-based test tripped on)."""
+    t = _fresh(tmp_path_factory, "colmap_stale")
+    t.rename_column("n_tok", "length")
+    bad = pa.table(
+        {
+            "doc_id": ["zz-1"],
+            "tokens": pa.array([[1]], pa.list_(pa.int32())),
+            "n_tok": pa.array([1], pa.int32()),  # stale pre-rename name
+            "source": ["web"],
+        }
+    )
+    with pytest.raises(ValueError, match="pre-rename"):
+        t.append(bad)
+    with pytest.raises(ValueError, match="pre-rename"):
+        t.merge(bad)
