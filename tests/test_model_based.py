@@ -83,7 +83,8 @@ def test_random_op_sequence_matches_model(tmp_path, seed):
     evolved = False
 
     ops = ["append", "merge", "delete_keys", "delete_where", "update",
-           "compact", "zorder", "rename", "evolve", "expire_vacuum", "mor"]
+           "compact", "zorder", "rename", "evolve", "expire_vacuum", "mor",
+           "dedup"]
     history = []
     for step in range(14):
         op = ops[int(rng.integers(0, len(ops)))]
@@ -160,6 +161,15 @@ def test_random_op_sequence_matches_model(tmp_path, seed):
         elif op == "evolve" and not evolved:
             t.evolve_partitioning("region")
             evolved = True
+        elif op == "dedup":
+            groups: dict = {}
+            for k, r in model.items():
+                groups.setdefault(tuple(r["tokens"]), []).append(k)
+            losers = [k for g in groups.values() for k in sorted(g)[1:]]
+            v = t.dedup_rows()
+            assert (v is not None) == bool(losers)
+            for k in losers:
+                model.pop(k)
         elif op == "expire_vacuum":
             if t.version() > 1:
                 t.expire_snapshots(keep_last=1)
