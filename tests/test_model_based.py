@@ -70,7 +70,7 @@ def _collect(t: Table, tok_col: str, ntk_col: str) -> dict:
     return out
 
 
-@pytest.mark.parametrize("seed", [11, 23, 47])
+@pytest.mark.parametrize("seed", [5, 11, 23, 47, 77])
 @pytest.mark.timeout(900)
 def test_random_op_sequence_matches_model(tmp_path, seed):
     rng = np.random.default_rng(seed)

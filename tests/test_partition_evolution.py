@@ -164,3 +164,29 @@ def test_guards(evolved):
         t.drop_column("region")
     with pytest.raises(ValueError, match="mixed-partition-spec"):
         t.delete(keys=["d-000000"], partitions=["r-east"], mode="mor")
+
+
+def test_evolve_partitioning_via_cli(tmp_path):
+    """The evolve-partitioning CLI op composed with compact migrates the
+    layout end to end through the operator surface."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = str(tmp_path / "evocli")
+    t = Table.create(root, schema=SCHEMA)
+    t.append(_batch(0, 80))
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "realtime_clickstream_lakehouse_ray.maintain",
+            "--table", root, "--ops", "evolve-partitioning,compact",
+            "--partition-by", "region", "--target-file-mb", "1",
+        ],
+        cwd=repo, capture_output=True, text=True, check=True,
+        env=dict(os.environ, RAY_ADDRESS="local"),
+    )
+    assert '"evolve-partitioning": "region"' in out.stdout
+    t = Table.load(root)
+    assert t.partition_col == "region"
+    assert all(f.path.startswith("region=") for f in t.files())
