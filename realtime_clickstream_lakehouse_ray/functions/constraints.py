@@ -21,7 +21,6 @@ from __future__ import annotations
 
 from typing import Any
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -64,19 +63,20 @@ def _violations(t: pa.Table, c: dict[str, Any]) -> pa.Array:
     """Boolean mask of VIOLATING rows for one constraint."""
     kind = c["kind"]
     if kind == "predicate":
-        # CHECK semantics: a row VIOLATES when the predicate is FALSE or
-        # NULL-indeterminate?  Delta treats NULL as satisfied for CHECK;
-        # mirror that: violation = predicate strictly FALSE on non-null
-        # comparisons -> mask False AND all referenced columns non-null
+        # CHECK semantics (SQL/Delta): a row VIOLATES when the predicate
+        # evaluates strictly FALSE; a NULL (indeterminate) result
+        # SATISFIES.  The distinction matters for null rows: ``x > 5`` on a
+        # null x is NULL -> satisfied, but ``x IS NOT NULL`` on a null x is
+        # FALSE -> rejected — so the mask is computed under Kleene logic
+        # and only genuinely-NULL slots are exempted (a blanket
+        # any-referenced-column-is-null exemption would let IS NOT NULL
+        # constraints pass null rows)
         from realtime_clickstream_lakehouse_ray.functions.predicate import (
-            predicate_mask,
+            predicate_mask_kleene,
         )
 
-        ok = predicate_mask(t, c["conds"])
-        any_null = pa.array(np.zeros(len(t), dtype=bool))
-        for p in c["conds"]:
-            any_null = pc.or_(any_null, pc.is_null(t[p["column"]]))
-        return pc.and_(pc.invert(ok), pc.invert(any_null))
+        ok = predicate_mask_kleene(t, c["conds"])
+        return pc.fill_null(pc.invert(ok), False)
     if kind == "token_len":
         n = pc.list_value_length(t["tokens"]).cast(pa.int64())
         return pc.or_kleene(

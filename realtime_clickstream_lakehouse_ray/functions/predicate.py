@@ -157,6 +157,16 @@ def predicate_mask(tbl: pa.Table, conds: list[dict]) -> pa.Array:
     """Vectorized boolean mask for a parsed conjunction over an Arrow
     batch; SQL WHERE semantics (a NULL comparison result keeps the row
     OUT of the match set)."""
+    return pc.fill_null(predicate_mask_kleene(tbl, conds), False)
+
+
+def predicate_mask_kleene(tbl: pa.Table, conds: list[dict]) -> pa.Array:
+    """Three-valued (SQL Kleene) mask for a parsed conjunction: TRUE /
+    FALSE / NULL per row, with NO null-filling.  CHECK-constraint
+    enforcement needs the distinction (a NULL predicate result SATISFIES a
+    CHECK, a strict FALSE violates it — so ``x IS NOT NULL`` correctly
+    rejects null rows while ``x > 5`` passes them); WHERE filtering wraps
+    this with ``fill_null(False)``."""
     mask = pa.array(np.ones(tbl.num_rows, dtype=bool))
     for c in conds:
         col = tbl[c["column"]]
@@ -201,7 +211,7 @@ def predicate_mask(tbl: pa.Table, conds: list[dict]) -> pa.Array:
         else:  # pragma: no cover - parser emits only the ops above
             raise ValueError(f"unknown predicate op {op!r}")
         mask = pc.and_kleene(mask, m)
-    return pc.fill_null(mask, False)
+    return mask
 
 
 def translate_columns(conds: list[dict], mapping: dict[str, str]) -> list[dict]:

@@ -120,6 +120,43 @@ def _dedup_keep_latest(
     return tbl.take(pa.array(np.sort(take)))
 
 
+def _tokens_as_binary(tok: pa.ListArray | pa.ChunkedArray) -> pa.LargeBinaryArray:
+    """Each row's token array as ONE binary scalar (the raw little-endian
+    int32 buffer) — the byte-exact row signature ``dedup_rows`` ships
+    through its group shuffle instead of the list column itself (a flat
+    binary column moves/sorts cheaper than list<int32>, and Ray's polars
+    sort path chokes on parameterized list dtypes)."""
+    if isinstance(tok, pa.ChunkedArray):
+        tok = tok.combine_chunks()
+    offsets = np.asarray(tok.offsets).astype(np.int64)
+    lo, hi = int(offsets[0]), int(offsets[-1])
+    vals = np.ascontiguousarray(np.asarray(tok.values)[lo:hi].astype(np.int32, copy=False))
+    byte_offs = (offsets - lo) * 4  # int64 offsets: large_binary is overflow-safe
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(),
+        len(tok),
+        [None, pa.py_buffer(byte_offs.tobytes()), pa.py_buffer(vals.tobytes())],
+    )
+
+
+def _dedup_group_losers(g: pa.Table) -> pa.Table:
+    """One duplicate-fingerprint group of ``dedup_rows``: keep the min key
+    per DISTINCT token content, emit every other key as a loser.  The
+    byte-level comparison is what makes dedup_rows EXACT — two rows that
+    collide on the 64-bit fold but differ in tokens both survive (and each
+    content class still dedups within itself).  Groups are dup-proportional
+    and tiny (the clone families), so the per-row Python dict is off the
+    hot path by construction."""
+    keys = g["key"].to_pylist()
+    vals = g["tokens_bytes"].to_pylist()
+    best: dict[bytes, str] = {}
+    for k, v in zip(keys, vals):
+        if v not in best or k < best[v]:
+            best[v] = k
+    losers = [k for k, v in zip(keys, vals) if best[v] != k]
+    return pa.table({"key": pa.array(losers, type=pa.string())})
+
+
 class Table:
     def __init__(
         self,
@@ -825,6 +862,27 @@ class Table:
             return files
         phys = self.column_mapping
 
+        def canon(col: str, v):
+            # temporal col_stats are stored as str(datetime) (ISO,
+            # order-preserving — writer.file_stats); a valid but
+            # NON-canonical literal ('2023-09-15 16:00' vs stored
+            # '2023-09-15 16:00:00') sorts differently and would wrongly
+            # prune files with matching rows, so cast-roundtrip the literal
+            # through the column type into the same canonical string form
+            # the stats use before any lexicographic comparison
+            if not isinstance(v, str):
+                return v
+            try:
+                t = self.schema.field(col).type
+            except KeyError:
+                return v
+            if pa.types.is_timestamp(t) or pa.types.is_date(t):
+                try:
+                    return str(pa.scalar(v).cast(t).as_py())
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                    return v
+            return v
+
         def provably_empty(f: FileEntry) -> bool:
             cs = f.col_stats or {}
             for c in conds:
@@ -833,7 +891,10 @@ class Table:
                     continue
                 lo, hi = rng
                 op, v = c["op"], c["value"]
-                vals = v if op == "in" else [v]
+                v = canon(c["column"], v)
+                vals = (
+                    [canon(c["column"], x) for x in v] if op == "in" else [v]
+                )
                 if op not in ("=", "in", "<", "<=", ">", ">="):
                     continue
                 # only compare like-kinded values (numbers with numbers,
@@ -1302,12 +1363,26 @@ class Table:
         }
 
     def _bin_spec(self, unit: int, part: str, files: list[FileEntry], tag: str) -> dict:
+        # every bin is homogeneous in partition SPEC: a non-migration
+        # rewrite of an old-layout file must stay in the OLD layout (its
+        # partition value names the old spec's column), so the output path
+        # derives from the input files' own spec column and the bin records
+        # its spec_id for the add-entry tagging in _run_rewrite_units —
+        # mixing claims (current spec id + old partition value) would make
+        # scan(partitions=)/scoped compact prune the file by value and
+        # silently drop rows
+        spec_ids = {f.spec or 0 for f in files}
+        if len(spec_ids) > 1:
+            raise AssertionError(f"bin mixes partition specs {spec_ids}")
+        spec_id = spec_ids.pop() if spec_ids else self.current_spec
+        part_col = self.partition_specs[spec_id]
         spec = {
             "unit": unit,
             "partition": part,
+            "spec_id": spec_id,
             "files": [f.path for f in files],
             "bytes": int(sum(f.bytes or 0 for f in files)),
-            "out": f"{self.partition_col}={part}/{tag}-bin{unit:06d}.parquet",
+            "out": f"{part_col}={part}/{tag}-bin{unit:06d}.parquet",
         }
         dvs = {f.path: f.dv for f in files if f.dv}
         if dvs:  # every rewrite materializes pending MOR deletes
@@ -1370,10 +1445,26 @@ class Table:
         records = ckpt.list_units()
         if mode != "dv":  # DV units re-emit the ORIGINAL entry (keep spec)
             cur = self.current_spec
-            if cur:
-                for r in records.values():
+            # per-unit OUTPUT spec: a non-migration rewrite of old-layout
+            # files stays in the old layout -> tag its adds with the INPUT
+            # spec; only bins that actually re-lay rows under the current
+            # partition column (compact split_partition migration bins, and
+            # partition-changing UPDATEs, which split per current value)
+            # take the current spec
+            out_spec: dict[str, int] = {}
+            for b in bins:
+                if b.get("split_partition") or any(
+                    r["column"] == self.partition_col
+                    for r in b.get("rules", ())
+                ):
+                    out_spec[str(b["unit"])] = cur
+                else:
+                    out_spec[str(b["unit"])] = b.get("spec_id", cur)
+            for uid, r in records.items():
+                s = out_spec.get(uid, cur)
+                if s:
                     for a in r.get("adds", []):
-                        a.setdefault("spec", cur)
+                        a.setdefault("spec", s)
         missing = {str(b["unit"]) for b in bins} - set(records)
         if missing:
             raise RuntimeError(f"units did not complete: {sorted(missing)[:10]}")
@@ -1634,7 +1725,6 @@ class Table:
             .groupby("fp")
             .aggregate(Min("key", alias_name="winner"), Count(alias_name="n"))
         )
-        losers: list[str] = []
         # dup-proportional second pass: only fingerprints with n > 1 need
         # their member keys re-derived (broadcast the small dup-fp set)
         dup_blocks = [
@@ -1646,9 +1736,6 @@ class Table:
         if dup_tbl is None or dup_tbl.num_rows == 0:
             return None
         dup_fps = np.sort(np.asarray(dup_tbl["fp"]).astype(np.int64))
-        winners = dict(
-            zip(dup_tbl["fp"].to_pylist(), dup_tbl["winner"].to_pylist())
-        )
         ref = ray.put(dup_fps)
 
         def losers_stage(t: pa.Table) -> pa.Table:
@@ -1656,25 +1743,37 @@ class Table:
                 get_broadcast,
             )
 
+            fp = fp_stage(t)
             d = get_broadcast(ref)
-            fps = np.asarray(t["fp"]).astype(np.int64)
+            fps = np.asarray(fp["fp"]).astype(np.int64)
             idx = np.searchsorted(d, fps)
             in_r = idx < len(d)
             hit = np.zeros(len(fps), dtype=bool)
             hit[in_r] = d[idx[in_r]] == fps[in_r]
-            return t.filter(pa.array(hit))
+            # dup-fp members carry their token BYTES into the group check:
+            # fingerprint equality alone must never delete a row (a 64-bit
+            # collision at trillion-row scale is expected), so the loser
+            # verdict is made on byte-identical token content per group
+            return fp.append_column(
+                "tokens_bytes", _tokens_as_binary(t["tokens"])
+            ).filter(pa.array(hit))
 
-        members = (
-            self.scan(columns=[self.key_col, "tokens"])
-            .map_batches(fp_stage, batch_format="pyarrow", zero_copy_batch=True)
-            .map_batches(losers_stage, batch_format="pyarrow", zero_copy_batch=True)
+        members = self.scan(columns=[self.key_col, "tokens"]).map_batches(
+            losers_stage, batch_format="pyarrow", zero_copy_batch=True
         )
-        for t in ray.get(members.to_arrow_refs()):
-            if not t.num_rows or "fp" not in t.column_names:
-                continue
-            for f, k in zip(t["fp"].to_pylist(), t["key"].to_pylist()):
-                if k != winners[f]:
-                    losers.append(k)
+        # group the (dup-proportional) members by fingerprint; within each
+        # group keep the min key PER DISTINCT TOKEN CONTENT and emit the
+        # rest as losers — exact dedup even across fp collisions (rows that
+        # merely share a fingerprint but differ in bytes are all kept)
+        losers_ds = members.groupby("fp").map_groups(
+            _dedup_group_losers, batch_format="pyarrow"
+        )
+        losers: list[str] = [
+            k
+            for t in ray.get(losers_ds.to_arrow_refs())
+            if t.num_rows and "key" in t.column_names
+            for k in t["key"].to_pylist()
+        ]
         if not losers:
             return None
         return self.delete(
@@ -2218,14 +2317,18 @@ class Table:
         # bin): fewer, bigger rewrite units — a broadcast MERGE doubles as
         # compaction of the files it touches
         target = target_file_bytes
-        by_part: dict[str, list[FileEntry]] = {}
+        # group by (spec, partition): old- and current-layout files can
+        # share a partition VALUE but must never share a bin (the rewrite
+        # output stays in its inputs' layout; _bin_spec enforces this)
+        by_part: dict[tuple[int, str], list[FileEntry]] = {}
         for f in affected:
-            by_part.setdefault(f.partition, []).append(f)
+            by_part.setdefault(((f.spec or 0), f.partition), []).append(f)
         bins: list[dict] = []
-        for part in sorted(by_part):
+        for spec_part in sorted(by_part):
+            part = spec_part[1]
             cur: list[FileEntry] = []
             cur_bytes = 0
-            for f in sorted(by_part[part], key=lambda f: f.path):
+            for f in sorted(by_part[spec_part], key=lambda f: f.path):
                 if cur and cur_bytes + f.bytes > target:
                     bins.append(self._bin_spec(len(bins), part, cur, job_id))
                     cur, cur_bytes = [], 0
@@ -2414,6 +2517,8 @@ class Table:
             batch_size=100_000,
         )
         entries = self._collect_stats(stats_ds)
+        for e in entries:  # whole-table rewrite under the CURRENT layout
+            e.spec = self.current_spec
         removes = [f.path for f in self.files(parent)]
         version = self._commit_with_rebase(
             [e.to_action() for e in entries], removes, "merge", parent, job_id

@@ -153,3 +153,34 @@ def test_predicate_check_constraint(tmp_path_factory):
     t.add_constraint({"kind": "predicate", "where": "length >= 0"})
     # compact runs the physical-translated constraint inside the actors
     assert t.compact(target_file_bytes=1 << 20) is not None
+
+
+def test_predicate_check_kleene_null_semantics():
+    """SQL/Delta CHECK three-valued semantics: a NULL predicate RESULT
+    satisfies the constraint (``x > 5`` passes a null x), but a strict
+    FALSE violates it — so ``x IS NOT NULL`` (alone or as a conjunct)
+    must reject null rows rather than exempt them."""
+    t = pa.table(
+        {
+            "doc_id": pa.array(["a", "b"]),
+            "score": pa.array([None, 9.0], pa.float64()),
+        }
+    )
+    passes_null = validate_spec({"kind": "predicate", "where": "score > 5"})
+    check_batch(t, [passes_null])  # NULL result -> satisfied
+    not_null = validate_spec(
+        {"kind": "predicate", "where": "score IS NOT NULL"}
+    )
+    with pytest.raises(ConstraintViolation, match="1 row"):
+        check_batch(t, [not_null])
+    conjunct = validate_spec(
+        {"kind": "predicate", "where": "score IS NOT NULL AND score > 5"}
+    )
+    with pytest.raises(ConstraintViolation, match="1 row"):
+        check_batch(t, [conjunct])
+    # all-null-free batch with a strict-false row still fails, and a
+    # genuinely passing batch still passes
+    ok = pa.table(
+        {"doc_id": pa.array(["c"]), "score": pa.array([7.0], pa.float64())}
+    )
+    check_batch(ok, [not_null, conjunct, passes_null])

@@ -766,3 +766,43 @@ def test_compact_where_scopes_to_partition(tmp_path_factory):
     assert_tokens_equal(collect_sorted(t.scan()), _expected())
     with pytest.raises(ValueError, match="partition-column"):
         t.compact(where="n_tok > 5")
+
+
+def test_dedup_group_losers_survives_fp_collision():
+    """Regression (round-4 ADVICE): fingerprint equality alone must never
+    delete a row — the group check compares token CONTENT, so two rows that
+    collide on the 64-bit fold but differ in bytes both survive, while each
+    content class still dedups to its min key."""
+    import pyarrow as pa
+
+    from realtime_clickstream_lakehouse_ray.pipelines.table import (
+        _dedup_group_losers,
+    )
+
+    from realtime_clickstream_lakehouse_ray.pipelines.table import (
+        _tokens_as_binary,
+    )
+
+    def grp(keys, toks):
+        arr = pa.array(toks, pa.list_(pa.int32()))
+        return pa.table(
+            {
+                "fp": pa.array([7] * len(keys), pa.int64()),
+                "key": pa.array(keys),
+                "tokens_bytes": _tokens_as_binary(arr),
+            }
+        )
+
+    # one fp group holding TWO distinct contents (a simulated collision):
+    # content A appears 3x, content B 2x
+    out = _dedup_group_losers(
+        grp(["a3", "a1", "b2", "a2", "b1"],
+            [[1, 2], [1, 2], [9, 9, 9], [1, 2], [9, 9, 9]])
+    )
+    # min key per content survives: a1 and b1; losers are the rest
+    assert sorted(out["key"].to_pylist()) == ["a2", "a3", "b2"]
+    # a group that is ONLY a collision (no true dups) deletes nothing
+    assert _dedup_group_losers(grp(["x", "y"], [[1], [2]])).num_rows == 0
+    # the binary signature is the raw int32 buffer (length-sensitive):
+    # [1] vs [1, 0]-prefix-sharing rows stay distinct
+    assert _dedup_group_losers(grp(["x", "y"], [[1], [1, 0]])).num_rows == 0

@@ -190,3 +190,85 @@ def test_evolve_partitioning_via_cli(tmp_path):
     t = Table.load(root)
     assert t.partition_col == "region"
     assert all(f.path.startswith("region=") for f in t.files())
+
+
+def test_dml_rewrite_keeps_old_spec_claim(evolved):
+    """Regression (round-4 ADVICE, high): a CoW DELETE that rewrites an
+    old-layout file must re-add it under its OWN spec (old partition value
+    + old hive dir), never claim the current spec — a mixed claim makes
+    scan(partitions=) prune the file by value and silently drop rows."""
+    t = evolved
+    exp = pa.concat_tables([_batch(0, 100), _batch(100, 100)])
+    v = t.delete(partitions=["r-east"])
+    assert v is not None
+    # every surviving pre-evolution file (rewritten or not) still claims
+    # spec 0 and lives under source=; current-spec files claim spec 1
+    for f in t.files():
+        if f.path.startswith("source="):
+            assert (f.spec or 0) == 0, f.path
+        else:
+            assert f.path.startswith("region=")
+            assert (f.spec or 0) == 1, f.path
+    # the exact reported repro: the OTHER partition keeps all 100 rows
+    got = _collect(t.scan(partitions=["r-west"]))
+    exp_west = exp.filter(pc.equal(exp["region"], "r-west"))
+    assert got.num_rows == exp_west.num_rows == 100
+    assert set(got["region"].to_pylist()) == {"r-west"}
+    # and a scoped compact (current-spec only) does not eat old rows
+    t.compact(target_file_bytes=1 << 30, partitions=["r-west"])
+    assert _collect(t.scan(partitions=["r-west"])).num_rows == 100
+
+
+def test_update_rewrite_keeps_old_spec_claim(evolved):
+    """Same regression for UPDATE: a rewrite of an old-layout file stays in
+    the old layout unless the update touches the partition column."""
+    t = evolved
+    v = t.update(
+        set_rules=[{"column": "n_tok", "op": "set", "value": -7}],
+        partitions=["r-east"],
+    )
+    assert v is not None
+    for f in t.files():
+        dir_col = f.path.split("=", 1)[0]
+        assert dir_col == t.partition_specs[f.spec or 0], f.path
+    got = _collect(t.scan(partitions=["r-west"]))
+    assert got.num_rows == 100
+    assert not any(v == -7 for v in got["n_tok"].to_pylist())
+
+
+def test_partition_changing_update_migrates_to_current_spec(evolved):
+    """An UPDATE that rewrites the CURRENT partition column splits its
+    output per new value — those adds land in the current layout and must
+    claim the current spec."""
+    t = evolved
+    v = t.update(
+        set_rules=[{"column": "region", "op": "set", "value": "r-east"}],
+        min_n_tok=0,
+    )
+    assert v is not None
+    assert all((f.spec or 0) == 1 for f in t.files())
+    assert all(f.path.startswith("region=") for f in t.files())
+    got = _collect(t.scan(partitions=["r-east"]))
+    assert got.num_rows == 200
+    assert _collect(t.scan(partitions=["r-west"])).num_rows == 0
+
+
+def test_merge_rewrite_keeps_old_spec_claim(evolved):
+    """Broadcast MERGE bins never mix specs; rewrites of old-layout files
+    keep their old-spec claim so partition scans stay exact."""
+    t = evolved
+    # source updates one old-layout key and one new-layout key
+    src = pa.concat_tables([_batch(0, 2), _batch(100, 2)])
+    src = src.set_column(
+        src.column_names.index("n_tok"),
+        "n_tok",
+        pa.array([-9] * src.num_rows, pa.int32()),
+    )
+    v = t.merge(src)
+    assert v is not None
+    for f in t.files():
+        dir_col = f.path.split("=", 1)[0]
+        assert dir_col == t.partition_specs[f.spec or 0], f.path
+    got = _collect(t.scan(partitions=["r-east", "r-west"]))
+    assert got.num_rows == 200
+    assert sum(1 for x in got["n_tok"].to_pylist() if x == -9) == 4

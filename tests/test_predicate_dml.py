@@ -442,3 +442,71 @@ def test_scan_where_composes_with_deletion_vectors(tmp_path_factory):
     got = _collect(t.scan(where="n_tok > 100"))
     assert got.num_rows == int(pred.sum())
     assert not set(dead) & set(got["doc_id"].to_pylist())
+
+
+class TestTemporalStatsPruning:
+    """col_stats pruning on timestamp columns must canonicalize predicate
+    literals before lexicographic comparison: '2023-09-15 16:00' vs stored
+    '2023-09-15 16:00:00' previously sorted below the file min and wrongly
+    pruned a file with matching rows."""
+
+    @pytest.fixture(scope="class")
+    def table(self, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("ts_stats") / "events")
+        schema = pa.schema(
+            [
+                pa.field("doc_id", pa.string()),
+                pa.field("tokens", pa.list_(pa.int32())),
+                pa.field("n_tok", pa.int32()),
+                pa.field("source", pa.string()),
+                pa.field("event_ts", pa.timestamp("us")),
+            ]
+        )
+        t = Table.create(root, schema=schema, stats_cols=("event_ts",))
+        from datetime import datetime
+
+        for day in (14, 15, 16):  # three files, one day each
+            t.append(
+                pa.table(
+                    {
+                        "doc_id": [f"d-{day}-{h:02d}" for h in range(24)],
+                        "tokens": pa.array(
+                            [[day, h] for h in range(24)], pa.list_(pa.int32())
+                        ),
+                        "n_tok": pa.array([2] * 24, pa.int32()),
+                        "source": ["web"] * 24,
+                        "event_ts": pa.array(
+                            [datetime(2023, 9, day, h, 0, 0) for h in range(24)],
+                            pa.timestamp("us"),
+                        ),
+                    }
+                )
+            )
+        return t
+
+    def test_noncanonical_literal_not_wrongly_pruned(self, table):
+        # '16:00' is a valid timestamp literal whose string form sorts
+        # BELOW the stored '...00:00:00' min; it must still match the
+        # 16:00:00 row on day 15
+        got = _collect(table.scan(where="event_ts = '2023-09-15 16:00'"))
+        assert got["doc_id"].to_pylist() == ["d-15-16"]
+        # and the plan still prunes to the single covering file
+        pruned = table._prune_by_col_stats(
+            table.files(), parse_predicate("event_ts = '2023-09-15 16:00'")
+        )
+        assert len(pruned) == 1
+
+    def test_canonical_literals_still_prune(self, table):
+        files = table.files()
+        assert (
+            table._prune_by_col_stats(
+                files, parse_predicate("event_ts > '2023-09-16 23:00:00'")
+            )
+            == []
+        )
+        pruned = table._prune_by_col_stats(
+            files, parse_predicate("event_ts >= '2023-09-16'")
+        )
+        assert len(pruned) == 1
+        got = _collect(table.scan(where="event_ts >= '2023-09-16'"))
+        assert got.num_rows == 24
