@@ -143,6 +143,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maintenance_history": maintenance.maintenance_history,
         # SELECT-side predicate pushdown (scan(where=...), stats-pruned)
         "maintenance_scan_where": maintenance.maintenance_scan_where,
+        # ad-hoc SQL read surface (Table.sql — the reference's Athena
+        # consumer path; engine plans/prunes, embedded DuckDB executes)
+        "sql_adhoc": maintenance.sql_adhoc,
+        # SQL over a time-travel snapshot (version=, blind to later DML)
+        "sql_time_travel": maintenance.sql_time_travel,
         # exact dedup ON the lakehouse table (fingerprint -> key DELETE)
         "maintenance_dedup_rows": maintenance.maintenance_dedup_rows,
         # Iceberg partition-spec evolution + compaction-driven migration
@@ -1775,6 +1780,20 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {_DOC_KEY} AS doc_id, CAST(nt AS BIGINT) AS n_tok, source "
             f"FROM base WHERE source = 'src3' AND nt BETWEEN 30 AND 80 "
             f"AND {_DOC_KEY} >= 'doc-000000000010'"
+        ),
+        "sql_adhoc": (
+            f"WITH base AS ({_DOCS_BASE}) "
+            f"SELECT source, count(*) AS n_docs, "
+            f"CAST(sum(nt) AS BIGINT) AS total_tok, "
+            f"min({_DOC_KEY}) AS first_doc, CAST(max(nt) AS BIGINT) AS max_tok "
+            f"FROM base WHERE source = 'src3' AND nt >= 30 "
+            f"GROUP BY source ORDER BY source"
+        ),
+        "sql_time_travel": (
+            f"WITH base AS ({_DOCS_BASE}) "
+            f"SELECT source, count(*) AS n_docs, "
+            f"CAST(sum(nt) AS BIGINT) AS total_tok "
+            f"FROM base GROUP BY source ORDER BY source"
         ),
         "maintenance_history": """
             SELECT * FROM (VALUES

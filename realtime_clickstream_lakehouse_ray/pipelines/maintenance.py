@@ -810,3 +810,44 @@ def maintenance_partition_evolution(sf_dir: str) -> pa.Table:
         got.column_names.index("n_tok"), "n_tok", got["n_tok"].cast(pa.int64())
     )
     return got.sort_by("doc_id").combine_chunks()
+
+
+def sql_adhoc(sf_dir: str) -> pa.Table:
+    """Ad-hoc SQL consumer surface (``Table.sql`` — the reference's Athena
+    path, README.md:113): ingest -> compact -> run an analyst-style
+    aggregate whose WHERE the engine auto-extracts for manifest file
+    pruning (asserted here: the n_tok condition plus compacted layout must
+    prune at least one file).  The oracle is the SAME aggregate stated
+    over the raw documents-derived relation."""
+    t = build_from_documents(sf_dir, _scratch_root(sf_dir, "sqladhoc"))
+    t.zorder(target_file_bytes=1 << 20)
+    q = (
+        "SELECT source, count(*) AS n_docs, "
+        "CAST(sum(n_tok) AS BIGINT) AS total_tok, "
+        "min(doc_id) AS first_doc, CAST(max(n_tok) AS BIGINT) AS max_tok "
+        "FROM t WHERE source = 'src3' AND n_tok >= 30 "
+        "GROUP BY source ORDER BY source"
+    )
+    ex = t.sql_explain(q)
+    assert ex["pushdown_where"] == "source = 'src3' AND n_tok >= 30"
+    # the partition condition must prune to src3's files alone
+    assert 0 < ex["n_files"] < ex["n_files_snapshot"], (
+        ex["n_files"], ex["n_files_snapshot"],
+    )
+    return t.sql(q)
+
+
+def sql_time_travel(sf_dir: str) -> pa.Table:
+    """SQL over time travel: delete a slice, then query the PRE-delete
+    snapshot by version — the answer must be blind to the delete.  The
+    oracle restates the full-corpus aggregate."""
+    t = build_from_documents(sf_dir, _scratch_root(sf_dir, "sqltt"))
+    t.compact(target_file_bytes=8 << 20)
+    v0 = t.version()
+    t.delete(where="n_tok >= 40")
+    return t.sql(
+        "SELECT source, count(*) AS n_docs, "
+        "CAST(sum(n_tok) AS BIGINT) AS total_tok FROM t "
+        "GROUP BY source ORDER BY source",
+        version=v0,
+    )

@@ -684,36 +684,24 @@ class Table:
         live = {f.path for f in self.files(version)}
         return {p: b for p, b in out.items() if p in live}
 
-    def scan(
+    def _plan_snapshot_files(
         self,
         version: int | None = None,
-        columns: Sequence[str] | None = None,
+        as_of: float | None = None,
+        tag: str | None = None,
         partitions: Sequence[str] | None = None,
         min_n_tok: int | None = None,
         max_n_tok: int | None = None,
-        as_of: float | None = None,
-        tag: str | None = None,
-        apply_dvs: bool = True,
         where: str | None = None,
-        **read_kwargs: Any,
-    ) -> ray.data.Dataset:
-        """Snapshot-pinned scan: plan ``read_parquet`` over exactly the files
-        of ``version``; prune files by partition value and n_tok stats
-        before any data is read (the engine's answer to the reference's
-        ``parquet.filterPushdown`` at glue_stream.py:295-301).
-
-        ``as_of`` is timestamp time travel (Delta ``timestampAsOf``,
-        reference README.md:176): resolve the latest commit at or before
-        the given UNIX timestamp.  ``tag`` reads a named-ref snapshot (see
-        ``Table.tag``); ``version`` / ``as_of`` / ``tag`` are mutually
-        exclusive.
-
-        ``apply_dvs``: filter out keys tombstoned by merge-on-read DELETE
-        (deletion-vector sidecars).  The union of the scanned files' DVs is
-        broadcast once (``ray.put``) and each read task drops tombstoned
-        keys vectorized — DV volume is bounded by deletes since the last
-        rewrite touching those files (compact/zorder/merge/
-        materialize_deletes all fold DVs in and drop them)."""
+    ) -> tuple[list[FileEntry], list[dict], list[str] | None]:
+        """The read planner shared by ``scan`` and ``sql``: resolve the
+        snapshot (version / timestamp / tag), fold a WHERE string into the
+        stats-pruning hints, and prune the snapshot's file list by
+        partition value, n_tok range, generic col_stats and key
+        range+Bloom.  Returns ``(files, conds, part_row_filter)`` —
+        ``conds`` is the parsed conjunction the caller must still apply
+        row-level, ``part_row_filter`` the partition values old-layout
+        files need row-filtered on (partition evolution)."""
         if sum(x is not None for x in (version, as_of, tag)) > 1:
             raise ValueError("pass at most one of version=, as_of=, tag=")
         if tag is not None:
@@ -721,6 +709,7 @@ class Table:
         elif as_of is not None:
             version = self.log.version_at(as_of)
         conds: list[dict] = []
+        _keys = None
         if where is not None:
             # SELECT-side filter pushdown through the same conjunctive
             # grammar as DML: partition/key/n_tok conditions prune FILES
@@ -752,6 +741,71 @@ class Table:
             files = [f for f in files if f.min_n_tok is None or f.min_n_tok <= max_n_tok]
         if conds:
             files = self._prune_by_col_stats(files, conds)
+        if conds and _keys is not None:
+            # key-equality conditions: min/max-key + Bloom file skipping,
+            # the same pruning MERGE uses
+            from realtime_clickstream_lakehouse_ray.functions.bloom import (
+                bloom_any_match,
+            )
+            from realtime_clickstream_lakehouse_ray.functions.hashing import hash64
+
+            karr = sorted(_keys)
+            blooms = self.blooms(version)
+            kept = []
+            for f in files:
+                if f.min_key is not None and f.max_key is not None:
+                    inside = [k for k in karr if f.min_key <= k <= f.max_key]
+                    if not inside:
+                        continue
+                    b = blooms.get(f.path)
+                    if b is not None and not bloom_any_match(
+                        b, hash64(pa.array(inside, pa.string()))
+                    ):
+                        continue
+                kept.append(f)
+            files = kept
+        return files, conds, part_row_filter
+
+    def scan(
+        self,
+        version: int | None = None,
+        columns: Sequence[str] | None = None,
+        partitions: Sequence[str] | None = None,
+        min_n_tok: int | None = None,
+        max_n_tok: int | None = None,
+        as_of: float | None = None,
+        tag: str | None = None,
+        apply_dvs: bool = True,
+        where: str | None = None,
+        **read_kwargs: Any,
+    ) -> ray.data.Dataset:
+        """Snapshot-pinned scan: plan ``read_parquet`` over exactly the files
+        of ``version``; prune files by partition value and n_tok stats
+        before any data is read (the engine's answer to the reference's
+        ``parquet.filterPushdown`` at glue_stream.py:295-301).
+
+        ``as_of`` is timestamp time travel (Delta ``timestampAsOf``,
+        reference README.md:176): resolve the latest commit at or before
+        the given UNIX timestamp.  ``tag`` reads a named-ref snapshot (see
+        ``Table.tag``); ``version`` / ``as_of`` / ``tag`` are mutually
+        exclusive.
+
+        ``apply_dvs``: filter out keys tombstoned by merge-on-read DELETE
+        (deletion-vector sidecars).  The union of the scanned files' DVs is
+        broadcast once (``ray.put``) and each read task drops tombstoned
+        keys vectorized — DV volume is bounded by deletes since the last
+        rewrite touching those files (compact/zorder/merge/
+        materialize_deletes all fold DVs in and drop them)."""
+        files, conds, part_row_filter = self._plan_snapshot_files(
+            version=version,
+            as_of=as_of,
+            tag=tag,
+            partitions=partitions,
+            min_n_tok=min_n_tok,
+            max_n_tok=max_n_tok,
+            where=where,
+        )
+        if conds:
             # push the pushable conditions into the Parquet fragment
             # scanner so ROW-GROUP statistics prune inside files too
             # (temporal columns skipped: their literals are strings and the
@@ -776,29 +830,6 @@ class Table:
             # still get manifest + row-level filtering
             if expr is not None and columns is None:
                 read_kwargs.setdefault("filter", expr)
-        if conds and _keys is not None:
-            # key-equality conditions: min/max-key + Bloom file skipping,
-            # the same pruning MERGE uses
-            from realtime_clickstream_lakehouse_ray.functions.bloom import (
-                bloom_any_match,
-            )
-            from realtime_clickstream_lakehouse_ray.functions.hashing import hash64
-
-            karr = sorted(_keys)
-            blooms = self.blooms(version)
-            kept = []
-            for f in files:
-                if f.min_key is not None and f.max_key is not None:
-                    inside = [k for k in karr if f.min_key <= k <= f.max_key]
-                    if not inside:
-                        continue
-                    b = blooms.get(f.path)
-                    if b is not None and not bloom_any_match(
-                        b, hash64(pa.array(inside, pa.string()))
-                    ):
-                        continue
-                kept.append(f)
-            files = kept
         ds = self._read_entries(
             files, columns=columns, apply_dvs=apply_dvs, **read_kwargs
         )
@@ -849,6 +880,57 @@ class Table:
                 _part_filter, batch_format="pyarrow", zero_copy_batch=True
             )
         return ds
+
+    def sql(
+        self,
+        query: str,
+        name: str = "t",
+        version: int | None = None,
+        as_of: float | None = None,
+        tag: str | None = None,
+        where: str | None = None,
+        threads: int | None = None,
+    ) -> pa.Table:
+        """Ad-hoc SQL over a table snapshot — the reference's Athena
+        consumer path (README.md:113; docs/architecture.md ``Athena
+        -->|Query| S3``).  The snapshot is registered as view ``name``
+        (default ``t``) with the LOGICAL schema (column mapping applied,
+        deletion vectors filtered, partition-evolution row filters in
+        place), and the query executes in an embedded DuckDB directly over
+        the manifest-pruned Parquet file list (see pipelines/sqlread.py
+        for the planning/execution split).  ``where=`` (engine conjunctive
+        grammar) scopes the snapshot with full manifest pruning and is
+        re-applied row-level; otherwise the query's own top-level WHERE is
+        auto-extracted for pruning when it parses.  ``version`` /
+        ``as_of`` / ``tag`` give SQL-over-time-travel."""
+        from realtime_clickstream_lakehouse_ray.pipelines.sqlread import (
+            table_sql,
+        )
+
+        return table_sql(
+            self, query, name=name, version=version, as_of=as_of, tag=tag,
+            where=where, threads=threads,
+        )
+
+    def sql_explain(
+        self,
+        query: str,
+        version: int | None = None,
+        as_of: float | None = None,
+        tag: str | None = None,
+        where: str | None = None,
+    ) -> dict:
+        """The plan ``sql`` would execute: pruned file list vs snapshot
+        total, the pushdown conjunction used, and DV sidecars — the
+        observability hook for asserting file pruning through the SQL
+        path."""
+        from realtime_clickstream_lakehouse_ray.pipelines.sqlread import (
+            plan_sql_view,
+        )
+
+        return plan_sql_view(
+            self, query, version=version, as_of=as_of, tag=tag, where=where
+        )
 
     def _prune_by_col_stats(
         self, files: list[FileEntry], conds: list[dict]
