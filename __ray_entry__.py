@@ -316,6 +316,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal (stubbed codec, real plumbing) ------------------
         "image_metadata": multimodal.image_metadata,
         "image_features": multimodal.image_features_flat,
+        # REAL container decode (PPM/BMP/PNG encode -> sniff -> decode;
+        # container-invariant histogram features, char-arithmetic oracle)
+        "image_codec_stats": multimodal.image_codec_stats,
         "frame_samples": multimodal.frame_samples,
         # trivial single-op scans (sort-limit / distinct) — moved behind the
         # driver's 50-entry sampling window in favor of the planner join and
@@ -750,6 +753,27 @@ def oracle_sql() -> dict[str, str]:
         "image_metadata": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents
+        """,
+        "image_codec_stats": """
+            -- the Ray side ENCODES the first 48*h text bytes (h=len//48)
+            -- as a real PPM/BMP/PNG and truly DECODES it; features are
+            -- container-invariant, so the oracle counts the same char
+            -- classes over the same pixel bytes directly
+            WITH b AS (
+                SELECT doc_id, substr(text, 1, 48 * (length(text) // 48)) AS px,
+                       length(text) // 48 AS h
+                FROM documents WHERE length(text) >= 48
+            )
+            SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                   CAST(len(regexp_extract_all(px, '[\\x00-\\x1f]')) AS DOUBLE) / (48*h) AS f0,
+                   CAST(len(regexp_extract_all(px, '[\\x20-\\x3f]')) AS DOUBLE) / (48*h) AS f1,
+                   CAST(len(regexp_extract_all(px, '[\\x40-\\x5f]')) AS DOUBLE) / (48*h) AS f2,
+                   CAST(len(regexp_extract_all(px, '[\\x60-\\x7f]')) AS DOUBLE) / (48*h) AS f3,
+                   CAST(len(regexp_extract_all(px, '[\\x80-\\x9f]')) AS DOUBLE) / (48*h) AS f4,
+                   CAST(len(regexp_extract_all(px, '[\\xa0-\\xbf]')) AS DOUBLE) / (48*h) AS f5,
+                   CAST(len(regexp_extract_all(px, '[\\xc0-\\xdf]')) AS DOUBLE) / (48*h) AS f6,
+                   CAST(len(regexp_extract_all(px, '[\\xe0-\\xff]')) AS DOUBLE) / (48*h) AS f7
+            FROM b
         """,
         "frame_samples": """
             SELECT d.doc_id, f.frame_idx,

