@@ -66,4 +66,36 @@ def tune_context():
     except Exception:
         pass
     ctx.enable_progress_bars = False
+    _filter_empty_partition_schema_warning()
     return ctx
+
+
+class _EmptyPartitionSchemaWarning(__import__("logging").Filter):
+    """Suppress the executor's 'RefBundle with a different schema' warning.
+
+    Root cause (verified by minimal repro, round 5): a sort-based
+    ``groupby`` whose reduce partition count exceeds the number of
+    distinct keys produces EMPTY reduce partitions, and Ray emits those
+    as zero-COLUMN blocks; ``map_batches``/``map_groups`` never invoke
+    the UDF on an empty block, so no user-level transform can conform
+    them to the stage schema — the mixed (typed, schema-less-empty)
+    bundles are generated entirely inside Ray.  Every consumer in this
+    engine is empty-block-defensive (``b.num_rows and col in
+    b.column_names`` guards), so the condition the warning flags is
+    benign here; this targeted filter drops exactly that message and
+    nothing else."""
+
+    def filter(self, record) -> bool:  # noqa: A003 - logging API name
+        return "RefBundle with a different schema" not in record.getMessage()
+
+
+def _filter_empty_partition_schema_warning() -> None:
+    import logging
+
+    logger = logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    )
+    if not any(
+        isinstance(f, _EmptyPartitionSchemaWarning) for f in logger.filters
+    ):
+        logger.addFilter(_EmptyPartitionSchemaWarning())

@@ -346,3 +346,36 @@ def test_flat_kernels_on_genuinely_sliced_list_arrays():
         winnow_fingerprint_md5,
     ):
         assert np.array_equal(kern(sliced), kern(fresh)), kern.__name__
+
+
+def test_empty_partition_schema_warning_filter():
+    """tune_context installs a TARGETED filter for Ray's 'RefBundle with a
+    different schema' warning (emitted for Ray-internal zero-column empty
+    reduce partitions that no user-level transform can conform); every
+    other record on that logger must still pass."""
+    import logging
+
+    from realtime_clickstream_lakehouse_ray.config import (
+        _EmptyPartitionSchemaWarning,
+        tune_context,
+    )
+
+    tune_context()
+    logger = logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    )
+    flt = [f for f in logger.filters if isinstance(f, _EmptyPartitionSchemaWarning)]
+    assert len(flt) == 1  # installed, idempotently
+    tune_context()
+    assert (
+        len([f for f in logger.filters if isinstance(f, _EmptyPartitionSchemaWarning)])
+        == 1
+    )
+
+    def rec(msg):
+        return logging.LogRecord("x", logging.WARNING, "f", 1, msg, None, None)
+
+    assert not flt[0].filter(
+        rec("Operator produced a RefBundle with a different schema than ...")
+    )
+    assert flt[0].filter(rec("some other warning"))
