@@ -165,6 +165,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maintenance_merge": maintenance.maintenance_merge,
         # MERGE ... SEQUENCE BY (out-of-order CDC suppression, DLT analog)
         "maintenance_merge_seq": maintenance.maintenance_merge_seq,
+        # WHEN MATCHED AND <cond> THEN UPDATE / DELETE (Delta matched
+        # clauses; target-row predicate gates the per-key action)
+        "maintenance_merge_when": maintenance.maintenance_merge_when,
+        "maintenance_merge_when_delete": maintenance.maintenance_merge_when_delete,
         "maintenance_delete": maintenance.maintenance_delete,
         "maintenance_update": maintenance.maintenance_update,
         "maintenance_delete_mor": maintenance.maintenance_delete_mor,
@@ -1891,6 +1895,31 @@ def oracle_sql() -> dict[str, str]:
                             ELSE nt END AS nt,
                        source
                 FROM base
+                UNION ALL
+                SELECT id + 1000000 AS id, nt, source FROM base WHERE id % 50 = 0
+            )
+        """,
+        "maintenance_merge_when": f"""
+            WITH base AS ({_DOCS_BASE})
+            SELECT {_DOC_KEY} AS doc_id, CAST(nt AS BIGINT) AS n_tok, source FROM (
+                -- WHEN MATCHED AND target.n_tok >= 40 THEN UPDATE (+7);
+                -- clause-false matches keep the target row
+                SELECT id,
+                       CASE WHEN id % 20 = 0 AND nt >= 40 THEN nt + 7
+                            ELSE nt END AS nt,
+                       source
+                FROM base
+                UNION ALL
+                SELECT id + 1000000 AS id, nt, source FROM base WHERE id % 50 = 0
+            )
+        """,
+        "maintenance_merge_when_delete": f"""
+            WITH base AS ({_DOCS_BASE})
+            SELECT {_DOC_KEY} AS doc_id, CAST(nt AS BIGINT) AS n_tok, source FROM (
+                -- WHEN MATCHED AND target.n_tok < 40 THEN DELETE; matched
+                -- source rows never insert, unmatched (%50, rekeyed) do
+                SELECT id, nt, source FROM base
+                WHERE NOT (id % 20 = 0 AND nt < 40)
                 UNION ALL
                 SELECT id + 1000000 AS id, nt, source FROM base WHERE id % 50 = 0
             )

@@ -851,3 +851,31 @@ def sql_time_travel(sf_dir: str) -> pa.Table:
         "GROUP BY source ORDER BY source",
         version=v0,
     )
+
+
+def maintenance_merge_when(sf_dir: str) -> pa.Table:
+    """Conditioned MERGE through the oracle gate (Delta ``WHEN MATCHED AND
+    <cond> THEN UPDATE``): ingest -> compact -> merge the deterministic
+    update/insert source with ``matched_condition="n_tok >= 40"`` — a
+    matched target row takes the update only when ITS n_tok satisfies the
+    clause; clause-false matches keep the target row and consume the
+    source row; unmatched source keys insert.  The oracle restates the
+    conditional update arithmetic over the base relation."""
+    t = build_from_documents(sf_dir, _scratch_root(sf_dir, "mergewhen"))
+    t.compact(target_file_bytes=8 << 20)
+    t.merge(updates_from_documents(sf_dir), matched_condition="n_tok >= 40")
+    return _scan_projected(t)
+
+
+def maintenance_merge_when_delete(sf_dir: str) -> pa.Table:
+    """``WHEN MATCHED AND <cond> THEN DELETE``: matched target rows with
+    n_tok < 40 are deleted; matched source rows never insert (a matched
+    DELETE consumes them); unmatched source keys still insert."""
+    t = build_from_documents(sf_dir, _scratch_root(sf_dir, "mergewhendel"))
+    t.compact(target_file_bytes=8 << 20)
+    t.merge(
+        updates_from_documents(sf_dir),
+        matched_condition="n_tok < 40",
+        matched_action="delete",
+    )
+    return _scan_projected(t)

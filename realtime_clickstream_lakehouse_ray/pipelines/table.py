@@ -2307,6 +2307,9 @@ class Table:
         concurrency: int | tuple[int, int] = (1, 16),
         target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
         sequence_col: str | None = None,
+        matched_condition: str | None = None,
+        matched_action: str = "update",
+        insert_unmatched: bool = True,
     ) -> int:
         """MERGE INTO (upsert) on ``key_col``: WHEN MATCHED UPDATE SET * /
         WHEN NOT MATCHED INSERT *; duplicate keys in the source resolve
@@ -2319,6 +2322,17 @@ class Table:
         the newer target row nor insert.  Within the source, duplicate
         keys resolve keep-highest-sequence.
 
+        Matched-clause predicates (Delta ``WHEN MATCHED AND <cond> THEN
+        UPDATE/DELETE``, broadcast regime): ``matched_condition`` is a
+        conjunctive predicate string (functions/predicate.py grammar)
+        evaluated on the TARGET row; with ``matched_action="update"``
+        (default) a matched row is replaced only when it satisfies the
+        condition (otherwise the target row stays and the source row is
+        consumed without inserting); with ``matched_action="delete"`` a
+        matched-and-satisfying row is deleted and matched source rows
+        never insert.  ``insert_unmatched=False`` drops the WHEN NOT
+        MATCHED INSERT clause: unmatched source keys are discarded.
+
         Broadcast regime (small source): source keys are ``ray.put`` once;
         target files are pruned by their min/max key stats and only files
         that can contain a matched key are rewritten copy-on-write (drop
@@ -2326,6 +2340,37 @@ class Table:
         partitioned.  Shuffle regime (large source): both sides tagged and
         hash-grouped on the key (``groupby.map_groups``), full table rewrite.
         """
+        if matched_action not in ("update", "delete"):
+            raise ValueError(f"unknown matched_action {matched_action!r}")
+        when = None
+        if (
+            matched_condition is not None
+            or matched_action != "update"
+            or not insert_unmatched
+        ):
+            if sequence_col is not None:
+                raise ValueError(
+                    "matched-clause predicates do not compose with "
+                    "sequence_col (per-key recency and per-row clauses "
+                    "answer different questions — pick one)"
+                )
+            from realtime_clickstream_lakehouse_ray.functions.predicate import (
+                parse_predicate,
+            )
+
+            conds: list[dict] = []
+            if matched_condition is not None:
+                conds = parse_predicate(matched_condition)
+                for c in conds:
+                    if c["column"] not in self.schema.names:
+                        raise ValueError(
+                            f"unknown column {c['column']!r} in matched_condition"
+                        )
+            when = {
+                "conds": conds,
+                "action": matched_action,
+                "insert_unmatched": bool(insert_unmatched),
+            }
         self._start_op()
         parent = self.version()
         if isinstance(source, pa.Table):
@@ -2350,10 +2395,16 @@ class Table:
                 "strategy='broadcast' or a source under broadcast_max_rows); "
                 "the shuffle regime's keep-winner resolution is positional"
             )
+        if when is not None and not use_broadcast:
+            raise ValueError(
+                "matched-clause predicates require the broadcast regime "
+                "(pass strategy='broadcast' or a source under "
+                "broadcast_max_rows)"
+            )
         if use_broadcast:
             return self._merge_broadcast(
                 source, parent, job_id, concurrency, target_file_bytes,
-                sequence_col=sequence_col,
+                sequence_col=sequence_col, when=when,
             )
         return self._merge_shuffle(source, parent, job_id, concurrency)
 
@@ -2365,8 +2416,17 @@ class Table:
         concurrency: int | tuple[int, int],
         target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
         sequence_col: str | None = None,
+        when: dict | None = None,
     ) -> int:
-        job_id = job_id or f"merge-v{parent}"
+        if job_id is None:
+            job_id = f"merge-v{parent}"
+            if when is not None:
+                import hashlib
+
+                sig = hashlib.md5(
+                    json.dumps(when, sort_keys=True).encode()
+                ).hexdigest()[:10]
+                job_id = f"{job_id}-when-{sig}"
         done = self.log.find_commit_by_job(job_id)
         if done is not None:
             return done
@@ -2418,6 +2478,16 @@ class Table:
                 cur_bytes += f.bytes
             if cur:
                 bins.append(self._bin_spec(len(bins), part, cur, job_id))
+        if when is not None:
+            from realtime_clickstream_lakehouse_ray.functions.predicate import (
+                translate_columns,
+            )
+
+            for b in bins:  # rewrite actors see PHYSICAL batches
+                b["when_conds"] = translate_columns(
+                    when["conds"], self.column_mapping
+                )
+                b["when_action"] = when["action"]
         t = self._phase("prune_plan", t)
         ckpt = JobCheckpoint(self.root, job_id)
         # launch the source append FIRST, as raw Ray tasks overlapped with
@@ -2460,12 +2530,15 @@ class Table:
             ]
 
         src_futures: list = []
-        if src_unit is None and sequence_col is None:
+        if src_unit is None and sequence_col is None and when is None:
             # overlap the source append with the rewrites (disjoint files)
             src_futures = _launch_src_append(source)
         records: dict[str, dict] = {}
         if bins:
-            if sequence_col is None:
+            if when is not None:
+                keys_ref = ray.put(np.asarray(source.column(self.key_col)))
+                mode = "merge_when"
+            elif sequence_col is None:
                 keys_ref = ray.put(np.asarray(source.column(self.key_col)))
                 mode = "delete_keys"
             else:
@@ -2483,15 +2556,30 @@ class Table:
                 concurrency=concurrency, sequence_col=sequence_col,
             )
         t = self._phase("rewrite_units", t)
-        if src_unit is None and sequence_col is not None:
-            # SEQUENCE BY: the append depends on the rewrites' verdicts —
-            # source rows whose key a unit suppressed (target already newer)
-            # must NOT be written, so the append launches after the pool
-            # drains (the suppressed set is matched-and-stale-proportional)
+        if src_unit is None and (sequence_col is not None or when is not None):
+            # SEQUENCE BY / WHEN MATCHED AND: the append depends on the
+            # rewrites' verdicts — source rows whose key a unit suppressed
+            # (target newer, or matched without an applying clause) must
+            # NOT be written, so the append launches after the pool drains
+            # (the verdict sets are matched-proportional)
             suppressed: set = set()
             for r in records.values():
                 suppressed.update(r.get("suppressed") or [])
-            if suppressed:
+            if when is not None and not when["insert_unmatched"]:
+                # no WHEN NOT MATCHED clause: ONLY source rows whose
+                # matched target row an UPDATE clause dropped may insert
+                # (minus suppressed — under action='delete' every matched
+                # key is suppressed, so nothing inserts at all)
+                applied: set = set()
+                for r in records.values():
+                    applied.update(r.get("applied") or [])
+                keep = sorted(applied - suppressed)
+                mask = np.isin(
+                    np.asarray(source.column(self.key_col)),
+                    np.array(keep, dtype=object),
+                )
+                source = source.filter(pa.array(mask))
+            elif suppressed:
                 mask = ~np.isin(
                     np.asarray(source.column(self.key_col)),
                     np.array(sorted(suppressed), dtype=object),

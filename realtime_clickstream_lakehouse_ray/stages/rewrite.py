@@ -210,6 +210,10 @@ class BinRewriter:
             record = _stamp(self._process_merge_seq_unit(spec, tbl, removes))
             self.ckpt.write_unit(unit, record)
             return record
+        if self.mode == "merge_when":
+            record = _stamp(self._process_merge_when_unit(spec, tbl, removes))
+            self.ckpt.write_unit(unit, record)
+            return record
         if self.mode in ("delete_keys", "delete_where", "update_where"):
             mask = self._predicate_mask(tbl, spec)
             n_match = pc.sum(mask).as_py() or 0
@@ -369,6 +373,76 @@ class BinRewriter:
             "adds": adds,
             "removes": removes,
             "rows": out.num_rows,
+            "suppressed": suppressed,
+        }
+
+    def _process_merge_when_unit(
+        self, spec: dict, tbl: pa.Table, removes: list[str]
+    ) -> dict:
+        """Conditioned-MERGE unit (Delta ``WHEN MATCHED AND <cond> THEN
+        UPDATE/DELETE``): a matched target row is dropped only when it
+        satisfies the clause predicate (``when_conds``, physical names);
+        the record reports per-key verdicts so the driver controls the
+        source append —
+
+        - ``applied``: matched keys whose row the clause dropped (for
+          ``update`` these are the keys whose source rows DO insert when
+          the NOT-MATCHED insert is off);
+        - ``suppressed``: matched keys whose source row must NOT insert
+          (clause-false keys under ``update``; ALL matched keys under
+          ``delete`` — a matched-DELETE consumes its source row)."""
+        from realtime_clickstream_lakehouse_ray.functions.predicate import (
+            predicate_mask,
+        )
+
+        action = spec.get("when_action", "update")
+        matched = pc.is_in(tbl[self.key_col], value_set=self.keys)
+        cond = (
+            predicate_mask(tbl, spec["when_conds"])
+            if spec.get("when_conds")
+            else pa.array(np.ones(tbl.num_rows, dtype=bool))
+        )
+        drop = pc.and_(matched, cond)
+        m = np.asarray(matched)
+        d = np.asarray(drop)
+        tkeys = np.asarray(tbl[self.key_col])
+        applied = np.unique(tkeys[d]).tolist()
+        if action == "delete":
+            suppressed = np.unique(tkeys[m]).tolist()
+        else:
+            suppressed = np.unique(tkeys[m & ~d]).tolist()
+        if not d.any() and not spec.get("dvs"):
+            return {
+                "unit": spec["unit"],
+                "partition": spec["partition"],
+                "inputs": spec["files"],
+                "unchanged": True,
+                "adds": [],
+                "removes": [],
+                "rows": tbl.num_rows,
+                "applied": applied,
+                "suppressed": suppressed,
+            }
+        out = tbl.filter(pc.invert(drop))
+        adds = []
+        if out.num_rows:
+            nbytes = write_file_atomic(out, self.root / spec["out"])
+            fe = file_stats(
+                out, spec["out"], spec["partition"], nbytes,
+                stats_cols=self.stats_cols,
+            )
+            adds = [fe.to_action()]
+            if fe.bloom is not None:
+                self._write_unit_bloom(spec["unit"], fe.path, fe.bloom)
+        return {
+            "unit": spec["unit"],
+            "partition": spec["partition"],
+            "inputs": spec["files"],
+            "unchanged": False,
+            "adds": adds,
+            "removes": removes,
+            "rows": out.num_rows,
+            "applied": applied,
             "suppressed": suppressed,
         }
 

@@ -84,7 +84,7 @@ def test_random_op_sequence_matches_model(tmp_path, seed):
 
     ops = ["append", "merge", "delete_keys", "delete_where", "update",
            "compact", "zorder", "rename", "evolve", "expire_vacuum", "mor",
-           "dedup"]
+           "dedup", "merge_when"]
     history = []
     for step in range(14):
         op = ops[int(rng.integers(0, len(ops)))]
@@ -170,6 +170,40 @@ def test_random_op_sequence_matches_model(tmp_path, seed):
             assert (v is not None) == bool(losers)
             for k in losers:
                 model.pop(k)
+        elif op == "merge_when":
+            if not model:
+                continue
+            keys = list(model)
+            pick = [keys[i] for i in rng.choice(len(keys), size=min(8, len(keys)), replace=False)]
+            fresh = _rows(rng, next_key, 4)
+            next_key += 100
+            src = {}
+            for k in pick:
+                toks = rng.integers(0, 50, size=int(rng.integers(1, 9))).astype(np.int32)
+                src[k] = {
+                    "tokens": toks.tolist(),
+                    "n_tok": len(toks),
+                    "source": model[k]["source"],
+                    "region": model[k]["region"],
+                }
+            src.update(fresh)
+            cut = int(rng.integers(1, 9))
+            action = "update" if int(rng.integers(0, 2)) else "delete"
+            ntk = "length" if renamed else "n_tok"
+            t.merge(
+                _to_table(src).rename_columns(
+                    ["doc_id", tok_col, ntk, "source", "region"]
+                ),
+                matched_condition=f"{ntk} >= {cut}",
+                matched_action=action,
+            )
+            for k in pick:  # clause evaluated on the TARGET row
+                if model[k]["n_tok"] >= cut:
+                    if action == "update":
+                        model[k] = src[k]
+                    else:
+                        model.pop(k)
+            model.update(fresh)  # unmatched keys always insert
         elif op == "expire_vacuum":
             if t.version() > 1:
                 t.expire_snapshots(keep_last=1)
