@@ -22,7 +22,17 @@ from pathlib import Path
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="Run maintenance ops on a tokens table")
-    p.add_argument("--table", required=True, help="table root directory")
+    p.add_argument(
+        "--table",
+        required=True,
+        help="table root directory, or a catalog table NAME when --catalog "
+        "is given",
+    )
+    p.add_argument(
+        "--catalog",
+        help="catalog root directory (state/catalog.py registry — the Glue "
+        "Data Catalog analog); makes --table resolve by name",
+    )
     p.add_argument(
         "--ops",
         default="compact,zorder",
@@ -122,7 +132,12 @@ def main(argv: list[str] | None = None) -> int:
     from realtime_clickstream_lakehouse_ray.pipelines.table import Table
 
     tune_context()
-    table = Table.load(args.table)
+    if args.catalog:
+        from realtime_clickstream_lakehouse_ray.state.catalog import Catalog
+
+        table = Catalog(args.catalog).table(args.table)
+    else:
+        table = Table.load(args.table)
     t0 = time.perf_counter()
     v_start = table.version()
     results: dict[str, object] = {}
