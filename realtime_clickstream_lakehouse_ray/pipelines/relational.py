@@ -1198,6 +1198,20 @@ def urgent_only_customers(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+@ray.remote
+def _build_broadcast_frame(schema: pa.Schema, *parts: pa.Table):
+    """Concat the build side's blocks into the broadcast DataFrame — runs
+    as a task so the driver never holds table bytes (blocks arrive
+    plasma-zero-copy; only this worker pays the pandas conversion).  Empty
+    blocks are skipped (a zero-block build side would crash
+    pa.concat_tables); a fully empty side falls back to a typed empty
+    frame."""
+    live = [t for t in parts if t.num_rows]
+    if live:
+        return pa.concat_tables(live).to_pandas()
+    return schema.empty_table().to_pandas()
+
+
 def broadcast_hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -1213,18 +1227,14 @@ def broadcast_hash_join(
 
     from realtime_clickstream_lakehouse_ray.functions.broadcast import get_broadcast
 
-    # build-side collect: skip empty blocks (a zero-block build side would
-    # crash pa.concat_tables), fall back to an empty frame with the right
-    # schema, and drop the intermediate Arrow copy before ray.put so only
-    # ONE copy of the build table lives on the driver at a time
-    parts = [t for t in ray.get(right.to_arrow_refs()) if t.num_rows]
-    if parts:
-        right_df = pa.concat_tables(parts).to_pandas()
-    else:
-        right_df = right.schema().base_schema.empty_table().to_pandas()
-    del parts
-    ref = ray.put(right_df)
-    del right_df
+    # build-side collect happens INSIDE a Ray task: the driver only ever
+    # handles block ObjectRefs and the task's result ref, never table
+    # bytes (the engine's driver-data-path-free invariant).  The task's
+    # return value IS the broadcast object — its ref feeds get_broadcast
+    # exactly like a ray.put ref would.
+    ref = _build_broadcast_frame.remote(
+        right.schema().base_schema, *right.to_arrow_refs()
+    )
 
     def probe(df: pd.DataFrame) -> pd.DataFrame:
         r = get_broadcast(ref)

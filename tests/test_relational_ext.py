@@ -286,3 +286,66 @@ class TestMetadataTables:
 
         with pytest.raises(ValueError):
             t.metadata_table("nope")
+
+
+def test_broadcast_join_build_side_never_lands_on_driver():
+    """Regression (round-4 VERDICT): the broadcast join's build-side concat
+    runs inside a Ray task, so an inflated build side must not move driver
+    peak RSS by anything near its own size.  Subprocess for a clean RSS
+    baseline (ru_maxrss is a process-lifetime peak)."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = textwrap.dedent(
+        """
+        import resource, sys
+        sys.path.insert(0, "@REPO@")
+        import ray
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 logging_level="ERROR")
+        ray.data.DataContext.get_current().enable_progress_bars = False
+        import numpy as np
+        import pyarrow as pa
+        from realtime_clickstream_lakehouse_ray.pipelines.relational import (
+            broadcast_hash_join,
+        )
+
+        PAY = 64
+        N_BUILD = 1_200_000  # ~90 MB with the payload column
+
+        def inflate(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            ids = np.asarray(t["id"], dtype=np.int64)
+            pay = pa.array([("x" * PAY)] * n)
+            return pa.table({"k": pa.array(ids % 1000), "payload": pay,
+                             "rid": pa.array(ids)})
+
+        build = ray.data.range(N_BUILD).map_batches(
+            inflate, batch_format="pyarrow", zero_copy_batch=True
+        )
+        probe = ray.data.range(2000).map_batches(
+            lambda t: pa.table({"k": pa.array(np.asarray(t["id"]) % 1000)}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss  # KiB
+        joined = broadcast_hash_join(probe, build, "k", "k")
+        n = joined.count()
+        after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        assert n == 2000 * (N_BUILD // 1000), n
+        print("RSS_DELTA_KB", after - before)
+        ray.shutdown()
+        """
+    ).replace("@REPO@", repo)
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, check=True,
+        env=dict(os.environ, RAY_ADDRESS="local"),
+    )
+    delta_kb = int(out.stdout.strip().splitlines()[-1].split()[-1])
+    build_kb = (64 + 16) * 1_200_000 // 1024  # payload + ints, ~94k KiB
+    # pre-fix the driver held a full pandas copy (> build size); post-fix
+    # the driver peak moves by far less than half the build side
+    assert delta_kb < build_kb // 2, (delta_kb, build_kb)
