@@ -119,3 +119,75 @@ def ingest_clicks(
         "rejects": n_rejects,
         "remaining": remaining,
     }
+
+
+def ingest_clicks_continuous(
+    paths: str | list[str],
+    table_root: str,
+    interval_seconds: float = 10.0,
+    max_triggers: int | None = None,
+    stop_after_idle_triggers: int | None = None,
+    max_files_per_trigger: int | None = None,
+    ingest_ts: str = "1970-01-01T00:00:00Z",
+    rows_per_file: int | None = None,
+    on_trigger=None,
+) -> list[dict]:
+    """processingTime-style micro-batch loop: repeatedly drain the source
+    directory at a fixed cadence — the one streaming trigger mode the
+    availableNow job (``ingest_clicks``) does not cover (Spark
+    ``trigger(processingTime=...)`` vs the reference's
+    ``trigger(availableNow=True)``, glue_stream.py:347).
+
+    Each trigger is one exactly-once micro-batch: ``ingest_clicks`` with
+    the per-commit file bookmark, bounded by ``max_files_per_trigger``.
+    Cadence is ANCHORED (Spark semantics): trigger k fires at
+    ``start + k * interval``; a batch that overruns its slot is followed
+    immediately, the loop never drifts.  A SIGKILL mid-trigger loses at
+    most the uncommitted batch — the rerun's bookmark skips every file a
+    committed trigger already named.
+
+    Stopping (any may be combined; at least one bound is required so the
+    loop cannot be silently infinite in library use):
+    - ``max_triggers``: hard trigger-count bound;
+    - ``stop_after_idle_triggers``: stop after N consecutive triggers that
+      found nothing to ingest (the drain-then-park pattern);
+    - ``on_trigger(index, result) -> False``: caller veto (also the test
+      hook for dropping new files between triggers).
+
+    Returns the per-trigger result dicts (``ingest_clicks`` shape)."""
+    import time
+
+    if max_triggers is None and stop_after_idle_triggers is None:
+        raise ValueError(
+            "bound the loop: pass max_triggers and/or stop_after_idle_triggers"
+        )
+    results: list[dict] = []
+    idle_run = 0
+    start = time.monotonic()
+    k = 0
+    while True:
+        res = ingest_clicks(
+            paths,
+            table_root,
+            ingest_ts=ingest_ts,
+            rows_per_file=rows_per_file,
+            max_files_per_trigger=max_files_per_trigger,
+        )
+        results.append(res)
+        idle_run = idle_run + 1 if res["files"] == 0 else 0
+        k += 1
+        if on_trigger is not None and on_trigger(k - 1, res) is False:
+            break
+        if max_triggers is not None and k >= max_triggers:
+            break
+        if (
+            stop_after_idle_triggers is not None
+            and idle_run >= stop_after_idle_triggers
+        ):
+            break
+        if res["remaining"] == 0:  # nothing queued: hold the cadence
+            next_fire = start + k * interval_seconds
+            delay = next_fire - time.monotonic()
+            if delay > 0:
+                time.sleep(delay)
+    return results

@@ -337,3 +337,125 @@ def test_event_ts_stats_skipping(tmp_path_factory):
     got = to_arrow_table(t.scan(where=pred))
     assert got.num_rows == 5
     assert min(got["event_ts"].to_pylist()).hour == 17
+
+
+def test_continuous_trigger_loop_drains_growing_directory(tmp_path_factory):
+    """processingTime-style loop (ingest_clicks_continuous): a growing
+    directory drains across >= 3 triggers, one exactly-once commit per
+    non-empty trigger, arrivals between triggers are picked up, and the
+    loop parks after the configured idle run."""
+    from realtime_clickstream_lakehouse_ray.pipelines import ingest
+
+    d = tmp_path_factory.mktemp("continuous")
+    root = str(d / "clicks_table")
+
+    def drop(name, n_rows, day):
+        rows = [
+            json.dumps({**CANONICAL, "timestamp": f"2023-09-{day:02d}T0{i}:00:00Z"})
+            for i in range(n_rows)
+        ]
+        (d / name).write_text("\n".join(rows))
+
+    drop("a.jsonl", 2, 15)
+    drop("b.jsonl", 3, 16)
+
+    def on_trigger(i, res):
+        if i == 1:  # a late arrival lands between triggers 2 and 3
+            drop("c.jsonl", 1, 17)
+        return True
+
+    results = ingest.ingest_clicks_continuous(
+        str(d),
+        root,
+        interval_seconds=0.0,
+        max_files_per_trigger=1,  # one file per micro-batch
+        stop_after_idle_triggers=2,
+        on_trigger=on_trigger,
+    )
+    busy = [r for r in results if r["files"]]
+    idle = [r for r in results if not r["files"]]
+    assert len(busy) == 3  # a, b, then the late c
+    assert [r["rows"] for r in busy] == [2, 3, 1]
+    assert len(idle) == 2  # parked after the idle run
+    table = ingest.clicks_table(root)
+    assert table.stats()["rows"] == 6
+    # one commit per non-empty trigger, each with ITS OWN bookmark slice
+    seen: list[str] = []
+    for r in busy:
+        files = table.log.read_version(r["version"])["source_files"]
+        assert len(files) == 1
+        seen += files
+    assert len(set(seen)) == 3
+    # a fresh loop over the drained directory is pure idle — exactly-once
+    again = ingest.ingest_clicks_continuous(
+        str(d), root, interval_seconds=0.0, stop_after_idle_triggers=1
+    )
+    assert all(r["files"] == 0 for r in again)
+    assert table.stats()["rows"] == 6
+
+
+def test_continuous_trigger_crash_mid_run_resumes_exactly_once(tmp_path_factory):
+    """SIGKILL the continuous loop mid-drain (a separate process), rerun
+    it, and require exactly-once: every input row lands exactly one time,
+    and no source file is named by two commits."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from realtime_clickstream_lakehouse_ray.pipelines import ingest
+
+    d = tmp_path_factory.mktemp("continuous_crash")
+    root = str(d / "clicks_table")
+    n_files, rows_per = 12, 4
+    for i in range(n_files):
+        rows = [
+            json.dumps({**CANONICAL, "timestamp": f"2023-09-15T{h:02d}:0{i % 6}:00Z"})
+            for h in range(rows_per)
+        ]
+        (d / f"f{i:03d}.jsonl").write_text("\n".join(rows))
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = (
+        "import sys; sys.path.insert(0, \"@REPO@\")\n"
+        "import ray\n"
+        "ray.init(address='local', num_cpus=2, include_dashboard=False,\n"
+        "         logging_level='ERROR')\n"
+        "from realtime_clickstream_lakehouse_ray.pipelines import ingest\n"
+        "ingest.ingest_clicks_continuous(\"@DIR@\", \"@ROOT@\",\n"
+        "    interval_seconds=0.0, max_files_per_trigger=1, max_triggers=@N@)\n"
+    ).replace("@REPO@", repo).replace("@DIR@", str(d)).replace(
+        "@ROOT@", root
+    ).replace("@N@", str(n_files))
+    proc = subprocess.Popen(
+        [sys.executable, "-c", script],
+        cwd=repo, start_new_session=True,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        env=dict(os.environ, RAY_ADDRESS="local"),
+    )
+    # kill as soon as at least one trigger has committed
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if (d / "clicks_table" / "_log").is_dir() and any(
+            (d / "clicks_table" / "_log").iterdir()
+        ):
+            break
+        if proc.poll() is not None:
+            break
+        time.sleep(0.05)
+    killed_midway = proc.poll() is None
+    if killed_midway:
+        os.killpg(proc.pid, signal.SIGKILL)
+    proc.wait()
+
+    # resume: drain whatever the killed run left behind
+    ingest.ingest_clicks_continuous(
+        str(d), root, interval_seconds=0.0, stop_after_idle_triggers=1
+    )
+    table = ingest.clicks_table(root)
+    assert table.stats()["rows"] == n_files * rows_per
+    seen: list[str] = []
+    for v in table.log.versions():
+        seen += table.log.read_version(v).get("source_files", [])
+    assert len(seen) == len(set(seen)) == n_files  # no file ingested twice
