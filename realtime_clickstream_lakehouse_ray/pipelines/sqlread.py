@@ -214,6 +214,57 @@ def plan_sql_view(
     return plan
 
 
+def register_snapshot_view(
+    con,
+    table: "Table",
+    name: str,
+    query: str = "",
+    version: int | None = None,
+    as_of: float | None = None,
+    tag: str | None = None,
+    where: str | None = None,
+) -> dict:
+    """Plan + register one table snapshot as DuckDB view ``name`` on an
+    existing connection; returns the plan (``sql_explain`` shape).
+    ``query`` is only consulted for best-effort WHERE auto-extraction —
+    pass the empty string to skip it (multi-table callers must: an
+    unqualified predicate of a join query binds per SQL scoping rules,
+    not to every view)."""
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        raise ValueError(f"view name {name!r} must be a bare identifier")
+    plan = plan_sql_view(
+        table, query, version=version, as_of=as_of, tag=tag, where=where
+    )
+    if not plan["files"]:
+        empty = table.schema.empty_table()
+        con.register(f"__empty_snapshot_{name}", empty)
+        con.execute(
+            f'CREATE TEMP VIEW "{name}" AS '
+            f'SELECT * FROM __empty_snapshot_{name}'
+        )
+        return plan
+    cols = {
+        r[0]
+        for r in con.execute(
+            f"DESCRIBE SELECT * FROM {plan['view_scan']}"
+        ).fetchall()
+    }
+    proj = ", ".join(
+        (
+            f'"{phys}" AS "{logical}"'
+            if phys in cols
+            else f'CAST(NULL AS {dtype}) AS "{logical}"'
+        )
+        for phys, logical, dtype in plan["view_projection"]
+    )
+    con.execute(
+        f'CREATE TEMP VIEW "{name}" AS SELECT * FROM ('
+        f"SELECT {proj} FROM {plan['view_scan']}"
+        f"{plan['view_inner_where']}){plan['view_outer_where']}"
+    )
+    return plan
+
+
 def table_sql(
     table: "Table",
     query: str,
@@ -231,39 +282,46 @@ def table_sql(
 
     import duckdb
 
-    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
-        raise ValueError(f"view name {name!r} must be a bare identifier")
-    plan = plan_sql_view(
-        table, query, version=version, as_of=as_of, tag=tag, where=where
-    )
     con = duckdb.connect()
     try:
         con.execute(f"PRAGMA threads={int(threads or os.cpu_count() or 8)}")
-        if not plan["files"]:
-            empty = table.schema.empty_table()
-            con.register("__empty_snapshot", empty)
-            con.execute(
-                f'CREATE TEMP VIEW "{name}" AS SELECT * FROM __empty_snapshot'
-            )
-        else:
-            cols = {
-                r[0]
-                for r in con.execute(
-                    f"DESCRIBE SELECT * FROM {plan['view_scan']}"
-                ).fetchall()
-            }
-            proj = ", ".join(
-                (
-                    f'"{phys}" AS "{logical}"'
-                    if phys in cols
-                    else f'CAST(NULL AS {dtype}) AS "{logical}"'
-                )
-                for phys, logical, dtype in plan["view_projection"]
-            )
-            con.execute(
-                f'CREATE TEMP VIEW "{name}" AS SELECT * FROM ('
-                f"SELECT {proj} FROM {plan['view_scan']}"
-                f"{plan['view_inner_where']}){plan['view_outer_where']}"
+        register_snapshot_view(
+            con, table, name, query=query,
+            version=version, as_of=as_of, tag=tag, where=where,
+        )
+        return con.execute(query).fetch_arrow_table()
+    finally:
+        con.close()
+
+
+def catalog_sql(
+    catalog,
+    query: str,
+    where: dict[str, str] | None = None,
+    threads: int | None = None,
+) -> pa.Table:
+    """Multi-table ad-hoc SQL over a ``Catalog``: every registered table
+    becomes a view under its catalog NAME (the Athena-over-Glue-Catalog
+    consumer shape — README.md:113 + glue/main.tf:130-182 in the
+    reference).  ``where`` maps table names to per-table conjunctive
+    pushdown predicates (applied with full manifest pruning AND re-applied
+    row-level); the query's own WHERE is never auto-extracted here — an
+    unqualified predicate in a join query binds by SQL scoping rules, not
+    to every view, so per-table pushdown must be explicit."""
+    import os
+
+    import duckdb
+
+    where = where or {}
+    unknown = set(where) - set(catalog.list_tables())
+    if unknown:
+        raise KeyError(f"where= names unknown table(s) {sorted(unknown)}")
+    con = duckdb.connect()
+    try:
+        con.execute(f"PRAGMA threads={int(threads or os.cpu_count() or 8)}")
+        for name in catalog.list_tables():
+            register_snapshot_view(
+                con, catalog.table(name), name, where=where.get(name)
             )
         return con.execute(query).fetch_arrow_table()
     finally:

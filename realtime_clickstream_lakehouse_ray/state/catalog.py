@@ -95,6 +95,22 @@ class Catalog:
             )
         return Table.load(str(self._resolve(tables[name])))
 
+    def sql(
+        self,
+        query: str,
+        where: dict[str, str] | None = None,
+        threads: int | None = None,
+    ) -> "pa.Table":  # noqa: F821 - forward ref, pyarrow imported lazily
+        """Multi-table ad-hoc SQL: every catalog table is a view under its
+        registered name (snapshot-pruned, column-mapped, DV-filtered —
+        pipelines/sqlread.py).  ``where`` gives per-table pushdown
+        conjunctions, e.g. ``{"docs": "source = 'web'"}``."""
+        from realtime_clickstream_lakehouse_ray.pipelines.sqlread import (
+            catalog_sql,
+        )
+
+        return catalog_sql(self, query, where=where, threads=threads)
+
     def drop(self, name: str, delete_files: bool = False) -> None:
         """Unregister ``name``; with ``delete_files=True`` also remove the
         table directory (Glue DROP TABLE vs DROP TABLE PURGE)."""

@@ -132,3 +132,30 @@ def test_cli_resolves_by_name(tmp_path):
     status = json.loads(out.stdout.splitlines()[-1])
     assert status["rows"] == 50
     assert status["table"].endswith("cli_tokens")
+
+
+def test_catalog_sql_multi_table(tmp_path):
+    """Multi-table ad-hoc SQL: catalog names are DuckDB views — the
+    Athena-over-Glue-Catalog consumer shape, joined by name."""
+    cat = Catalog(str(tmp_path / "cat"))
+    cat.create_table("docs").append(_rows(0, 30, source="web"))
+    allow = cat.create_table("allowlist")
+    allow.append(_rows(0, 10, source="web"))
+    got = cat.sql(
+        "SELECT count(*) AS n, sum(d.n_tok) AS s FROM docs d "
+        "JOIN allowlist a USING (doc_id)"
+    )
+    assert got["n"][0].as_py() == 10
+    assert got["s"][0].as_py() == 20
+    # per-table pushdown where= composes with the join
+    got = cat.sql(
+        "SELECT count(*) AS n FROM docs d JOIN allowlist a USING (doc_id)",
+        where={"docs": "doc_id < 'd-000005'"},
+    )
+    assert got["n"][0].as_py() == 5
+    with pytest.raises(KeyError, match="unknown table"):
+        cat.sql("SELECT 1", where={"nope": "a = 1"})
+    # snapshot semantics: a mor-delete is invisible through the view
+    docs = cat.table("docs")
+    docs.delete(keys=["d-000000"], mode="mor")
+    assert cat.sql("SELECT count(*) AS n FROM docs")["n"][0].as_py() == 29
