@@ -39,6 +39,15 @@ def _sf_of(sf_dir: str) -> float:
         return 0.1
 
 
+def _driver_maxrss_mb() -> float:
+    """Driver-process peak RSS (MiB) — the scale-invariance signal the sf1
+    record tracks: driver memory must NOT grow with input size (linux
+    ru_maxrss is KiB)."""
+    import resource
+
+    return round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1)
+
+
 def _shuffle_probe() -> dict:
     """~15 s in-band calibration, run (untimed) before the headline ops:
     (a) aggregate object-store read bandwidth via parallel zero-copy gets
@@ -238,6 +247,7 @@ def run_bench() -> dict:
             "bench_rows": n_rows,
             "bench_tokens": sum_tok,
             "tokens_per_sec": tokens_per_sec,
+            "driver_maxrss_mb": _driver_maxrss_mb(),
         }
 
     timed("q1", lambda: consume(relational.q1_pricing_summary(SF_DIR)))
@@ -254,6 +264,13 @@ def run_bench() -> dict:
     timed("events_session_ids", lambda: consume(clickstream.events_session_ids(SF_DIR)))
     timed("corpus_clean", lambda: consume(dedup.corpus_clean(SF_DIR)))
     timed("doc_rarity_bucketed", lambda: consume(corpus.doc_rarity_bucketed(SF_DIR)))
+    # round-5 surfaces: the ad-hoc SQL consumer path (ingest -> zorder ->
+    # pruned DuckDB aggregate) and the real image codec (encode -> sniff ->
+    # decode -> container-invariant features)
+    from realtime_clickstream_lakehouse_ray.pipelines import maintenance, multimodal
+
+    timed("sql_adhoc", lambda: consume(maintenance.sql_adhoc(SF_DIR)))
+    timed("image_codec", lambda: consume(multimodal.image_codec_stats(SF_DIR)))
 
     ray.shutdown()
     if not table_path:
@@ -268,6 +285,7 @@ def run_bench() -> dict:
         "bench_rows": n_rows,
         "bench_tokens": sum_tok,
         "tokens_per_sec": tokens_per_sec,
+        "driver_maxrss_mb": _driver_maxrss_mb(),
     }
 
 
