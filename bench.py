@@ -210,8 +210,13 @@ def run_bench() -> dict:
             lambda: table.zorder(target_file_bytes=target_bytes),
         )
     if "merge" in ops:
-        updates = gen_updates_chunk(
-            n_rows, n_updates=n_rows // 20, n_inserts=n_rows // 50
+        # the source is GENERATED in a Ray task and handed to merge as a
+        # Dataset of refs — with the off-driver broadcast prep, no process
+        # ever holds source bytes on the driver side (driver_maxrss_mb is
+        # the regression guard)
+        gen = ray.remote(num_cpus=1)(gen_updates_chunk)
+        updates = ray.data.from_arrow_refs(
+            [gen.remote(n_rows, n_updates=n_rows // 20, n_inserts=n_rows // 50)]
         )
         timed(
             "merge",

@@ -49,7 +49,7 @@ from realtime_clickstream_lakehouse_ray.stages.writer import (
     make_file_writer,
     write_file_atomic,
     write_partitioned,
-    write_slice_task,
+    write_slice_ref_task,
 )
 from realtime_clickstream_lakehouse_ray.stages.zkey import add_zkey
 from realtime_clickstream_lakehouse_ray.state.checkpoint import JobCheckpoint
@@ -118,6 +118,74 @@ def _dedup_keep_latest(
     _, idx = np.unique(keys[::-1], return_index=True)
     take = (len(keys) - 1) - idx
     return tbl.take(pa.array(np.sort(take)))
+
+
+@ray.remote(num_returns=3)
+def _prepare_merge_source(
+    schema: pa.Schema,
+    key_col: str,
+    sequence_col: str | None,
+    constraints: list[dict],
+    file_key_stats: list[tuple[str, str | None, str | None]],
+    blooms: dict[str, bytes],
+    *blocks: pa.Table,
+):
+    """Broadcast-MERGE source preparation as a TASK, so the driver never
+    holds source bytes OR source keys: conform + CHECK constraints +
+    keep-latest dedup + min/max-key+Bloom FILE PRUNING all happen here.
+    Returns
+
+    - [0] the prepared source table (stays in the object store; the
+      append slice tasks read it by ref),
+    - [1] the rewrite units' key broadcast — an Arrow string array for
+      membership modes (plasma-zero-copy per node), or the
+      ``(sorted_keys, aligned_seqs)`` numpy pair for SEQUENCE BY,
+    - [2] driver metadata that is FILE-COUNT-proportional only: the
+      affected file paths plus row/byte counts for unit planning."""
+    from realtime_clickstream_lakehouse_ray.functions.bloom import (
+        bloom_any_match,
+    )
+    from realtime_clickstream_lakehouse_ray.functions.constraints import (
+        check_batch,
+    )
+    from realtime_clickstream_lakehouse_ray.functions.hashing import hash64
+    from realtime_clickstream_lakehouse_ray.schema import conform_table
+
+    live = [conform_table(b, schema) for b in blocks if b.num_rows]
+    src = pa.concat_tables(live) if live else schema.empty_table()
+    if constraints:
+        check_batch(src, constraints, key_col=key_col)
+    src = _dedup_keep_latest(src, key_col, sequence_col)
+    key_arr = src.column(key_col).combine_chunks()
+    keys = np.asarray(key_arr)
+    order = np.argsort(keys)
+    keys_sorted = keys[order]
+    key_hashes = hash64(key_arr) if len(keys) else np.empty(0, np.uint64)
+    # stats-based file pruning: a file can contain a match only if some
+    # source key falls inside its [min_key, max_key] range AND (when the
+    # file has a Bloom sidecar) some key probes positive — the bloom is
+    # what keeps small-source MERGE cheap after Z-order scatters the key
+    # ranges (min/max alone prunes nothing then)
+    affected: list[str] = []
+    for path, min_key, max_key in file_key_stats:
+        if min_key is not None and max_key is not None:
+            lo = np.searchsorted(keys_sorted, min_key, side="left")
+            if lo >= len(keys_sorted) or keys_sorted[lo] > max_key:
+                continue
+        b = blooms.get(path)
+        if b is not None and not bloom_any_match(b, key_hashes):
+            continue
+        affected.append(path)
+    if sequence_col is not None:
+        keys_payload: object = (keys_sorted, np.asarray(src.column(sequence_col))[order])
+    else:
+        keys_payload = key_arr
+    meta = {
+        "affected": affected,
+        "n_rows": src.num_rows,
+        "nbytes": src.nbytes,
+    }
+    return src, keys_payload, meta
 
 
 def _tokens_as_binary(tok: pa.ListArray | pa.ChunkedArray) -> pa.LargeBinaryArray:
@@ -2373,22 +2441,18 @@ class Table:
             }
         self._start_op()
         parent = self.version()
-        if isinstance(source, pa.Table):
+        src_is_table = isinstance(source, pa.Table)
+        if src_is_table:
             self._guard_stale_names(source.column_names)
-            source = self._constraint_stage(conform_table(source, self.schema))
+            use_broadcast = strategy != "shuffle"
         else:
+            # lazy CHECK pass rides the dataset; conform/dedup happen in
+            # the broadcast regime's prep task or the shuffle tag stage
             source = self._constraint_stage(source)
-        if isinstance(source, ray.data.Dataset):
             n_src = source.count()
             use_broadcast = strategy == "broadcast" or (
                 strategy == "auto" and n_src <= broadcast_max_rows
             )
-            if use_broadcast:
-                source = pa.concat_tables(
-                    ray.get(source.to_arrow_refs()), promote_options="default"
-                )
-        else:
-            use_broadcast = strategy != "shuffle"
         if sequence_col is not None and not use_broadcast:
             raise ValueError(
                 "sequence_col requires the broadcast regime (pass "
@@ -2405,18 +2469,22 @@ class Table:
             return self._merge_broadcast(
                 source, parent, job_id, concurrency, target_file_bytes,
                 sequence_col=sequence_col, when=when,
+                check_constraints=src_is_table,
             )
+        if src_is_table:  # the broadcast prep task isn't in play: check here
+            source = self._constraint_stage(conform_table(source, self.schema))
         return self._merge_shuffle(source, parent, job_id, concurrency)
 
     def _merge_broadcast(
         self,
-        source: pa.Table,
+        source: pa.Table | ray.data.Dataset,
         parent: int,
         job_id: str | None,
         concurrency: int | tuple[int, int],
         target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
         sequence_col: str | None = None,
         when: dict | None = None,
+        check_constraints: bool = True,
     ) -> int:
         if job_id is None:
             job_id = f"merge-v{parent}"
@@ -2430,31 +2498,47 @@ class Table:
         done = self.log.find_commit_by_job(job_id)
         if done is not None:
             return done
-        from realtime_clickstream_lakehouse_ray.functions.bloom import bloom_any_match
-        from realtime_clickstream_lakehouse_ray.functions.hashing import hash64
-
         t = __import__("time").perf_counter()
-        source = conform_table(source, self.schema)
-        source = _dedup_keep_latest(source, self.key_col, sequence_col)
-        keys = np.sort(np.asarray(source.column(self.key_col)))
-        key_hashes = hash64(source.column(self.key_col).combine_chunks())
-        blooms = self.blooms(parent)
+        # source preparation (conform + CHECK + keep-latest dedup) AND the
+        # min/max-key+Bloom file pruning run in a Ray task; the driver
+        # receives FILE-COUNT-proportional metadata only — the prepared
+        # table stays in the object store (append slices read it by ref)
+        # and the rewrite key broadcast is the task's own return object
+        # (driver-data-path-free: driver peak RSS tracks neither source
+        # bytes nor source keys)
+        if isinstance(source, ray.data.Dataset):
+            blocks = source.to_arrow_refs()
+        else:
+            blocks = [ray.put(source)]
+            del source
+        snapshot_files = self.files(parent)
+        prep_ref, keys_ref, meta_ref = _prepare_merge_source.remote(
+            self.schema,
+            self.key_col,
+            sequence_col,
+            list(self.constraints) if check_constraints else [],
+            [(f.path, f.min_key, f.max_key) for f in snapshot_files],
+            self.blooms(parent),
+            *blocks,
+        )
+        del blocks
+        try:
+            meta = ray.get(meta_ref)
+        except ray.exceptions.RayTaskError as e:  # unwrap the CHECK error
+            from realtime_clickstream_lakehouse_ray.functions.constraints import (
+                ConstraintViolation,
+            )
+
+            if isinstance(e.cause, ConstraintViolation):
+                raise e.cause from None
+            raise
+        n_src_rows = int(meta["n_rows"])
+        src_nbytes = int(meta["nbytes"])
         t = self._phase("source_prep", t)
-        # stats-based file pruning: a file can contain a match only if some
-        # source key falls inside its [min_key, max_key] range AND (when the
-        # file has a Bloom sidecar) some key probes positive — the bloom is
-        # what keeps small-source MERGE cheap after Z-order scatters the
-        # key ranges (min/max alone prunes nothing then)
-        affected: list[FileEntry] = []
-        for f in self.files(parent):
-            if f.min_key is not None and f.max_key is not None:
-                lo = np.searchsorted(keys, f.min_key, side="left")
-                if lo >= len(keys) or keys[lo] > f.max_key:
-                    continue
-            b = blooms.get(f.path)
-            if b is not None and not bloom_any_match(b, key_hashes):
-                continue
-            affected.append(f)
+        affected_paths = set(meta["affected"])
+        affected: list[FileEntry] = [
+            f for f in snapshot_files if f.path in affected_paths
+        ]
         # bin-pack the affected files per partition (one output file per
         # bin): fewer, bigger rewrite units — a broadcast MERGE doubles as
         # compaction of the files it touches
@@ -2494,18 +2578,19 @@ class Table:
         # the rewrite stage below — the two touch disjoint files (rewrites
         # drop matched keys from existing files; the append writes brand-new
         # ones), so serializing them only adds a CPU-count-independent tail
-        # (measured 1.6-14 s of the op at bench size).  Slices are zero-copy
-        # views of the already-deduped source; names are deterministic per
-        # (job_id, slice), so a crashed rerun overwrites its partial output.
+        # (measured 1.6-14 s of the op at bench size).  The tasks slice the
+        # PREPARED source by ref (coordinates ship, rows don't); names are
+        # deterministic per (job_id, slice), so a crashed rerun overwrites
+        # its partial output.
         src_unit = ckpt.read_unit("src-append")
         if src_unit is not None and not all(
             (self.root / a["path"]).is_file() for a in src_unit["adds"]
         ):
             src_unit = None  # checkpoint exists but files were vacuumed
 
-        def _launch_src_append(src: pa.Table) -> list:
-            n_units = max(1, int(src.nbytes / max(1, target_file_bytes)))
-            step = -(-src.num_rows // n_units)
+        def _launch_src_append(drop_keys=None, keep_keys=None) -> list:
+            n_units = max(1, int(src_nbytes / max(1, target_file_bytes)))
+            step = -(-n_src_rows // n_units) if n_src_rows else 1
             # num_cpus=0: the broadcast-regime source is small by definition
             # (<= broadcast_max_rows), so these slice writes are seconds of
             # I/O-bound work — at num_cpus=1 the task group was monopolizing
@@ -2514,42 +2599,51 @@ class Table:
             # ~5 s of the merge wall at 4 CPUs / 2 M rows that vanished at
             # num_cpus=0, where the pool places instantly and the append
             # genuinely overlaps the rewrite.
-            write_task = ray.remote(num_cpus=0)(write_slice_task)
+            write_task = ray.remote(num_cpus=0)(write_slice_ref_task)
+            drop_ref = (
+                ray.put(np.array(sorted(drop_keys), dtype=object))
+                if drop_keys
+                else None
+            )
+            keep_ref = (
+                ray.put(np.array(sorted(keep_keys), dtype=object))
+                if keep_keys is not None
+                else None
+            )
             return [
                 write_task.remote(
-                    src.slice(i * step, step),
+                    prep_ref,
+                    i * step,
+                    step,
                     str(self.root),
                     self.schema,
                     self.partition_col,
                     f"{job_id}-src-u{i:04d}",
                     self._physical_names(),
                     self._physical_stats_cols(),
+                    drop_ref,
+                    keep_ref,
+                    self.key_col,
                 )
                 for i in range(n_units)
-                if i * step < src.num_rows
+                if i * step < n_src_rows
             ]
 
         src_futures: list = []
+        appended_rows = n_src_rows
         if src_unit is None and sequence_col is None and when is None:
             # overlap the source append with the rewrites (disjoint files)
-            src_futures = _launch_src_append(source)
+            src_futures = _launch_src_append()
         records: dict[str, dict] = {}
         if bins:
+            # keys_ref IS the prep task's keys return: an Arrow string
+            # array for the membership modes (plasma-zero-copy per node),
+            # the (sorted keys, aligned seqs) pair for SEQUENCE BY
             if when is not None:
-                keys_ref = ray.put(np.asarray(source.column(self.key_col)))
                 mode = "merge_when"
             elif sequence_col is None:
-                keys_ref = ray.put(np.asarray(source.column(self.key_col)))
                 mode = "delete_keys"
             else:
-                src_keys = np.asarray(source.column(self.key_col))
-                order = np.argsort(src_keys)
-                keys_ref = ray.put(
-                    (
-                        src_keys[order],
-                        np.asarray(source.column(sequence_col))[order],
-                    )
-                )
                 mode = "merge_seq"
             records = self._run_rewrite_units(
                 bins, job_id, mode=mode, keys_ref=keys_ref,
@@ -2561,7 +2655,8 @@ class Table:
             # rewrites' verdicts — source rows whose key a unit suppressed
             # (target newer, or matched without an applying clause) must
             # NOT be written, so the append launches after the pool drains
-            # (the verdict sets are matched-proportional)
+            # and the verdict key sets (matched-proportional) are applied
+            # INSIDE the slice tasks
             suppressed: set = set()
             for r in records.values():
                 suppressed.update(r.get("suppressed") or [])
@@ -2574,18 +2669,11 @@ class Table:
                 for r in records.values():
                     applied.update(r.get("applied") or [])
                 keep = sorted(applied - suppressed)
-                mask = np.isin(
-                    np.asarray(source.column(self.key_col)),
-                    np.array(keep, dtype=object),
-                )
-                source = source.filter(pa.array(mask))
-            elif suppressed:
-                mask = ~np.isin(
-                    np.asarray(source.column(self.key_col)),
-                    np.array(sorted(suppressed), dtype=object),
-                )
-                source = source.filter(pa.array(mask))
-            src_futures = _launch_src_append(source)
+                src_futures = _launch_src_append(keep_keys=keep)
+                appended_rows = len(keep)
+            else:
+                src_futures = _launch_src_append(drop_keys=suppressed)
+                appended_rows = n_src_rows - len(suppressed)
         src_entries: list[FileEntry] = []
         if src_unit is None:
             entries = [e for part in ray.get(src_futures) for e in part]
@@ -2598,7 +2686,7 @@ class Table:
                 "inputs": [],
                 "adds": [e.to_action() for e in entries],
                 "removes": [],
-                "rows": source.num_rows,
+                "rows": appended_rows,
             }
             ckpt.write_unit("src-append", src_unit)
         t = self._phase("src_append", t)

@@ -123,10 +123,18 @@ class BinRewriter:
         if keys_ref is not None:
             import ray
 
-            # fetched + converted ONCE per actor (broadcast small side)
+            # fetched + converted ONCE per actor (broadcast small side);
+            # an Arrow array arrives plasma-zero-copy (the merge prep task
+            # returns the key column directly)
             got = ray.get(keys_ref)
             if mode == "merge_seq":
                 self.seq_keys = (np.asarray(got[0]), np.asarray(got[1]))
+            elif isinstance(got, (pa.Array, pa.ChunkedArray)):
+                self.keys = (
+                    got.combine_chunks()
+                    if isinstance(got, pa.ChunkedArray)
+                    else got
+                )
             else:
                 self.keys = pa.array(got)
 

@@ -262,3 +262,41 @@ def write_slice_task(
         name_fn=lambda part: f"{name_prefix}-{next(seq):03d}.parquet",
         stats_cols=stats_cols,
     )
+
+
+def write_slice_ref_task(
+    tbl: pa.Table,
+    start: int,
+    length: int,
+    root: str,
+    schema: pa.Schema,
+    partition_col: str,
+    name_prefix: str,
+    physical_names: list[str] | None = None,
+    stats_cols: tuple[str, ...] = (),
+    drop_keys=None,
+    keep_keys=None,
+    key_col: str = "doc_id",
+) -> list[FileEntry]:
+    """Ref-based form of ``write_slice_task`` for the broadcast MERGE
+    append: the caller passes the PREPARED source's ObjectRef (auto-deref
+    = zero-copy plasma read; one transfer per node on a cluster) plus
+    slice bounds, so the driver ships coordinates, never rows.  Optional
+    ``keep_keys`` / ``drop_keys`` apply the SEQUENCE BY / WHEN MATCHED
+    verdicts inside the task (key filters commute with row slicing, so
+    per-slice filtering equals whole-source filtering)."""
+    part = tbl.slice(start, length)
+    if keep_keys is not None:
+        part = part.filter(
+            pc.is_in(part[key_col], value_set=pa.array(keep_keys, pa.string()))
+        )
+    elif drop_keys is not None and len(drop_keys):
+        part = part.filter(
+            pc.invert(
+                pc.is_in(part[key_col], value_set=pa.array(drop_keys, pa.string()))
+            )
+        )
+    return write_slice_task(
+        part, root, schema, partition_col, name_prefix, physical_names,
+        stats_cols,
+    )

@@ -806,3 +806,56 @@ def test_dedup_group_losers_survives_fp_collision():
     # the binary signature is the raw int32 buffer (length-sensitive):
     # [1] vs [1, 0]-prefix-sharing rows stay distinct
     assert _dedup_group_losers(grp(["x", "y"], [[1], [1, 0]])).num_rows == 0
+
+
+def test_broadcast_merge_source_never_lands_on_driver():
+    """Regression (round-5): broadcast-MERGE source preparation (conform +
+    CHECK + keep-latest dedup) runs in a Ray task and the append slices
+    read the prepared table by ref, so a Dataset source must not move the
+    driver's peak RSS by anything near its own size — only KEY-proportional
+    metadata comes back.  Subprocess for a clean RSS baseline."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = textwrap.dedent(
+        """
+        import resource, sys
+        sys.path.insert(0, "@REPO@")
+        import ray
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 logging_level="ERROR")
+        ray.data.DataContext.get_current().enable_progress_bars = False
+        from realtime_clickstream_lakehouse_ray.sources.synth import (
+            build_synthetic_table, gen_updates_chunk,
+        )
+
+        t = build_synthetic_table("@ROOT@/tokens", 100_000, 5_000)
+        # ~90 MB source (600k rows), generated in a task, fed as refs
+        gen = ray.remote(num_cpus=1)(gen_updates_chunk)
+        src = ray.data.from_arrow_refs(
+            [gen.remote(100_000, n_updates=50_000, n_inserts=550_000)]
+        )
+        before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss  # KiB
+        v = t.merge(src)
+        after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        assert v is not None
+        assert t.stats()["rows"] == 100_000 + 550_000, t.stats()["rows"]
+        print("RSS_DELTA_KB", after - before)
+        ray.shutdown()
+        """
+    ).replace("@REPO@", repo)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        out = subprocess.run(
+            [sys.executable, "-c", script.replace("@ROOT@", d)],
+            capture_output=True, text=True, check=True,
+            env=dict(os.environ, RAY_ADDRESS="local"),
+        )
+    delta_kb = int(out.stdout.strip().splitlines()[-1].split()[-1])
+    # source ~36 avg tokens x 600k rows x 4B ~ 86k KiB + keys; pre-fix the
+    # driver concat held it all (plus dedup/conform copies)
+    assert delta_kb < 45_000, delta_kb
