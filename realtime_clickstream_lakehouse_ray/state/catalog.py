@@ -111,6 +111,41 @@ class Catalog:
 
         return catalog_sql(self, query, where=where, threads=threads)
 
+    def create_table_as(
+        self,
+        name: str,
+        query: str,
+        key_col: str,
+        partition_col: str,
+        where: dict[str, str] | None = None,
+        threads: int | None = None,
+        **table_kwargs,
+    ) -> "Table":
+        """CTAS (``CREATE TABLE name AS SELECT ...``): run multi-table SQL
+        over the catalog and materialize the result as a NEW catalog table
+        — the consumer-sized derived-table workflow (result flows through
+        the driver; pipeline-scale derivations belong in Ray Data
+        pipelines + ``Table.append``).  The result schema becomes the
+        table schema; ``key_col`` / ``partition_col`` must name result
+        columns (every engine table is key-addressed and partitioned)."""
+        result = self.sql(query, where=where, threads=threads)
+        for col, what in ((key_col, "key_col"), (partition_col, "partition_col")):
+            if col not in result.column_names:
+                raise ValueError(
+                    f"{what} {col!r} is not a column of the CTAS result "
+                    f"(has: {result.column_names})"
+                )
+        t = self.create_table(
+            name,
+            schema=result.schema,
+            key_col=key_col,
+            partition_col=partition_col,
+            **table_kwargs,
+        )
+        if result.num_rows:
+            t.append(result)
+        return t
+
     def drop(self, name: str, delete_files: bool = False) -> None:
         """Unregister ``name``; with ``delete_files=True`` also remove the
         table directory (Glue DROP TABLE vs DROP TABLE PURGE)."""

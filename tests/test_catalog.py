@@ -159,3 +159,31 @@ def test_catalog_sql_multi_table(tmp_path):
     docs = cat.table("docs")
     docs.delete(keys=["d-000000"], mode="mor")
     assert cat.sql("SELECT count(*) AS n FROM docs")["n"][0].as_py() == 29
+
+
+def test_create_table_as(tmp_path):
+    """CTAS: multi-table SQL result materialized as a new catalog table,
+    itself immediately queryable and maintainable by name."""
+    cat = Catalog(str(tmp_path / "cat"))
+    cat.create_table("docs").append(_rows(0, 30, source="web"))
+    cat.create_table("allow").append(_rows(0, 12, source="chat"))
+    t = cat.create_table_as(
+        "joined",
+        "SELECT d.doc_id, d.n_tok, a.source FROM docs d "
+        "JOIN allow a USING (doc_id)",
+        key_col="doc_id",
+        partition_col="source",
+    )
+    assert "joined" in cat.list_tables()
+    assert t.stats()["rows"] == 12
+    got = cat.sql("SELECT count(*) AS n, min(doc_id) AS f FROM joined")
+    assert got["n"][0].as_py() == 12
+    assert got["f"][0].as_py() == "d-000000"
+    # the derived table is a full table: maintenance + time travel work
+    v0 = t.version()
+    t.delete(keys=["d-000000"])
+    assert cat.sql("SELECT count(*) AS n FROM joined")["n"][0].as_py() == 11
+    assert t.sql("SELECT count(*) AS n FROM t", version=v0)["n"][0].as_py() == 12
+    with pytest.raises(ValueError, match="key_col"):
+        cat.create_table_as("bad", "SELECT 1 AS x", key_col="doc_id",
+                            partition_col="x")

@@ -459,3 +459,46 @@ def test_continuous_trigger_crash_mid_run_resumes_exactly_once(tmp_path_factory)
     for v in table.log.versions():
         seen += table.log.read_version(v).get("source_files", [])
     assert len(seen) == len(set(seen)) == n_files  # no file ingested twice
+
+
+def test_continuous_trigger_composes_with_auto_optimize(tmp_path_factory):
+    """The production loop shape: every trigger drains a micro-batch and
+    then lets auto_optimize decide (pure manifest arithmetic) whether the
+    touched partitions degraded enough to compact — ingest and maintenance
+    in ONE loop, the reference's job+OPTIMIZE cadence composed."""
+    from realtime_clickstream_lakehouse_ray.pipelines import ingest
+
+    d = tmp_path_factory.mktemp("cont_opt")
+    root = str(d / "clicks_table")
+    for i in range(6):  # six tiny files, same event_date partition
+        (d / f"f{i}.jsonl").write_text(
+            json.dumps({**CANONICAL, "timestamp": f"2023-09-15T0{i}:00:00Z"})
+        )
+
+    compactions = []
+
+    def on_trigger(i, res):
+        if res["files"]:
+            v = ingest.clicks_table(root).auto_optimize(
+                small_file_bytes=1 << 20, min_small_files=5,
+                target_file_bytes=1 << 20,
+            )
+            if v is not None:
+                compactions.append(v)
+        return True
+
+    ingest.ingest_clicks_continuous(
+        str(d), root, interval_seconds=0.0, max_files_per_trigger=2,
+        stop_after_idle_triggers=1, on_trigger=on_trigger,
+    )
+    table = ingest.clicks_table(root)
+    assert table.stats()["rows"] == 6
+    assert len(compactions) >= 1  # the small-file threshold tripped once
+    # compaction collapsed the partition's file count
+    assert table.stats()["files"] < 6
+    # and a fresh loop is a pure no-op (bookmark + converged OPTIMIZE)
+    again = ingest.ingest_clicks_continuous(
+        str(d), root, interval_seconds=0.0, stop_after_idle_triggers=1,
+        on_trigger=on_trigger,
+    )
+    assert all(r["files"] == 0 for r in again)
