@@ -199,3 +199,89 @@ class TestSqlSnapshots:
             "SELECT n_tok * 2 AS dbl FROM t WHERE dbl > 50 LIMIT 5"
         )
         assert all(v > 50 for v in got["dbl"].to_pylist())
+
+
+class TestPredicateSurfacesAgree:
+    """Property: for random conjunctions from the engine grammar, the
+    THREE predicate surfaces return identical row sets —
+    ``scan(where=)`` (manifest pruning + row filter), ``sql()`` (pruned
+    DuckDB view, WHERE auto-extracted) and raw DuckDB over the table's
+    parquet files (ground truth).  One shared table; hypothesis drives
+    the predicate space (in/out-of-range literals, multi-conjunct,
+    every comparison op)."""
+
+    _table = None
+
+    @classmethod
+    def get_table(cls, tmp_root):
+        if cls._table is None:
+            cls._table = build_synthetic_table(str(tmp_root / "tokens"), 600, 60)
+        return cls._table
+
+    def test_random_conjunctions(self, tmp_path_factory):
+        import duckdb
+        import ray
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        t = self.get_table(tmp_path_factory.mktemp("sqlprop"))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW raw AS SELECT * FROM "
+            f"parquet_scan('{t.root}/source=*/*.parquet')"
+        )
+
+        int_cond = st.tuples(
+            st.just("n_tok"),
+            st.sampled_from(["=", "!=", "<", "<=", ">", ">="]),
+            st.integers(min_value=-5, max_value=5000),
+        )
+        src_cond = st.tuples(
+            st.just("source"),
+            st.sampled_from(["=", "!=", "in"]),
+            st.sampled_from(["web", "books", "chat", "nope"]),
+        )
+        doc_cond = st.tuples(
+            st.just("doc_id"),
+            st.sampled_from(["<", ">=", "="]),
+            st.sampled_from(
+                ["doc-000000000050", "doc-000000000599", "doc-zzz", "doc-000000000000"]
+            ),
+        )
+
+        def render(c):
+            col, op, v = c
+            if op == "in":
+                return f"{col} IN ('{v}', 'web')"
+            return f"{col} {op} {v!r}" if isinstance(v, str) else f"{col} {op} {v}"
+
+        @settings(
+            max_examples=15,
+            deadline=None,
+            suppress_health_check=list(HealthCheck),
+        )
+        @given(conds=st.lists(st.one_of(int_cond, src_cond, doc_cond), min_size=1, max_size=3))
+        def check(conds):
+            where = " AND ".join(render(c) for c in conds)
+            exp = sorted(
+                r[0]
+                for r in con.execute(
+                    f"SELECT doc_id FROM raw WHERE {where}"
+                ).fetchall()
+            )
+            cols = sorted({"doc_id"} | {c[0] for c in conds})
+            got_scan = sorted(
+                k
+                for b in ray.get(
+                    t.scan(columns=cols, where=where).to_arrow_refs()
+                )
+                if b.num_rows
+                for k in b["doc_id"].to_pylist()
+            )
+            got_sql = sorted(
+                t.sql(f"SELECT doc_id FROM t WHERE {where}")["doc_id"].to_pylist()
+            )
+            assert got_scan == exp, where
+            assert got_sql == exp, where
+
+        check()
