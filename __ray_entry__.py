@@ -181,6 +181,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maintenance_full_lifecycle": maintenance.maintenance_full_lifecycle,
         # change data feed across a MERGE commit range (Delta CDF analog)
         "maintenance_change_feed": maintenance.maintenance_change_feed,
+        # epoch-over-epoch corpus drift from the CDC feed (per-source
+        # insert/update/delete counts + signed token flow)
+        "maintenance_snapshot_drift": maintenance.maintenance_snapshot_drift,
         # RESTORE rollback-as-new-commit through the oracle gate
         "maintenance_restore": maintenance.maintenance_restore,
         # shallow clone + change feed + CDC apply = incremental replication
@@ -1898,6 +1901,24 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT id + 1000000 AS id, nt, source FROM base WHERE id % 50 = 0
             )
+        """,
+        "maintenance_snapshot_drift": f"""
+            -- drift derived from the deterministic source rules: updates
+            -- (%20) contribute +7 tokens as an update pair, inserts (%50,
+            -- rekeyed) contribute their full token count; no deletes
+            WITH base AS ({_DOCS_BASE})
+            SELECT source,
+                   CAST(count(*) FILTER (WHERE id % 50 = 0) AS BIGINT) AS n_inserts,
+                   CAST(count(*) FILTER (WHERE id % 20 = 0) AS BIGINT) AS n_updates,
+                   CAST(0 AS BIGINT) AS n_deletes,
+                   CAST(coalesce(sum(nt) FILTER (WHERE id % 50 = 0), 0)
+                        + 7 * count(*) FILTER (WHERE id % 20 = 0) AS BIGINT)
+                       AS delta_tokens
+            FROM base
+            GROUP BY source
+            HAVING count(*) FILTER (WHERE id % 50 = 0)
+                 + count(*) FILTER (WHERE id % 20 = 0) > 0
+            ORDER BY source
         """,
         "maintenance_merge_when": f"""
             WITH base AS ({_DOCS_BASE})

@@ -879,3 +879,94 @@ def maintenance_merge_when_delete(sf_dir: str) -> pa.Table:
         matched_action="delete",
     )
     return _scan_projected(t)
+
+
+def maintenance_snapshot_drift(sf_dir: str) -> pa.Table:
+    """Distribution DRIFT between two snapshots, computed from the change
+    data feed — the epoch-over-epoch signal a training-data pipeline
+    watches (did the corpus grow, which sources churned, how many tokens
+    moved): ingest -> compact (v0) -> merge -> ``changes(v0)`` ->
+    per-source (n_inserts, n_updates, n_deletes, delta_tokens), where
+    delta_tokens is the SIGNED token flow (insert + update_post -
+    update_pre - delete).  One vectorized partial per feed batch, then a
+    source-keyed groupby of constant-width partials — never the row feed
+    on the driver.  The oracle restates the drift from the deterministic
+    update/insert rules."""
+    from ray.data.aggregate import Sum
+
+    t = build_from_documents(sf_dir, _scratch_root(sf_dir, "drift"))
+    t.compact(target_file_bytes=8 << 20)
+    v0 = t.version()
+    t.merge(updates_from_documents(sf_dir))
+    feed = t.changes(v0)
+
+    EMPTY = pa.schema(
+        [
+            ("source", pa.string()),
+            ("n_inserts", pa.int64()),
+            ("n_updates", pa.int64()),
+            ("n_deletes", pa.int64()),
+            ("delta_tokens", pa.int64()),
+        ]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return EMPTY.empty_table()
+        ct = b["_change_type"].combine_chunks()
+        plus = pc.is_in(
+            ct, value_set=pa.array(["insert", "update_postimage"])
+        )
+        sgn = pc.if_else(plus, 1, -1).cast(pa.int64())
+        g = (
+            pa.table(
+                {
+                    "source": b["source"],
+                    "n_inserts": pc.equal(ct, "insert").cast(pa.int64()),
+                    "n_updates": pc.equal(ct, "update_postimage").cast(pa.int64()),
+                    "n_deletes": pc.equal(ct, "delete").cast(pa.int64()),
+                    "delta_tokens": pc.multiply(
+                        b["n_tok"].combine_chunks().cast(pa.int64()), sgn
+                    ),
+                }
+            )
+            .group_by("source")
+            .aggregate(
+                [
+                    ("n_inserts", "sum"),
+                    ("n_updates", "sum"),
+                    ("n_deletes", "sum"),
+                    ("delta_tokens", "sum"),
+                ]
+            )
+        )
+        return g.rename_columns(
+            ["source", "n_inserts", "n_updates", "n_deletes", "delta_tokens"]
+        )
+
+    tune_context()
+    agg = (
+        feed.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(
+            Sum("n_inserts", alias_name="n_inserts"),
+            Sum("n_updates", alias_name="n_updates"),
+            Sum("n_deletes", alias_name="n_deletes"),
+            Sum("delta_tokens", alias_name="delta_tokens"),
+        )
+    )
+    blocks = [b for b in ray.get(agg.to_arrow_refs()) if b.num_rows]
+    out = (
+        pa.concat_tables(blocks).sort_by("source")
+        if blocks
+        else EMPTY.empty_table()
+    )
+    return pa.table(
+        {
+            "source": out["source"],
+            "n_inserts": out["n_inserts"].cast(pa.int64()),
+            "n_updates": out["n_updates"].cast(pa.int64()),
+            "n_deletes": out["n_deletes"].cast(pa.int64()),
+            "delta_tokens": out["delta_tokens"].cast(pa.int64()),
+        }
+    )
