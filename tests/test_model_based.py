@@ -210,3 +210,9 @@ def test_random_op_sequence_matches_model(tmp_path, seed):
                 t.vacuum(min_age_seconds=0.0)
         got = _collect(t, tok_col, "length" if renamed else "n_tok")
         assert got == model, f"divergence after step {step}: {history}"
+        if step % 5 == 0:
+            # the ad-hoc SQL surface must see the SAME relation the scan
+            # does, whatever op mix produced the snapshot (DVs, renames,
+            # partition evolution, conditioned merges, ...)
+            n = t.sql("SELECT count(*) AS n FROM t")["n"][0].as_py()
+            assert n == len(model), f"sql count {n} != {len(model)}: {history}"
